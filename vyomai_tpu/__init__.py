@@ -1,0 +1,14 @@
+"""vyomai_tpu — TPU-native JAX/XLA/Pallas rebuild of VyomAI's capabilities.
+
+Public API mirrors the reference ``VyomAI/__init__.py:1-13`` surface.
+"""
+
+from .config import (  # noqa: F401
+    EncoderConfig, DecoderConfig, VisionConfig, CLIPConfig,
+    SiglipVisionConfig, GemmaConfig, PaliGemmaConfig, QwenConfig)
+from .models import (  # noqa: F401
+    EncoderModel, EncoderForMaskedLM, DecoderModel)
+from .layers.kv_cache import (  # noqa: F401
+    DynamicCache, StaticCache, StaticCacheOne, DynamicCacheOne, init_cache)
+
+__version__ = "0.1.0"

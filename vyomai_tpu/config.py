@@ -1,0 +1,177 @@
+"""Configuration dataclasses for vyomai_tpu.
+
+Mirrors the reference's duck-typed config surface (``EncoderConfig`` at
+reference ``VyomAI/utils.py:89-100``) with the extra fields the reference
+reads via ``getattr`` (``num_key_value_heads``, ``attention_bias``,
+``pad_token_id``, ``eos_token_id``) plus the vision fields used by ``Vit``
+(reference ``VyomAI/models/vision_encoder.py:56-100``).
+
+All configs are frozen dataclasses so they can be closed over by jitted
+functions as static structure.
+"""
+
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Default text-model config (RoBERTa-base flavored, 4 layers).
+
+    Field names and defaults match reference ``VyomAI/utils.py:89-100``.
+    """
+
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    max_position_embeddings: int = 514
+    num_hidden_layers: int = 4
+    vocab_size: int = 50265
+    hidden_dropout_prob: float = 0.1
+    initializer_range: float = 0.02
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-05
+    hidden_act: str = "gelu"
+    # Extras the reference reads via getattr(config, ..., default):
+    num_key_value_heads: int = 4          # attention.py:150 (default 4)
+    attention_bias: bool = True           # attention.py:84
+    pad_token_id: int = 1                 # decoder.py:453 (default 1)
+    eos_token_id: int = 2                 # decoder.py:476 (default 2)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def replace(self, **kw) -> "EncoderConfig":
+        return replace(self, **kw)
+
+
+# The decoder/seq2seq/VLM families share the same config surface.
+DecoderConfig = EncoderConfig
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    """ViT config (reference ``models/vision_encoder.py:56-100``)."""
+
+    image_size: Tuple[int, int] = (224, 224)
+    patch_size: Tuple[int, int] = (16, 16)
+    num_channels: int = 3
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    num_hidden_layers: int = 4
+    hidden_dropout_prob: float = 0.1
+    intermediate_size: int = 3072
+    layer_norm_eps: float = 1e-05
+    hidden_act: str = "gelu"
+    attention_bias: bool = True
+    initializer_range: float = 0.02
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size[0] // self.patch_size[0]) * (
+            self.image_size[1] // self.patch_size[1]
+        )
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    def replace(self, **kw) -> "VisionConfig":
+        return replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    """Dual-encoder contrastive config (reference README.md:20-27 CLIP workload)."""
+
+    text_config: EncoderConfig = field(default_factory=EncoderConfig)
+    vision_config: VisionConfig = field(default_factory=VisionConfig)
+    projection_dim: int = 512
+    logit_scale_init: float = 2.6592  # log(1/0.07), standard CLIP init
+
+
+@dataclass(frozen=True)
+class SiglipVisionConfig:
+    """SigLIP vision tower config (reference ``paligemma.ipynb`` cell 9)."""
+
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    num_channels: int = 3
+    image_size: int = 224
+    patch_size: int = 16
+    layer_norm_eps: float = 1e-06
+    attention_dropout: float = 0.0
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class GemmaConfig:
+    """Gemma decoder config (reference ``paligemma.ipynb`` cells 9-20).
+
+    Notable: head_dim is independent of hidden_size/num_heads; RMSNorm uses
+    the (1 + w) form; inputs are scaled by sqrt(hidden_size); embeddings tied.
+    """
+
+    vocab_size: int = 257216
+    hidden_size: int = 2048
+    intermediate_size: int = 16384
+    num_hidden_layers: int = 18
+    num_attention_heads: int = 8
+    num_key_value_heads: int = 1
+    head_dim: int = 256
+    max_position_embeddings: int = 8192
+    rms_norm_eps: float = 1e-06
+    rope_theta: float = 10000.0
+    attention_bias: bool = False
+    pad_token_id: int = 0
+    eos_token_id: int = 1
+    bos_token_id: int = 2
+
+
+@dataclass(frozen=True)
+class PaliGemmaConfig:
+    """Composite VLM config (reference ``paligemma.ipynb`` cell 9)."""
+
+    vision_config: SiglipVisionConfig = field(default_factory=SiglipVisionConfig)
+    text_config: GemmaConfig = field(default_factory=GemmaConfig)
+    projection_dim: int = 2048
+    image_token_index: int = 257152
+
+    @property
+    def num_image_tokens(self) -> int:
+        return self.vision_config.num_patches
+
+
+@dataclass(frozen=True)
+class QwenConfig:
+    """Qwen2-flavored HF-compatible CLM config.
+
+    Mirrors reference ``models/custom_transformer.py:17-74`` (RMSNorm, SwiGLU
+    MLP, GQA, RoPE, tied lm_head) and the Qwen3 serving config in
+    ``simple_vllm.ipynb`` (QK-norm).
+    """
+
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    max_position_embeddings: int = 40960
+    rms_norm_eps: float = 1e-06
+    rope_theta: float = 1000000.0
+    attention_bias: bool = False
+    qk_norm: bool = True
+    tie_word_embeddings: bool = True
+    pad_token_id: int = 151643
+    eos_token_id: int = 151645

@@ -1,0 +1,125 @@
+"""Additive attention-mask builders — the three reference mask recipes plus
+the static-cache validity mask that replaces Python-side cache slicing.
+
+Reference recipes rebuilt TPU-first (static shapes, no data-dependent
+concats):
+- bidirectional pad mask: ``models/encoder.py:156-164``
+- causal + start_pos + pad: ``models/decoder.py:376-419`` (create_mask_for_decoder)
+- prefix-LM over token_type_ids: ``paligemma.ipynb`` cell 17
+  (_update_causal_mask)
+
+All builders return *additive* float masks (0 where attendable, large
+negative where masked) broadcastable against attention scores
+``[B, H, Lq, Lk]``. ``NEG_INF`` matches ``torch.finfo(float32).min`` used by
+the reference so logits parity holds bit-for-bit through the softmax.
+"""
+
+import jax.numpy as jnp
+
+# torch.finfo(torch.float32).min — the reference's additive mask constant.
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def additive(mask_bool_or_float, dtype=jnp.float32):
+    """(1 - m) * finfo.min — converts a {0,1} mask to additive form."""
+    m = mask_bool_or_float.astype(dtype)
+    return (1.0 - m) * NEG_INF
+
+
+def bidirectional_mask(attention_mask, dtype=jnp.float32):
+    """[B, Lk] pad mask -> additive [B, 1, 1, Lk] (encoder recipe)."""
+    return additive(attention_mask[:, None, None, :], dtype)
+
+
+def causal_mask(seq_len: int, attention_mask=None, start_pos: int = 0,
+                batch_size: int = 1, dtype=jnp.float32):
+    """Causal mask for a decoder block of ``seq_len`` queries whose first
+    query sits at absolute position ``start_pos``; keys cover
+    ``[0, start_pos + seq_len)``.
+
+    ``attention_mask``: optional [B, start_pos + seq_len] pad mask.
+    Returns additive [B, 1, seq_len, start_pos + seq_len].
+
+    Equivalent to the reference's tril + ones-prepend + pad multiply
+    (``models/decoder.py:376-419``) but built from iota comparisons with
+    static shapes.
+    """
+    kv_len = start_pos + seq_len
+    q_pos = start_pos + jnp.arange(seq_len)[:, None]      # [Lq, 1] absolute
+    k_pos = jnp.arange(kv_len)[None, :]                   # [1, Lk] absolute
+    causal = (k_pos <= q_pos)                             # [Lq, Lk]
+    if attention_mask is not None:
+        m = causal[None, :, :] & (attention_mask[:, None, :] != 0)
+        m = m[:, None, :, :]
+    else:
+        m = jnp.broadcast_to(causal[None, None, :, :],
+                             (batch_size, 1, seq_len, kv_len))
+    return additive(m, dtype)
+
+
+def decode_step_mask(kv_capacity: int, cache_len, batch_size: int = 1,
+                     dtype=jnp.float32):
+    """Validity mask for single-token decode over a full static KV buffer.
+
+    The reference slices the cache to ``[:, :, :start_pos + 1]`` and attends
+    with ``mask=None`` (``models/decoder.py:356-362`` + ``kv_cache.py:358``).
+    With a static ``[B, H, kv_capacity, D]`` buffer we keep shapes fixed and
+    instead mask key positions ``>= cache_len`` — numerically identical.
+
+    ``cache_len`` may be a traced scalar (or [B] array). Returns additive
+    [B, 1, 1, kv_capacity].
+    """
+    k_pos = jnp.arange(kv_capacity)[None, :]              # [1, K]
+    valid = k_pos < jnp.reshape(jnp.asarray(cache_len), (-1, 1))
+    valid = jnp.broadcast_to(valid, (batch_size, kv_capacity))
+    return additive(valid[:, None, None, :], dtype)
+
+
+def causal_mask_static_kv(seq_len: int, kv_capacity: int, start_pos,
+                          attention_mask=None, batch_size: int = 1,
+                          dtype=jnp.float32):
+    """Causal mask for queries at ``[start_pos, start_pos + seq_len)`` against
+    a full static KV buffer of width ``kv_capacity``.
+
+    Combines the reference's causal+prefix recipe with static-cache validity:
+    key j is attendable iff ``j <= start_pos + i`` (prefix + causal) and j is
+    not padding. ``start_pos`` may be traced. Returns additive
+    [B, 1, seq_len, kv_capacity].
+    """
+    q_pos = start_pos + jnp.arange(seq_len)[:, None]      # [Lq, 1]
+    k_pos = jnp.arange(kv_capacity)[None, :]              # [1, K]
+    causal = k_pos <= q_pos                               # [Lq, K]
+    if attention_mask is not None:
+        pad = attention_mask != 0                         # [B, Lpad]
+        lpad = pad.shape[-1]
+        if lpad < kv_capacity:
+            pad = jnp.pad(pad, ((0, 0), (0, kv_capacity - lpad)))
+        else:
+            pad = pad[:, :kv_capacity]
+        m = causal[None, :, :] & pad[:, None, :]
+    else:
+        m = jnp.broadcast_to(causal[None, :, :],
+                             (batch_size, seq_len, kv_capacity))
+    return additive(m[:, None, :, :], dtype)
+
+
+def prefix_lm_mask(seq_len: int, prefix_len, attention_mask=None,
+                   batch_size: int = 1, dtype=jnp.float32):
+    """Prefix-LM mask: bidirectional attention over positions
+    ``< prefix_len`` (image + prompt prefix), causal afterwards.
+
+    ``prefix_len``: scalar or [B] array (may be traced). Matches the
+    PaliGemma ``_update_causal_mask`` recipe built from ``token_type_ids``
+    (reference ``paligemma.ipynb`` cell 17).
+    Returns additive [B, 1, seq_len, seq_len].
+    """
+    q_pos = jnp.arange(seq_len)[:, None]                  # [L, 1]
+    k_pos = jnp.arange(seq_len)[None, :]                  # [1, L]
+    causal = k_pos <= q_pos                               # [L, L]
+    plen = jnp.reshape(jnp.asarray(prefix_len), (-1, 1, 1))  # [B or 1,1,1]
+    in_prefix = k_pos[None, :, :] < plen                  # [B?, L, L]
+    m = causal[None, :, :] | in_prefix
+    if attention_mask is not None:
+        m = m & (attention_mask[:, None, :] != 0)
+    m = jnp.broadcast_to(m, (batch_size, seq_len, seq_len))
+    return additive(m[:, None, :, :], dtype)

@@ -1,0 +1,128 @@
+"""Primitive neural-net building blocks as pure init/apply function pairs.
+
+Params are plain nested dicts of ``jnp.ndarray`` (pytrees). Every ``*_init``
+returns a param dict; every ``*_apply`` is pure and jittable. Convention:
+linear kernels are stored ``[in, out]`` (JAX convention; the reference's
+torch ``nn.Linear`` stores ``[out, in]`` — transposed on import).
+
+Numerics match the reference exactly where parity matters:
+- GELU is the exact (erf) form, matching ``torch.nn.GELU()`` default
+  (reference ``VyomAI/layers/ffn.py:8``, ``models/encoder.py:83``).
+- LayerNorm has weight+bias and matches ``torch.nn.LayerNorm``.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Initializers (reference init: normal std=0.02, zero bias — utils.py:21-34)
+# ---------------------------------------------------------------------------
+
+def normal_init(key, shape, std: float = 0.02, dtype=jnp.float32):
+    return (jax.random.normal(key, shape) * std).astype(dtype)
+
+
+def linear_init(key, in_dim: int, out_dim: int, *, bias: bool = True,
+                std: float = 0.02, dtype=jnp.float32):
+    p = {"kernel": normal_init(key, (in_dim, out_dim), std=std, dtype=dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), dtype=dtype)
+    return p
+
+
+def embedding_init(key, num_embeddings: int, dim: int, *, std: float = 0.02,
+                   pad_idx: Optional[int] = None, dtype=jnp.float32):
+    w = normal_init(key, (num_embeddings, dim), std=std, dtype=dtype)
+    if pad_idx is not None:
+        w = w.at[pad_idx].set(0.0)
+    return {"weight": w}
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32):
+    return {"weight": jnp.ones((dim,), dtype=dtype),
+            "bias": jnp.zeros((dim,), dtype=dtype)}
+
+
+def rms_norm_init(dim: int, dtype=jnp.float32):
+    return {"weight": jnp.ones((dim,), dtype=dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Apply functions
+# ---------------------------------------------------------------------------
+
+def linear(p, x):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def embedding(p, ids):
+    return jnp.take(p["weight"], ids, axis=0)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    # Reduce in fp32 for bf16 inputs, cast back — matches torch numerics.
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["weight"] + p["bias"]).astype(dtype)
+
+
+def rms_norm(p, x, eps: float = 1e-6, *, plus_one: bool = False):
+    """RMSNorm. ``plus_one=True`` selects Gemma's ``x * (1 + w)`` form
+    (reference ``paligemma.ipynb`` GemmaRMSNorm)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    w = p["weight"].astype(jnp.float32)
+    if plus_one:
+        y = y * (1.0 + w)
+    else:
+        y = y * w
+    return y.astype(dtype)
+
+
+def gelu(x):
+    """Exact (erf) GELU — matches ``torch.nn.GELU()`` default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_tanh(x):
+    """Tanh-approximate GELU (SigLIP MLP, reference paligemma.ipynb)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+# Activation table mirroring reference ``layers/ffn.py:7-15`` (_ACT_).
+ACT = {
+    "gelu": gelu,
+    "gelu_pytorch_tanh": gelu_tanh,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+    "sigmoid": jax.nn.sigmoid,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "tanh": jnp.tanh,
+}
+
+
+def get_act(name: Optional[str]):
+    return ACT.get(name, gelu)
+
+
+def dropout(x, rate: float, *, deterministic: bool, rng=None):
+    """Inverted dropout. No-op when deterministic or rate == 0."""
+    if deterministic or rate == 0.0:
+        return x
+    if rng is None:
+        raise ValueError("dropout requires an rng key when not deterministic")
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -1,0 +1,287 @@
+"""GPT-style causal decoder (reference ``VyomAI/models/decoder.py``).
+
+TPU-first decisions:
+- Static KV cache pytree ``[L, B, H_kv, S_max, D]`` updated with
+  ``dynamic_update_slice``; validity masking replaces the reference's
+  Python-side cache slicing (see ``layers/kv_cache.py``).
+- ``generate`` runs as one jitted program: prefill + ``lax.while_loop``
+  decode with a fixed-size token buffer, llama-style prompt replay via
+  ``input_text_mask`` and masked EOS early-exit
+  (reference ``models/decoder.py:430-514``).
+- Layer stack under ``lax.scan`` with per-layer cache slices as scan xs/ys.
+
+Parity quirks preserved: FFN residual uses the pre-attention block input
+(``decoder.py:241-250``); when ``seqlen == 1`` decode steps attend to the
+full cached prefix with no pad masking (``decoder.py:356-362``).
+
+Deviation (documented): the reference's ``do_sample`` path feeds raw logits
+to ``torch.multinomial`` (which requires non-negative weights — a latent
+bug); we sample from ``softmax(logits / temperature)``.
+"""
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EncoderConfig
+from ..core import nn as cnn
+from ..core.masks import causal_mask, causal_mask_static_kv
+from ..layers import attention as attn
+from ..layers import ffn as ffn_mod
+from ..layers import positional as pos
+from ..layers.kv_cache import init_cache
+from .encoder import lm_head_init, lm_head_apply, stacked_layers_init
+from .outputs import CLMOutput
+
+
+class DecoderModel:
+    """Functional causal LM. ``apply`` is pure/jittable; pass ``cache``
+    (pytree from ``layers.kv_cache.init_cache``) + ``start_pos`` to use the
+    static KV cache."""
+
+    def __init__(self, config: EncoderConfig,
+                 pos_embedding_type: Optional[str] = "absolute",
+                 attention_type: Optional[str] = None) -> None:
+        self.config = config
+        self.pos_embedding_type = pos_embedding_type
+        self.kind = "gqa" if attention_type == "gqa" else "mha"
+        self.is_gqa = attention_type == "gqa"
+        if pos_embedding_type == "rope":
+            self.emb_freq = pos.rope_freqs(config.max_position_embeddings,
+                                           config.head_dim)
+        elif pos_embedding_type == "sinusoidal":
+            self.sin_table = pos.sinusoidal_table(
+                config.max_position_embeddings, config.hidden_size)
+
+    # -- params ------------------------------------------------------------
+    def init(self, key, dtype=jnp.float32):
+        cfg = self.config
+        k_emb, k_pos, k_layers, k_head = jax.random.split(key, 4)
+        params = {
+            "word_embeddings": cnn.embedding_init(
+                k_emb, cfg.vocab_size, cfg.hidden_size,
+                std=cfg.initializer_range,
+                pad_idx=getattr(cfg, "pad_token_id", None), dtype=dtype),
+            "layers": stacked_layers_init(k_layers, cfg, self.kind, dtype),
+            "lm_head": lm_head_init(k_head, cfg, dtype=dtype),
+        }
+        if self.pos_embedding_type == "absolute":
+            params["position_embeddings"] = pos.absolute_init(k_pos, cfg,
+                                                              dtype=dtype)
+        return params
+
+    def init_cache(self, *, batch_size: int = 1, max_len: Optional[int] = None,
+                   dtype=jnp.float32):
+        cfg = self.config
+        nkv = cfg.num_key_value_heads if self.is_gqa else cfg.num_attention_heads
+        return init_cache(cfg, batch_size=batch_size, max_len=max_len,
+                          dtype=dtype, num_kv_heads=nkv)
+
+    # -- forward -----------------------------------------------------------
+    def _embed(self, params, input_ids, start_pos):
+        seqlen = input_ids.shape[1]
+        hidden = cnn.embedding(params["word_embeddings"], input_ids)
+        freqs = None
+        if self.pos_embedding_type == "absolute":
+            hidden = hidden + pos.absolute_slice(
+                params["position_embeddings"], start_pos,
+                seqlen).astype(hidden.dtype)
+        elif self.pos_embedding_type == "sinusoidal":
+            tab = jax.lax.dynamic_slice_in_dim(self.sin_table, start_pos,
+                                               seqlen, axis=1)
+            hidden = hidden + tab.astype(hidden.dtype)
+        elif self.pos_embedding_type == "rope":
+            freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
+                                                 seqlen, axis=1)
+        return hidden, freqs
+
+    def _mask(self, input_ids, attention_mask, cache, start_pos):
+        bsz, seqlen = input_ids.shape
+        if cache is not None:
+            kv_cap = cache["k"].shape[3]
+            return causal_mask_static_kv(seqlen, kv_cap, start_pos,
+                                         attention_mask, batch_size=bsz)
+        return causal_mask(seqlen, attention_mask, start_pos=0,
+                           batch_size=bsz)
+
+    def run_layers(self, params, hidden, mask, freqs, cache, start_pos, *,
+                   deterministic=True, rng=None):
+        cfg, kind = self.config, self.kind
+        n_layers = cfg.num_hidden_layers
+        if not deterministic:
+            if rng is None:
+                raise ValueError(
+                    "deterministic=False requires an rng key for dropout")
+            layer_rngs = jax.random.split(rng, n_layers * 2).reshape(n_layers, 2, 2)
+        else:
+            layer_rngs = jnp.zeros((n_layers, 2, 2), dtype=jnp.uint32)
+
+        if cache is None:
+            def body(h, xs):
+                lp, lrng = xs
+                a_rng = lrng[0] if not deterministic else None
+                f_rng = lrng[1] if not deterministic else None
+                out, _ = attn.decoder_attention_apply(
+                    lp["attention"], h, mask, cfg, kind=kind, freqs=freqs,
+                    deterministic=deterministic, rng=a_rng)
+                out = ffn_mod.ffn_apply(lp["ffn"], out, h, cfg,
+                                        deterministic=deterministic, rng=f_rng)
+                return out, None
+            hidden, _ = jax.lax.scan(body, hidden, (params["layers"], layer_rngs))
+            return hidden, None
+
+        def body(h, xs):
+            lp, lrng, ck, cv = xs
+            a_rng = lrng[0] if not deterministic else None
+            f_rng = lrng[1] if not deterministic else None
+            out, new_kv = attn.decoder_attention_apply(
+                lp["attention"], h, mask, cfg, kind=kind, freqs=freqs,
+                cache_kv=(ck, cv), start_pos=start_pos,
+                deterministic=deterministic, rng=a_rng)
+            out = ffn_mod.ffn_apply(lp["ffn"], out, h, cfg,
+                                    deterministic=deterministic, rng=f_rng)
+            return out, new_kv
+        hidden, (new_k, new_v) = jax.lax.scan(
+            body, hidden, (params["layers"], layer_rngs, cache["k"], cache["v"]))
+        seqlen_new = start_pos + (hidden.shape[1] if hidden.ndim == 3 else 1)
+        new_cache = {"k": new_k, "v": new_v,
+                     "length": jnp.asarray(seqlen_new, dtype=jnp.int32)}
+        return hidden, new_cache
+
+    def apply(self, params, input_ids, attention_mask=None,
+              cache: Optional[Any] = None, start_pos=0, *,
+              deterministic: bool = True, rng=None) -> CLMOutput:
+        hidden, freqs = self._embed(params, input_ids, start_pos)
+        mask = self._mask(input_ids, attention_mask, cache, start_pos)
+        hidden, new_cache = self.run_layers(
+            params, hidden, mask, freqs, cache, start_pos,
+            deterministic=deterministic, rng=rng)
+        # start_pos + seqlen for correct cache length bookkeeping
+        if new_cache is not None:
+            new_cache["length"] = jnp.asarray(
+                start_pos + input_ids.shape[1], dtype=jnp.int32)
+        logits = lm_head_apply(params["lm_head"], hidden, self.config)
+        return CLMOutput(hidden_state=hidden, logits=logits, kv_cache=new_cache)
+
+    __call__ = apply
+
+    @classmethod
+    def from_config(cls, config, pos_embedding_type: Optional[str] = "absolute",
+                    attention_type: Optional[str] = None) -> "DecoderModel":
+        return cls(config, pos_embedding_type, attention_type)
+
+    # -- generation ----------------------------------------------------------
+    def generate(self, params, input_ids, attention_mask=None, max_len: int = 5,
+                 temperature: float = 1.0, use_cache: bool = True,
+                 do_sample: bool = False, rng=None,
+                 use_static_cache: bool = True):
+        """Batched greedy/sampling generation (reference
+        ``decoder.py:430-514``). Fully jitted: prefill + ``while_loop``
+        decode over a fixed [B, prompt + max_len] token buffer. Returns the
+        filled token matrix.
+
+        ``use_static_cache`` is accepted for API parity; the static cache is
+        the only device cache."""
+        cfg = self.config
+        input_ids = jnp.asarray(input_ids)
+        bsz, prompt_len = input_ids.shape
+        total_len = prompt_len + max_len
+        if attention_mask is None:
+            attention_mask = jnp.ones((bsz, prompt_len), dtype=jnp.int32)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return _generate_jit(self, params, input_ids, attention_mask,
+                             total_len, prompt_len, float(temperature),
+                             bool(use_cache), bool(do_sample), rng)
+
+
+def _sample_token(logits, temperature, do_sample, rng):
+    if do_sample:
+        return jax.random.categorical(rng, logits / temperature, axis=-1)
+    return jnp.argmax(logits / temperature, axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+def _generate_jit(model: DecoderModel, params, input_ids, attention_mask,
+                  total_len: int, prompt_len: int, temperature: float,
+                  use_cache: bool, do_sample: bool, rng):
+    cfg = model.config
+    bsz = input_ids.shape[0]
+    pad_id = getattr(cfg, "pad_token_id", 1)
+    eos_id = getattr(cfg, "eos_token_id", 2)
+
+    tokens = jnp.full((bsz, total_len), pad_id, dtype=input_ids.dtype)
+    tokens = tokens.at[:, :prompt_len].set(input_ids)
+    mask_buf = jnp.zeros((bsz, total_len), dtype=jnp.int32)
+    mask_buf = mask_buf.at[:, :prompt_len].set(attention_mask.astype(jnp.int32))
+    mask_buf = mask_buf.at[:, prompt_len:].set(1)
+    input_text_mask = tokens != pad_id
+    eos = jnp.zeros((bsz,), dtype=bool)
+
+    if use_cache:
+        cache = model.init_cache(batch_size=bsz, max_len=total_len,
+                                 dtype=params["word_embeddings"]["weight"].dtype)
+        out = model.apply(params, tokens[:, :prompt_len],
+                          attention_mask=mask_buf[:, :prompt_len],
+                          cache=cache, start_pos=0)
+        cache = out.kv_cache
+        rng, step_rng = jax.random.split(rng)
+        next_tok = _sample_token(out.logits[:, -1], temperature, do_sample,
+                                 step_rng)
+        next_tok = jnp.where(input_text_mask[:, prompt_len],
+                             tokens[:, prompt_len], next_tok.astype(tokens.dtype))
+        tokens = tokens.at[:, prompt_len].set(next_tok)
+        eos = eos | ((~input_text_mask[:, prompt_len]) & (next_tok == eos_id))
+
+        def cond(state):
+            pos, _, _, eos_r, _ = state
+            return (pos < total_len) & ~jnp.all(eos_r)
+
+        def body(state):
+            pos, toks, cch, eos_r, r = state
+            cur = jax.lax.dynamic_slice(toks, (0, pos - 1), (bsz, 1))
+            out = model.apply(params, cur, cache=cch, start_pos=pos - 1)
+            r, step_r = jax.random.split(r)
+            nxt = _sample_token(out.logits[:, -1], temperature, do_sample,
+                                step_r)
+            nxt = nxt.astype(toks.dtype)
+            replay = jnp.take_along_axis(
+                input_text_mask, pos[None, None].repeat(bsz, 0), axis=1)[:, 0]
+            orig = jax.lax.dynamic_slice(toks, (0, pos), (bsz, 1))[:, 0]
+            nxt = jnp.where(replay, orig, nxt)
+            toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, pos))
+            eos_r = eos_r | ((~replay) & (nxt == eos_id))
+            return (pos + 1, toks, out.kv_cache, eos_r, r)
+
+        state = (jnp.asarray(prompt_len + 1, jnp.int32), tokens, cache, eos, rng)
+        _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+        return tokens
+
+    # No-cache path: recompute over the full (fixed-size) buffer each step,
+    # masking future positions — static shapes, parity with the reference's
+    # growing-prefix forward.
+    def cond(state):
+        pos, _, eos_r, _ = state
+        return (pos < total_len) & ~jnp.all(eos_r)
+
+    def body(state):
+        pos, toks, eos_r, r = state
+        step_mask = (jnp.arange(total_len)[None, :] < pos) & (mask_buf != 0)
+        out = model.apply(params, toks, attention_mask=step_mask.astype(jnp.int32))
+        logits = jax.lax.dynamic_slice(
+            out.logits, (0, pos - 1, 0), (bsz, 1, out.logits.shape[-1]))[:, 0]
+        r, step_r = jax.random.split(r)
+        nxt = _sample_token(logits, temperature, do_sample, step_r).astype(toks.dtype)
+        replay = jnp.take_along_axis(
+            input_text_mask, pos[None, None].repeat(bsz, 0), axis=1)[:, 0]
+        orig = jax.lax.dynamic_slice(toks, (0, pos), (bsz, 1))[:, 0]
+        nxt = jnp.where(replay, orig, nxt)
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, pos))
+        eos_r = eos_r | ((~replay) & (nxt == eos_id))
+        return (pos + 1, toks, eos_r, r)
+
+    state = (jnp.asarray(prompt_len, jnp.int32), tokens, eos, rng)
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens
