@@ -1,9 +1,17 @@
-"""Test config: force CPU with 8 virtual devices so sharding tests can build
-a multi-device mesh without TPU hardware (SURVEY.md §4)."""
+"""Test config.
+
+Backend: the axon sitecustomize registers the TPU backend for every Python
+process and pins ``JAX_PLATFORMS=axon`` — setting it later has no effect, so
+tests run on the real TPU chip when present (the actual target hardware)
+and plain CPU otherwise.
+
+Sharding tests use a *virtual 8-device CPU mesh* that coexists with the TPU
+default backend: ``--xla_force_host_platform_device_count=8`` makes
+``jax.devices("cpu")`` return 8 devices (SURVEY.md §4).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

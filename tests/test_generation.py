@@ -1,0 +1,117 @@
+"""Logits processors + free-function generation + speculative decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vyomai_tpu as vt
+from vyomai_tpu import (generate, GreedyProcessor, MultinomialProcessor,
+                        TopKProcessor, NucleusProcessor, TopKNucleusProcessor,
+                        speculative_generate)
+from vyomai_tpu.generation.speculative import norm_fn
+
+CFG = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                       num_key_value_heads=2, num_hidden_layers=2,
+                       vocab_size=128, max_position_embeddings=64,
+                       intermediate_size=256, hidden_dropout_prob=0.0)
+
+
+def test_greedy_processor():
+    logits = jnp.array([[1.0, 3.0, 2.0]])
+    p = GreedyProcessor()
+    probs = p(logits)
+    np.testing.assert_allclose(float(probs.sum()), 1.0, atol=1e-6)
+    assert int(p.sample(probs)[0, 0]) == 1
+
+
+def test_topk_processor_masks_below_kth():
+    logits = jnp.array([[1.0, 5.0, 3.0, 2.0, 4.0]])
+    p = TopKProcessor(temperature=1.0, top_k=2)
+    probs = p(logits)
+    # only indices 1 and 4 survive
+    assert float(probs[0, 0]) < 1e-8
+    assert float(probs[0, 2]) < 1e-8
+    assert float(probs[0, 3]) < 1e-8
+    np.testing.assert_allclose(float(probs[0, 1] + probs[0, 4]), 1.0, atol=1e-6)
+
+
+def test_nucleus_processor_keeps_top_mass():
+    logits = jnp.array([[10.0, 1.0, 0.5, 0.1, -3.0]])
+    p = NucleusProcessor(temperature=1.0, top_p=0.5)
+    probs = p(logits)
+    # token 0 dominates; everything else masked
+    assert float(probs[0, 0]) > 0.999
+
+
+def test_topk_nucleus_composition():
+    logits = jnp.arange(10.0)[None, :]
+    p = TopKNucleusProcessor(temperature=1.0, top_k=5, top_p=0.99)
+    probs = p(logits)
+    assert float(probs[0, :5].sum()) < 1e-6  # bottom 5 masked by top-k
+
+
+def test_sampling_respects_distribution():
+    probs = jnp.array([[0.0, 1.0, 0.0]])
+    p = MultinomialProcessor(temperature=1.0)
+    tok = p.sample(probs, jax.random.PRNGKey(0))
+    assert int(tok[0, 0]) == 1
+
+
+def test_norm_fn():
+    x = jnp.array([0.2, -0.1, 0.3])
+    out = norm_fn(x)
+    np.testing.assert_allclose(np.asarray(out), [0.4, 0.0, 0.6], atol=1e-6)
+
+
+def test_free_generate_cache_parity():
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(0))
+    idx = jnp.array([[3, 17, 42]], dtype=jnp.int32)
+    t1 = generate(model, params, idx, max_new_tokens=5, use_cache=True)
+    t2 = generate(model, params, idx, max_new_tokens=5, use_cache=False)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert t1.shape == (1, 8)
+
+
+def test_speculative_same_model_matches_greedy():
+    """Drafter == target + greedy processor: every draft accepted, output
+    identical to plain greedy decoding."""
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(4))
+    prompt = jnp.array([[3, 17, 42]])
+    toks, acc = speculative_generate(
+        prompt, model, params, model, params, gamma=3,
+        logits_processor=GreedyProcessor(), max_gen_len=10,
+        eos_tokens_id=999, pad_token_id=1)
+    ref = model.generate(params, prompt, max_len=10, use_cache=True)
+    assert toks == ref[0, 3:].tolist()
+    assert acc == 1.0
+
+
+def test_speculative_different_drafter_returns_valid():
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(4))
+    drafter_params = model.init(jax.random.PRNGKey(99))
+    prompt = jnp.array([[3, 17, 42]])
+    toks, acc = speculative_generate(
+        prompt, model, drafter_params, model, params, gamma=3,
+        logits_processor=GreedyProcessor(), max_gen_len=8,
+        eos_tokens_id=999, pad_token_id=1)
+    assert len(toks) == 8
+    assert 0.0 <= acc <= 1.0
+    assert all(0 <= t < 128 for t in toks)
+
+
+def test_speculative_eos_stops():
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(4))
+    prompt = jnp.array([[3, 17, 42]])
+    ref = model.generate(params, prompt, max_len=10, use_cache=True)
+    eos = int(ref[0, 5])  # token that will be generated 3rd
+    toks, _ = speculative_generate(
+        prompt, model, params, model, params, gamma=3,
+        logits_processor=GreedyProcessor(), max_gen_len=10,
+        eos_tokens_id=eos, pad_token_id=1)
+    assert toks[-1] == eos
+    assert len(toks) <= 4

@@ -163,3 +163,92 @@ def test_fp32_argmax_agreement():
     out = model.apply(params, jnp.asarray(IDS), jnp.ones_like(jnp.asarray(IDS)))
     np.testing.assert_array_equal(
         np.asarray(jnp.argmax(out.logits, -1)), np.argmax(ref_out, -1))
+
+
+# ---------------------------------------------------------------------------
+# Seq2seq / ViT / VLM parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pe,at", [("absolute", None), ("rope", "gqa")])
+def test_seq2seq_parity(pe, at):
+    from VyomAI import EncoderDecoderModel as RefEncDec
+    torch.manual_seed(0)
+    ref = RefEncDec(RefConfig(), RefConfig(),
+                    decoder_pos_embedding_type=pe,
+                    decoder_attention_type=at).double().eval()
+    enc_ids = torch.tensor(IDS)
+    dec_ids = torch.tensor(IDS[:, :5])
+    with torch.no_grad():
+        ref_out = ref(input_ids=enc_ids,
+                      attention_mask=torch.tensor(MASK),
+                      decoder_input_ids=dec_ids,
+                      decoder_attention_mask=torch.ones_like(dec_ids, dtype=torch.float64),
+                      ).logits.numpy()
+
+    model = vt.EncoderDecoderModel(CFG, CFG, decoder_pos_embedding_type=pe,
+                                   decoder_attention_type=at)
+    params = ti.import_encoder_decoder(ti.state_dict_to_numpy(ref), CFG, CFG,
+                                       decoder_pos=pe)
+    with jax.enable_x64(True):
+        out = model.apply(_to_f64(params), jnp.asarray(IDS), jnp.asarray(MASK),
+                          jnp.asarray(IDS[:, :5]),
+                          jnp.ones((2, 5), dtype=jnp.int32))
+        np.testing.assert_allclose(np.asarray(out.logits), ref_out, atol=ATOL)
+
+
+@dataclass
+class RefVisionConfig:
+    image_size: tuple = (32, 32)
+    patch_size: tuple = (8, 8)
+    num_channels: int = 3
+    hidden_size: int = 192  # = 3*8*8 so reference cls/pos shapes line up
+    num_attention_heads: int = 4
+    num_hidden_layers: int = 2
+    hidden_dropout_prob: float = 0.0
+    intermediate_size: int = 768
+    layer_norm_eps: float = 1e-05
+    hidden_act: str = "gelu"
+    initializer_range: float = 0.02
+
+
+def test_vit_parity():
+    from VyomAI import Vit as RefVit
+    torch.manual_seed(0)
+    ref = RefVit(RefVisionConfig()).double().eval()
+    img = torch.randn(2, 3, 32, 32, dtype=torch.float64)
+    with torch.no_grad():
+        ref_out = ref(img).logits.numpy()
+
+    vcfg = vt.VisionConfig(image_size=(32, 32), patch_size=(8, 8),
+                           hidden_size=192, num_attention_heads=4,
+                           num_hidden_layers=2, intermediate_size=768,
+                           hidden_dropout_prob=0.0)
+    model = vt.Vit(vcfg)
+    params = ti.import_vit(ti.state_dict_to_numpy(ref), vcfg)
+    with jax.enable_x64(True):
+        out = model.apply(_to_f64(params), jnp.asarray(img.numpy()))
+        np.testing.assert_allclose(np.asarray(out.logits), ref_out, atol=ATOL)
+
+
+@pytest.mark.parametrize("pe", ["absolute", "rope"])
+def test_vlm_decoder_parity(pe):
+    """VisionLanguageDecoderModel with CLS-prepend fusion vs reference."""
+    from VyomAI.models.multimodel import VisionLanguageDecoderModel as RefVLD
+    torch.manual_seed(0)
+    ref = RefVLD(RefConfig(), pos_embedding_type=pe).double().eval()
+    enc_cls = torch.randn(2, 64, dtype=torch.float64)
+    dec_ids = torch.tensor(IDS[:, :5])
+    with torch.no_grad():
+        ref_out = ref(input_ids=dec_ids,
+                      attention_mask=torch.ones_like(dec_ids, dtype=torch.float64),
+                      encoder_hidden_state=enc_cls).logits.numpy()
+
+    model = vt.VisionLanguageDecoderModel(CFG, pos_embedding_type=pe)
+    sd = ti.state_dict_to_numpy(ref)
+    params = ti.import_decoder(sd, CFG, pe)
+    with jax.enable_x64(True):
+        out = model.apply(_to_f64(params), jnp.asarray(IDS[:, :5]),
+                          jnp.ones((2, 5), dtype=jnp.int32),
+                          encoder_hidden_state=jnp.asarray(enc_cls.numpy()),
+                          fuse_image=True)
+        np.testing.assert_allclose(np.asarray(out.logits), ref_out, atol=ATOL)

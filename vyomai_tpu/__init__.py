@@ -7,8 +7,16 @@ from .config import (  # noqa: F401
     EncoderConfig, DecoderConfig, VisionConfig, CLIPConfig,
     SiglipVisionConfig, GemmaConfig, PaliGemmaConfig, QwenConfig)
 from .models import (  # noqa: F401
-    EncoderModel, EncoderForMaskedLM, DecoderModel)
+    EncoderModel, EncoderForMaskedLM, DecoderModel, EncoderDecoderModel,
+    Seq2SeqDecoderModel, Vit, VisionLanguageModel, VisionLanguageDecoderModel,
+    CLIPModel, GemmaModel, SiglipVisionModel,
+    PaliGemmaForConditionalGeneration, ModelForCausalLM)
 from .layers.kv_cache import (  # noqa: F401
     DynamicCache, StaticCache, StaticCacheOne, DynamicCacheOne, init_cache)
+from .layers.adapters import LoraLinear, DoraLinear  # noqa: F401
+from .generation import (  # noqa: F401
+    generate, generate_seq2seq, generate_multimodel, speculative_generate,
+    GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
+    TopKNucleusProcessor)
 
 __version__ = "0.1.0"

@@ -1,0 +1,5 @@
+from .generate import generate, generate_seq2seq, generate_multimodel  # noqa: F401
+from .sampling import (  # noqa: F401
+    LogitsProcessor, GreedyProcessor, MultinomialProcessor, TopKProcessor,
+    NucleusProcessor, TopKNucleusProcessor)
+from .speculative import speculative_generate, norm_fn  # noqa: F401

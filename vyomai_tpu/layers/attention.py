@@ -30,6 +30,8 @@ from .positional import apply_rotary_pos_emb
 # Global switch for the fused attention backend ("xla" | "flash").
 _SDPA_IMPL = "auto"
 
+NEG_INF_F = float(jnp.finfo(jnp.float32).min)
+
 
 def set_sdpa_impl(impl: str) -> None:
     global _SDPA_IMPL
@@ -56,20 +58,30 @@ def _flash_available(q, k, mask) -> bool:
         return False
 
 
-def sdpa(q, k, v, mask=None):
+def sdpa(q, k, v, mask=None, *, causal: bool = False):
     """Scaled dot-product attention. q: [B,H,Lq,D]; k,v: [B,H,Lk,D];
-    mask: additive, broadcastable to [B,H,Lq,Lk]."""
+    mask: additive, broadcastable to [B,H,Lq,Lk]. ``causal=True`` applies
+    the triangular mask (queries aligned to the end of the kv range) —
+    on the flash path this skips future blocks entirely."""
     impl = _SDPA_IMPL
     if impl == "auto":
         impl = "flash" if _flash_available(q, k, mask) else "xla"
     if impl == "flash":
         from ..ops import flash_attention as fa
-        return fa.flash_attention_bias(q, k, v, mask)
+        return fa.flash_attention_bias(q, k, v, mask, causal=causal)
     scale = 1.0 / (q.shape[-1] ** 0.5)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
         scores = scores + mask.astype(scores.dtype)
+    if causal:
+        lq, lk = q.shape[2], k.shape[2]
+        q_pos = (lk - lq) + jnp.arange(lq)[:, None]
+        k_pos = jnp.arange(lk)[None, :]
+        scores = scores + jnp.where(k_pos <= q_pos, 0.0, NEG_INF_F)
+    # Clamp so stacked masks don't overflow to -inf (keeps fully-masked
+    # rows at a finite uniform softmax, matching the reference).
+    scores = jnp.maximum(scores, NEG_INF_F)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
@@ -201,7 +213,8 @@ def encoder_attention_apply(p, hidden, attention_mask, config, *,
 def decoder_attention_apply(p, hidden, attention_mask, config, *,
                             kind: str = "mha", freqs=None,
                             cache_kv: Optional[Tuple] = None,
-                            start_pos=0, deterministic=True, rng=None):
+                            start_pos=0, causal: bool = False,
+                            deterministic=True, rng=None):
     """Causal self-attention.
 
     ``cache_kv``: optional ``(k_buf, v_buf)`` static buffers
@@ -226,7 +239,7 @@ def decoder_attention_apply(p, hidden, attention_mask, config, *,
         n_rep = config.num_attention_heads // getattr(config, "num_key_value_heads", 4)
         k = repeat_kv(k, n_rep)
         v = repeat_kv(v, n_rep)
-    out = sdpa(q, k, v, attention_mask)
+    out = sdpa(q, k, v, attention_mask, causal=causal)
     out = _merge_heads(out)
     out = self_output_apply(p["out"], out, hidden, config,
                             deterministic=deterministic, rng=rng)

@@ -1,4 +1,12 @@
 from .encoder import EncoderModel, EncoderForMaskedLM  # noqa: F401
 from .decoder import DecoderModel  # noqa: F401
+from .encoder_decoder import EncoderDecoderModel, Seq2SeqDecoderModel  # noqa: F401
+from .vision import Vit  # noqa: F401
+from .multimodel import VisionLanguageModel, VisionLanguageDecoderModel  # noqa: F401
+from .clip import CLIPModel  # noqa: F401
+from .gemma import GemmaModel  # noqa: F401
+from .siglip import SiglipVisionModel  # noqa: F401
+from .paligemma import PaliGemmaForConditionalGeneration  # noqa: F401
+from .qwen import ModelForCausalLM  # noqa: F401
 from .outputs import (  # noqa: F401
     EncoderOutput, MLMOutput, CLMOutput, Seq2SeqOutput, DecoderOutput)

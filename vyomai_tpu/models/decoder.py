@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..config import EncoderConfig
 from ..core import nn as cnn
-from ..core.masks import causal_mask, causal_mask_static_kv
+from ..core.masks import (bidirectional_mask, causal_mask,
+                          causal_mask_static_kv)
 from ..layers import attention as attn
 from ..layers import ffn as ffn_mod
 from ..layers import positional as pos
@@ -98,16 +99,20 @@ class DecoderModel:
         return hidden, freqs
 
     def _mask(self, input_ids, attention_mask, cache, start_pos):
+        """Returns (additive_mask_or_None, causal_flag). The no-cache path
+        passes only the pad bias and lets the attention kernel apply the
+        triangular mask (enables flash block skipping)."""
         bsz, seqlen = input_ids.shape
         if cache is not None:
             kv_cap = cache["k"].shape[3]
             return causal_mask_static_kv(seqlen, kv_cap, start_pos,
-                                         attention_mask, batch_size=bsz)
-        return causal_mask(seqlen, attention_mask, start_pos=0,
-                           batch_size=bsz)
+                                         attention_mask, batch_size=bsz), False
+        if attention_mask is None:
+            return None, True
+        return bidirectional_mask(attention_mask), True
 
     def run_layers(self, params, hidden, mask, freqs, cache, start_pos, *,
-                   deterministic=True, rng=None):
+                   causal=False, deterministic=True, rng=None):
         cfg, kind = self.config, self.kind
         n_layers = cfg.num_hidden_layers
         if not deterministic:
@@ -125,7 +130,7 @@ class DecoderModel:
                 f_rng = lrng[1] if not deterministic else None
                 out, _ = attn.decoder_attention_apply(
                     lp["attention"], h, mask, cfg, kind=kind, freqs=freqs,
-                    deterministic=deterministic, rng=a_rng)
+                    causal=causal, deterministic=deterministic, rng=a_rng)
                 out = ffn_mod.ffn_apply(lp["ffn"], out, h, cfg,
                                         deterministic=deterministic, rng=f_rng)
                 return out, None
@@ -154,9 +159,9 @@ class DecoderModel:
               cache: Optional[Any] = None, start_pos=0, *,
               deterministic: bool = True, rng=None) -> CLMOutput:
         hidden, freqs = self._embed(params, input_ids, start_pos)
-        mask = self._mask(input_ids, attention_mask, cache, start_pos)
+        mask, causal = self._mask(input_ids, attention_mask, cache, start_pos)
         hidden, new_cache = self.run_layers(
-            params, hidden, mask, freqs, cache, start_pos,
+            params, hidden, mask, freqs, cache, start_pos, causal=causal,
             deterministic=deterministic, rng=rng)
         # start_pos + seqlen for correct cache length bookkeeping
         if new_cache is not None:

@@ -1,0 +1,110 @@
+"""Qwen2/3-flavored causal LM — the HF-compatible ``ModelForCausalLM``
+equivalent (reference ``models/custom_transformer.py:296-747`` and the
+Qwen3 serving model in ``simple_vllm.ipynb``).
+
+RMSNorm, SwiGLU MLP, GQA, per-layer RoPE, optional per-head QK-norm
+(Qwen3), optional tied lm_head. Same static-cache decode machinery as the
+rest of the library, so ``generate``/``speculative_generate`` work on it
+directly (it exposes the ``config``, ``init_cache``, ``apply`` protocol).
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import QwenConfig
+from ..core import nn as cnn
+from ..core.masks import causal_mask_static_kv
+from ..layers import positional as pos
+from ..layers.kv_cache import init_cache
+from ..layers.modern import modern_layer_init, modern_layer_apply
+from .outputs import CLMOutput
+
+
+class ModelForCausalLM:
+    """Functional Qwen-style CLM."""
+
+    def __init__(self, config: QwenConfig) -> None:
+        self.config = config
+        self.emb_freq = pos.rope_freqs(config.max_position_embeddings,
+                                       config.head_dim,
+                                       theta=config.rope_theta)
+
+    def init(self, key, dtype=jnp.float32):
+        cfg = self.config
+        k_emb, k_layers, k_head = jax.random.split(key, 3)
+        keys = jax.random.split(k_layers, cfg.num_hidden_layers)
+        params = {
+            "embed_tokens": cnn.embedding_init(
+                k_emb, cfg.vocab_size, cfg.hidden_size, dtype=dtype),
+            "layers": jax.vmap(
+                lambda k: modern_layer_init(k, cfg, dtype=dtype))(keys),
+            "norm": cnn.rms_norm_init(cfg.hidden_size, dtype=dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = cnn.linear_init(
+                k_head, cfg.hidden_size, cfg.vocab_size, bias=False,
+                dtype=dtype)
+        return params
+
+    def init_cache(self, *, batch_size: int = 1, max_len: Optional[int] = None,
+                   dtype=jnp.float32):
+        cfg = self.config
+        return init_cache(cfg, batch_size=batch_size,
+                          max_len=max_len or 2048, dtype=dtype,
+                          num_kv_heads=cfg.num_key_value_heads,
+                          head_dim=cfg.head_dim)
+
+    def apply(self, params, input_ids, attention_mask=None,
+              cache: Optional[Any] = None, start_pos=0) -> CLMOutput:
+        cfg = self.config
+        hidden = cnn.embedding(params["embed_tokens"], input_ids)
+        bsz, seqlen = input_ids.shape
+        freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
+                                             seqlen, axis=1)
+
+        causal = False
+        if cache is not None:
+            kv_cap = cache["k"].shape[3]
+            mask = causal_mask_static_kv(seqlen, kv_cap, start_pos,
+                                         attention_mask, batch_size=bsz)
+        else:
+            mask = None
+            if attention_mask is not None:
+                from ..core.masks import bidirectional_mask
+                mask = bidirectional_mask(attention_mask)
+            causal = True
+
+        def body(h, xs):
+            lp, ck, cv = xs
+            return modern_layer_apply(
+                lp, h, cfg, freqs=freqs, mask=mask, causal=causal,
+                cache_kv=(ck, cv), start_pos=start_pos,
+                rms_eps=cfg.rms_norm_eps)
+
+        def body_nocache(h, lp):
+            out, _ = modern_layer_apply(
+                lp, h, cfg, freqs=freqs, mask=mask, causal=causal,
+                rms_eps=cfg.rms_norm_eps)
+            return out, None
+
+        if cache is not None:
+            hidden, (nk, nv) = jax.lax.scan(
+                body, hidden, (params["layers"], cache["k"], cache["v"]))
+            new_cache = {"k": nk, "v": nv,
+                         "length": jnp.asarray(start_pos + seqlen, jnp.int32)}
+        else:
+            hidden, _ = jax.lax.scan(body_nocache, hidden, params["layers"])
+            new_cache = None
+
+        hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps)
+        if cfg.tie_word_embeddings:
+            logits = hidden @ params["embed_tokens"]["weight"].T.astype(
+                hidden.dtype)
+        else:
+            logits = cnn.linear(params["lm_head"], hidden)
+        return CLMOutput(hidden_state=hidden, logits=logits,
+                         kv_cache=new_cache)
+
+    __call__ = apply

@@ -1,0 +1,447 @@
+"""Pallas TPU flash attention with custom VJP.
+
+Replaces the reference's two attention kernels (SURVEY.md §2.3):
+``F.scaled_dot_product_attention`` (every layer, ``layers/attention.py``)
+and the hand-fused ``ScaledDotProductAttention`` autograd function from the
+fused-kernel notebooks (``vyomai-fused-kernals-2t4.ipynb``: flash-style
+backward ``dS = P * (dP - rowsum(dO * O))``).
+
+Design (TPU-first):
+- Grid ``(B, H, num_q_blocks, num_kv_blocks)`` with the kv dimension
+  sequential ("arbitrary"); the running max/denominator/accumulator live in
+  VMEM scratch that persists across the kv sweep (online softmax).
+- GQA handled in the index maps: q head ``h`` reads kv head ``h // group``
+  — no ``repeat_kv`` materialization, no extra HBM traffic.
+- ``causal=True`` applies the triangular mask with in-kernel iota compares
+  and **skips fully-future blocks** (no MXU work issued for them) — for
+  training this halves the attention FLOPs. Additional padding/prefix
+  masking streams in as the same additive bias the XLA path uses
+  (broadcastable ``[B, 1|H, Lq|1, Lk]``), so all four reference mask regimes
+  (bidirectional pad, causal, causal+start_pos over a static cache,
+  prefix-LM) are covered.
+- fp32 accumulation regardless of input dtype; logsumexp saved for the
+  backward, which recomputes probabilities blockwise (no [Lq, Lk] residual).
+
+The bias input is treated as a constant mask: its cotangent is zero.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+_INTERPRET = False  # set True to debug on CPU
+
+
+def set_interpret(flag: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = flag
+
+
+def _block_size(n: int, candidates) -> Optional[int]:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return None
+
+
+def supported(q, k, mask) -> bool:
+    """Whether the Pallas path should take these shapes.
+
+    Conservative: flash engages only for MXU-sized problems (head_dim >= 64,
+    seq >= 128) where it wins; small/odd shapes (unit tests, decode steps)
+    stay on the XLA einsum path, which is also what runs when the
+    computation is placed on a CPU mesh (Pallas compiles for TPU only)."""
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if q.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if d not in (64, 128, 256):
+        return False
+    min_l = 8 if _INTERPRET else 128
+    if lq < min_l or lk < min_l:
+        return False
+    if _block_size(lq, (256, 128, 64, 32, 16, 8)) is None:
+        return False
+    if _block_size(lk, (256, 128, 64, 32, 16, 8)) is None:
+        return False
+    if h % k.shape[1] != 0:
+        return False
+    if mask is not None:
+        if mask.ndim != 4 or mask.shape[3] != lk:
+            return False
+        if mask.shape[2] not in (1, lq) or mask.shape[1] not in (1, h):
+            return False
+    return True
+
+
+def _causal_block_mask(iq, ik, bq, bk, lq, lk):
+    """Additive causal mask for the (iq, ik) block. Queries are aligned to
+    the *end* of the kv range (standard when lq <= lk): absolute q position
+    = lk - lq + iq*bq + row."""
+    q_pos = (lk - lq) + iq * bq + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, bk), 0)
+    k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    return jnp.where(k_pos <= q_pos, 0.0, NEG_INF)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale, num_kv_blocks, bq, bk,
+                lq, lk, causal):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # Causal: a block is live unless every key position exceeds every query
+    # position. Skipped blocks issue no MXU work.
+    if causal:
+        live = ik * bk <= (lk - lq) + iq * bq + bq - 1
+    else:
+        live = True
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)          # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale         # [BQ, BK]
+        if causal:
+            s = s + _causal_block_mask(iq, ik, bq, bk, lq, lk)
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+        m_prev = m_ref[:]                             # [BQ, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        # Floor keeps fully-masked rows at exp(-huge)=0 instead of exp(0)=1.
+        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e30)
+        p = jnp.exp(s - m_new)                        # [BQ, BK]
+        alpha = jnp.exp(m_prev - m_new)               # [BQ, 1]
+        l_new = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _emit():
+        l = l_ref[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = (jnp.maximum(m_ref[:], -1e30) +
+                            jnp.log(l_safe))[:, 0]
+
+
+def _bias_spec(bias, bq, bk, order):
+    bh = bias.shape[1]
+    brow = bias.shape[2]
+
+    def idx(b_, h_, i1, i2):
+        iq, ik = (i1, i2) if order == "q" else (i2, i1)
+        return (b_, 0 if bh == 1 else h_, 0 if brow == 1 else iq, ik)
+
+    rows = 1 if brow == 1 else bq
+    return pl.BlockSpec((1, 1, rows, bk), idx, memory_space=pltpu.VMEM)
+
+
+def _fwd(q, k, v, bias, causal):
+    b, h, lq, d = q.shape
+    h_kv, lk = k.shape[1], k.shape[2]
+    group = h // h_kv
+    bq = _block_size(lq, (256, 128, 64, 32, 16, 8))
+    bk = _block_size(lk, (256, 128, 64, 32, 16, 8))
+    nq, nk = lq // bq, lk // bk
+    scale = 1.0 / (d ** 0.5)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d),
+                     lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    kw = dict(scale=scale, num_kv_blocks=nk, bq=bq, bk=bk, lq=lq, lk=lk,
+              causal=causal)
+    if bias is not None:
+        in_specs.append(_bias_spec(bias, bq, bk, "q"))
+        args.append(bias)
+        kern = functools.partial(_fwd_kernel, **kw)
+    else:
+        kern = functools.partial(
+            lambda qr, kr, vr, o, ls, a, m, l, **kw2:
+            _fwd_kernel(qr, kr, vr, None, o, ls, a, m, l, **kw2), **kw)
+
+    out, lse = pl.pallas_call(
+        kern,
+        grid=(b, h, nq, nk),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bq), lambda b_, h_, iq, ik: (b_, h_, 0, iq),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, lq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_INTERPRET,
+    )(*args)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (recompute probabilities blockwise)
+# ---------------------------------------------------------------------------
+
+def _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik, *, scale, bq, bk,
+                 lq, lk, causal):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if causal:
+        s = s + _causal_block_mask(iq, ik, bq, bk, lq, lk)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    return jnp.exp(s - lse_ref[0, 0, 0][:, None])              # [BQ, BK]
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale, num_kv_blocks, bq, bk, lq, lk,
+                   causal):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    live = (ik * bk <= (lk - lq) + iq * bq + bq - 1) if causal else True
+
+    @pl.when(live)
+    def _compute():
+        p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
+                         scale=scale, bq=bq, bk=bk, lq=lq, lk=lk,
+                         causal=causal)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0, 0][:, None]) * scale
+        dq_acc[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _emit():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q_blocks,
+                    bq, bk, lq, lk, causal):
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    live = (ik * bk <= (lk - lq) + iq * bq + bq - 1) if causal else True
+
+    @pl.when(live)
+    def _compute():
+        p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
+                         scale=scale, bq=bq, bk=bk, lq=lq, lk=lk,
+                         causal=causal)
+        q = q_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        dv_acc[:] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0, 0, 0][:, None]) * scale    # [BQ, BK]
+        dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _emit():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, bias, causal, out, lse, do):
+    b, h, lq, d = q.shape
+    h_kv, lk = k.shape[1], k.shape[2]
+    group = h // h_kv
+    bq = _block_size(lq, (256, 128, 64, 32, 16, 8))
+    bk = _block_size(lk, (256, 128, 64, 32, 16, 8))
+    nq, nk = lq // bq, lk // bk
+    scale = 1.0 / (d ** 0.5)
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)[:, :, None, :]                     # [B, H, 1, Lq]
+
+    def specs(order):
+        if order == "q":
+            qi = lambda b_, h_, iq, ik: (b_, h_, iq, 0)
+            ki = lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0)
+            li = lambda b_, h_, iq, ik: (b_, h_, 0, iq)
+        else:
+            qi = lambda b_, h_, ik, iq: (b_, h_, iq, 0)
+            ki = lambda b_, h_, ik, iq: (b_, h_ // group, ik, 0)
+            li = lambda b_, h_, ik, iq: (b_, h_, 0, iq)
+        sp = [
+            pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
+        ]
+        if bias is not None:
+            sp.append(_bias_spec(bias, bq, bk, order))
+        sp += [
+            pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),   # do
+            pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # delta
+        ]
+        return sp
+
+    args = [q, k, v] + ([bias] if bias is not None else []) + [do, lse, delta]
+    kw = dict(scale=scale, bq=bq, bk=bk, lq=lq, lk=lk, causal=causal)
+
+    if bias is not None:
+        dq_kern = functools.partial(_bwd_dq_kernel, num_kv_blocks=nk, **kw)
+        dkv_kern = functools.partial(_bwd_dkv_kernel, num_q_blocks=nq, **kw)
+    else:
+        dq_kern = functools.partial(
+            lambda qr, kr, vr, dor, lr, der, dqr, acc, **kw2:
+            _bwd_dq_kernel(qr, kr, vr, None, dor, lr, der, dqr, acc, **kw2),
+            num_kv_blocks=nk, **kw)
+        dkv_kern = functools.partial(
+            lambda qr, kr, vr, dor, lr, der, dkr, dvr, ka, va, **kw2:
+            _bwd_dkv_kernel(qr, kr, vr, None, dor, lr, der, dkr, dvr,
+                            ka, va, **kw2),
+            num_q_blocks=nq, **kw)
+
+    dq = pl.pallas_call(
+        dq_kern,
+        grid=(b, h, nq, nk),
+        in_specs=specs("q"),
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_INTERPRET,
+    )(*args)
+
+    # dk/dv computed per q-head, reduced over the GQA group outside.
+    dk_full, dv_full = pl.pallas_call(
+        dkv_kern,
+        grid=(b, h, nk, nq),
+        in_specs=specs("k"),
+        out_specs=[
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda b_, h_, ik, iq: (b_, h_, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d),
+                         lambda b_, h_, ik, iq: (b_, h_, ik, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=_INTERPRET,
+    )(*args)
+
+    if group > 1:
+        dk = dk_full.reshape(b, h_kv, group, lk, d).sum(axis=2)
+        dv = dv_full.reshape(b, h_kv, group, lk, d).sum(axis=2)
+    else:
+        dk, dv = dk_full, dv_full
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash(q, k, v, bias, causal):
+    out, _ = _fwd(q, k, v, bias, causal)
+    return out
+
+
+def _flash_fwd(q, k, v, bias, causal):
+    out, lse = _fwd(q, k, v, bias, causal)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_bwd(causal, res, do):
+    q, k, v, bias, out, lse = res
+    dq, dk, dv = _bwd(q, k, v, bias, causal, out, lse, do)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_bias(q, k, v, bias, *, causal: bool = False):
+    """Flash attention with an additive mask/bias (non-differentiable).
+
+    q: [B, H, Lq, D]; k, v: [B, H_kv, Lk, D];
+    bias: [B, 1|H, 1|Lq, Lk] or None. ``causal=True`` adds the triangular
+    mask in-kernel (queries aligned to the end of the kv range) and skips
+    future blocks."""
+    return _flash(q, k, v, bias, causal)
+
+
+def flash_attention(q, k, v, *, causal: bool = False, pad_mask=None):
+    """Convenience wrapper: optional [B, Lk] pad mask converted to an
+    additive [B, 1, 1, Lk] bias (cheap to stream)."""
+    bias = None
+    if pad_mask is not None:
+        bias = (1.0 - pad_mask.astype(jnp.float32)[:, None, None, :]) * NEG_INF
+    return _flash(q, k, v, bias, causal)

@@ -1,0 +1,2 @@
+from .mesh import (  # noqa: F401
+    create_mesh, param_pspec, shard_params, data_sharding, replicated)

@@ -1,0 +1,92 @@
+"""Device mesh + sharding rules (SURVEY.md §2.4/§2.5).
+
+Replaces the reference's NCCL/Accelerate DDP with ``jax.sharding``: one
+mesh with a ``data`` axis (batch sharding == DDP) and a ``model`` axis
+(Megatron-style tensor parallelism over attention heads / FFN intermediate).
+Params get ``NamedSharding`` annotations; under ``jit`` XLA GSPMD inserts
+the all-reduces/all-gathers over ICI — the gradient psum the reference got
+implicitly from ``accelerator.backward`` falls out of the same machinery.
+
+Rules (path-pattern -> PartitionSpec) follow the classic two-way split:
+- qkv / FFN-in kernels: column-parallel (shard the output dim)
+- attention-out / FFN-out kernels: row-parallel (shard the input dim)
+- embeddings & lm-head vocab projections: shard the vocab dim
+- norms, biases of row-parallel layers: replicated
+"""
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(shape: Optional[Tuple[int, int]] = None,
+                axis_names: Tuple[str, str] = ("data", "model"),
+                devices=None, backend: Optional[str] = None) -> Mesh:
+    """Build a 2-D mesh. Default: all devices on ``data`` (pure DP).
+
+    ``backend="cpu"`` builds the mesh from the (virtual) CPU devices even
+    when TPU is the default — used for multi-chip dry runs on one host
+    (``--xla_force_host_platform_device_count``)."""
+    if devices is None:
+        devices = jax.devices(backend) if backend else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert shape[0] * shape[1] == n, f"mesh {shape} != {n} devices"
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+# (regex over "/".join(path), PartitionSpec-maker taking ndim)
+# Kernels may carry a leading stacked-layer axis: specs are right-aligned.
+_RULES = [
+    (r"(query|key|value|qkv)/kernel$",       lambda: P(None, "model")),
+    (r"(query|key|value|qkv)/bias$",         lambda: P("model")),
+    (r"out/dense/kernel$",                   lambda: P("model", None)),
+    (r"ffn/intermediate/kernel$",            lambda: P(None, "model")),
+    (r"ffn/intermediate/bias$",              lambda: P("model")),
+    (r"ffn/out/kernel$",                     lambda: P("model", None)),
+    (r"word_embeddings/weight$",             lambda: P(None, "model")),
+    (r"lm_head/decoder/kernel$",             lambda: P(None, "model")),
+    (r"lm_head/decoder/bias$",               lambda: P("model")),
+]
+
+
+def _right_align(spec: P, ndim: int) -> P:
+    """Pad a trailing-dims spec with leading Nones for stacked-layer axes."""
+    parts = tuple(spec)
+    if len(parts) < ndim:
+        parts = (None,) * (ndim - len(parts)) + parts
+    return P(*parts)
+
+
+def param_pspec(params):
+    """PartitionSpec pytree for a model's params (model-parallel rules)."""
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        name = "/".join(path)
+        for pat, mk in _RULES:
+            if re.search(pat, name):
+                return _right_align(mk(), tree.ndim)
+        return P()  # replicated
+    return walk(params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh according to the partition rules."""
+    specs = param_pspec(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def data_sharding(mesh: Mesh, *, axis: str = "data"):
+    """Sharding for a [B, ...] batch: shard the leading batch dim."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

@@ -1,0 +1,11 @@
+from .trainer import (  # noqa: F401
+    Trainer, TrainState, make_optimizer, make_train_step, create_train_state,
+    MetricLogger)
+from .losses import (  # noqa: F401
+    sft_loss, dpo_loss, compute_logprobs, electra_loss, clip_loss,
+    distillation_loss)
+from .collators import (  # noqa: F401
+    masked_language_modeling, electra_inputs, gumbel_sample, sft_collate,
+    dpo_collate, lm_blocks)
+from .distill import select_layers, default_student_indices  # noqa: F401
+from . import checkpoint  # noqa: F401

@@ -1,0 +1,111 @@
+"""Pretraining collators (reference ``VyomAI/pretraining/collators.py``),
+rebuilt as pure-JAX RNG-keyed functions so they can run inside jitted input
+pipelines or on host numpy equally.
+
+- ``masked_language_modeling`` — 15% Bernoulli selection excluding special
+  tokens; 80/10/10 mask/random/keep; labels ``ignore_index`` elsewhere
+  (reference ``collators.py:9-62``).
+- ``electra_inputs`` — gumbel-sample generator logits at masked positions to
+  build discriminator inputs + replaced/original labels
+  (reference ``collators.py:65-105``).
+- ``sft_collate`` / ``dpo_collate`` — host-side padding collators for the
+  SFT/DPO recipes (N5/N6).
+"""
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def masked_language_modeling(rng, input_ids, special_tokens_mask,
+                             mask_token_id: int, vocab_size: int,
+                             fraction: float = 0.15,
+                             ignore_index: int = -100):
+    """Returns (masked_input_ids, labels, masked_indices)."""
+    r_sel, r_repl, r_rand, r_words = jax.random.split(rng, 4)
+    prob = jnp.where(special_tokens_mask, 0.0, fraction)
+    masked = jax.random.bernoulli(r_sel, prob)
+    labels = jnp.where(masked, input_ids, ignore_index)
+
+    replace = jax.random.bernoulli(r_repl, 0.8, input_ids.shape) & masked
+    out = jnp.where(replace, mask_token_id, input_ids)
+
+    random_sel = jax.random.bernoulli(r_rand, 0.5, input_ids.shape) \
+        & masked & ~replace
+    random_words = jax.random.randint(r_words, input_ids.shape, 0, vocab_size)
+    out = jnp.where(random_sel, random_words, out)
+    # remaining ~10%: keep original
+    return out, labels, masked
+
+
+def gumbel_sample(rng, logits, temperature: float = 1.0):
+    """argmax(logits/T + Gumbel noise) (reference ``sample``/``noise``)."""
+    g = jax.random.gumbel(rng, logits.shape)
+    return jnp.argmax(logits / temperature + g, axis=-1)
+
+
+def electra_inputs(rng, gen_logits, input_ids, masked_indices,
+                   pad_token_id: int, temperature: float = 3.0):
+    """Build discriminator inputs from generator logits.
+
+    Returns (discriminator_input, disc_labels, non_pad_mask)."""
+    sampled = gumbel_sample(rng, gen_logits, temperature)
+    disc_input = jnp.where(masked_indices, sampled, input_ids)
+    disc_labels = (input_ids != disc_input).astype(jnp.float32)
+    non_pad = (input_ids != pad_token_id)
+    return disc_input, disc_labels, non_pad
+
+
+# ---------------------------------------------------------------------------
+# Host-side collators (numpy) for SFT / DPO / LM block datasets
+# ---------------------------------------------------------------------------
+
+def sft_collate(sequences: Sequence[Sequence[int]], pad_token_id: int,
+                ignore_index: int = -100):
+    """Dynamic right-padding; the first pad after the answer is kept as the
+    EOS label, the rest are ignored (reference nb ``sft_collate``)."""
+    max_len = max(len(s) for s in sequences)
+    batch = np.full((len(sequences), max_len), pad_token_id, dtype=np.int64)
+    labels = np.full((len(sequences), max_len), ignore_index, dtype=np.int64)
+    for i, s in enumerate(sequences):
+        batch[i, :len(s)] = s
+        labels[i, :len(s)] = s
+        if len(s) < max_len:
+            labels[i, len(s)] = pad_token_id  # first pad acts as EOS label
+    mask = (batch != pad_token_id).astype(np.int64)
+    mask |= (labels == pad_token_id) & (np.arange(max_len)[None, :] <
+                                        np.array([len(s) + 1 for s in sequences])[:, None])
+    return batch, labels, mask
+
+
+def dpo_collate(prompts: Sequence[Sequence[int]],
+                chosen: Sequence[Sequence[int]],
+                rejected: Sequence[Sequence[int]], pad_token_id: int):
+    """Common-length padding + prompt-token masking. Returns dict of
+    (chosen_ids, rejected_ids, chosen_mask, rejected_mask) where masks are 1
+    only over answer tokens (reference nb ``dpo_collate``)."""
+    n = len(prompts)
+    full_c = [list(p) + list(c) for p, c in zip(prompts, chosen)]
+    full_r = [list(p) + list(r) for p, r in zip(prompts, rejected)]
+    max_len = max(max(len(s) for s in full_c), max(len(s) for s in full_r))
+    out = {}
+    for name, seqs in (("chosen", full_c), ("rejected", full_r)):
+        ids = np.full((n, max_len), pad_token_id, dtype=np.int64)
+        mask = np.zeros((n, max_len), dtype=np.int64)
+        for i, s in enumerate(seqs):
+            ids[i, :len(s)] = s
+            mask[i, len(prompts[i]):len(s)] = 1
+        out[f"{name}_ids"] = ids
+        out[f"{name}_mask"] = mask
+    return out
+
+
+def lm_blocks(token_ids: Sequence[int], block_size: int) -> np.ndarray:
+    """Fixed-size LM blocks (reference ``LanguageModeling`` dataset core)."""
+    n = (len(token_ids) - block_size + 1) // block_size + 1 \
+        if len(token_ids) >= block_size else 0
+    blocks = [token_ids[i:i + block_size]
+              for i in range(0, len(token_ids) - block_size + 1, block_size)]
+    return np.asarray(blocks, dtype=np.int64)

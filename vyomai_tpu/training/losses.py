@@ -1,0 +1,106 @@
+"""Training losses for the reference's recipe set (SURVEY.md §2.2 N5-N8).
+
+- ``sft_loss`` — shifted masked CE (``vyom-ai-llm-sft-dpo-training.ipynb``
+  ``sft_loss_fn``)
+- ``compute_logprobs`` / ``dpo_loss`` — DPO with frozen reference policy
+  (same notebook, cells 36-51)
+- ``electra_loss`` — CE(generator) + BCE(discriminator over non-pad)
+  (``electra-pretraining.ipynb`` ``ElectraLoss``)
+- ``clip_loss`` — symmetric InfoNCE; pass ``axis_name`` inside
+  ``shard_map``/``pmap`` to all-gather negatives over ICI for global-batch
+  contrastive training (BASELINE north star). Under plain ``jit`` + GSPMD
+  sharding the gather is implicit.
+- ``distillation_loss`` — KL(student || teacher) + CE mix (N11).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fused import cross_entropy
+
+
+def sft_loss(logits, labels, *, ignore_index: int = -100):
+    """Shifted CLM loss: predict token t+1 from position t."""
+    return cross_entropy(logits[:, :-1], labels[:, 1:],
+                         ignore_index=ignore_index)
+
+
+def compute_logprobs(logits, labels, mask):
+    """Mask-averaged per-sequence log-probs of ``labels`` under ``logits``
+    (shifted). mask: [B, L] with 1 where the token counts (answer tokens)."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    labels = labels[:, 1:]
+    mask = mask[:, 1:].astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.sum(tok * mask, axis=-1) / jnp.maximum(mask.sum(-1), 1.0)
+
+
+def dpo_loss(policy_chosen_lp, policy_rejected_lp,
+             ref_chosen_lp, ref_rejected_lp, *, beta: float = 0.1):
+    """-log sigmoid(beta * ((pi_c - pi_r) - (ref_c - ref_r))).
+    Returns (loss, chosen_rewards, rejected_rewards)."""
+    pi_diff = policy_chosen_lp - policy_rejected_lp
+    ref_diff = ref_chosen_lp - ref_rejected_lp
+    losses = -jax.nn.log_sigmoid(beta * (pi_diff - ref_diff))
+    chosen_rewards = beta * (policy_chosen_lp - ref_chosen_lp)
+    rejected_rewards = beta * (policy_rejected_lp - ref_rejected_lp)
+    return losses.mean(), chosen_rewards.mean(), rejected_rewards.mean()
+
+
+def electra_loss(gen_logits, gen_labels, disc_logits, disc_labels,
+                 non_pad_mask, *, disc_weight: float = 50.0,
+                 ignore_index: int = -100):
+    """Generator MLM CE + weighted discriminator BCE over non-pad tokens."""
+    g_loss = cross_entropy(gen_logits, gen_labels, ignore_index=ignore_index)
+    d_logits = disc_logits[..., 0].astype(jnp.float32)
+    bce = jnp.maximum(d_logits, 0) - d_logits * disc_labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(d_logits)))
+    m = non_pad_mask.astype(jnp.float32)
+    d_loss = jnp.sum(bce * m) / jnp.maximum(m.sum(), 1.0)
+    return g_loss + disc_weight * d_loss, g_loss, d_loss
+
+
+def clip_loss(image_embeds, text_embeds, logit_scale, *,
+              axis_name: Optional[str] = None):
+    """Symmetric contrastive loss over L2-normalized embeddings.
+
+    With ``axis_name`` (inside shard_map/pmap) negatives are all-gathered
+    across devices so every chip contrasts against the global batch.
+    """
+    img = image_embeds / jnp.linalg.norm(image_embeds, axis=-1, keepdims=True)
+    txt = text_embeds / jnp.linalg.norm(text_embeds, axis=-1, keepdims=True)
+    if axis_name is not None:
+        all_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+        all_img = jax.lax.all_gather(img, axis_name, tiled=True)
+        idx = jax.lax.axis_index(axis_name)
+        offset = idx * img.shape[0]
+    else:
+        all_txt, all_img = txt, img
+        offset = 0
+    scale = jnp.exp(logit_scale)
+    logits_i2t = scale * img @ all_txt.T     # [b, B_global]
+    logits_t2i = scale * txt @ all_img.T
+    labels = offset + jnp.arange(img.shape[0])
+    li = cross_entropy(logits_i2t, labels)
+    lt = cross_entropy(logits_t2i, labels)
+    return 0.5 * (li + lt)
+
+
+def distillation_loss(student_logits, teacher_logits, labels, *,
+                      temperature: float = 2.0, alpha: float = 0.5,
+                      ignore_index: int = -100):
+    """alpha * CE(student, labels) + (1-alpha) * T^2 * KL(teacher || student)."""
+    ce = cross_entropy(student_logits, labels, ignore_index=ignore_index)
+    t = temperature
+    s_logp = jax.nn.log_softmax(student_logits.astype(jnp.float32) / t, -1)
+    t_prob = jax.nn.softmax(teacher_logits.astype(jnp.float32) / t, -1)
+    kl = jnp.sum(t_prob * (jnp.log(t_prob + 1e-20) - s_logp), axis=-1)
+    if labels is not None:
+        valid = (labels != ignore_index).astype(jnp.float32)
+        kl = jnp.sum(kl * valid) / jnp.maximum(valid.sum(), 1.0)
+    else:
+        kl = kl.mean()
+    return alpha * ce + (1 - alpha) * (t ** 2) * kl
