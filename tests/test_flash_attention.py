@@ -1,0 +1,120 @@
+"""Pallas flash-attention kernel tests (run on the real TPU when present;
+skipped elsewhere)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vyomai_tpu.core.masks import causal_mask, prefix_lm_mask
+from vyomai_tpu.layers.attention import repeat_kv, sdpa, set_sdpa_impl
+from vyomai_tpu.ops import flash_attention as fa
+
+pytestmark = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                reason="Pallas TPU kernel tests need a TPU")
+
+B, H, L, D = 2, 8, 256, 64
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    return q, k, v
+
+
+def _xla(q, k, v, mask=None, causal=False):
+    set_sdpa_impl("xla")
+    out = sdpa(q, k, v, mask, causal=causal)
+    set_sdpa_impl("auto")
+    return out
+
+
+def test_fwd_matches_xla_exact_at_highest(qkv):
+    q, k, v = qkv
+    mask = causal_mask(L, None, batch_size=B)
+    with jax.default_matmul_precision("highest"):
+        ref = _xla(q, k, v, mask)
+        out = fa.flash_attention_bias(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_causal_flag_matches_bias_mask(qkv):
+    q, k, v = qkv
+    mask = causal_mask(L, None, batch_size=B)
+    with jax.default_matmul_precision("highest"):
+        a = fa.flash_attention_bias(q, k, v, mask)
+        b = fa.flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_gqa_matches_repeated_heads(qkv):
+    q, k, v = qkv
+    kg, vg = k[:, :2], v[:, :2]
+    mask = causal_mask(L, None, batch_size=B)
+    with jax.default_matmul_precision("highest"):
+        ref = _xla(q, repeat_kv(kg, 4), repeat_kv(vg, 4), mask)
+        out = fa.flash_attention_bias(q, kg, vg, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_pad_mask(qkv):
+    q, k, v = qkv
+    pad = jnp.ones((B, L), dtype=jnp.int32).at[:, L // 2:].set(0)
+    with jax.default_matmul_precision("highest"):
+        from vyomai_tpu.core.masks import bidirectional_mask
+        ref = _xla(q, k, v, bidirectional_mask(pad))
+        out = fa.flash_attention(q, k, v, pad_mask=pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_prefix_lm_bias(qkv):
+    q, k, v = qkv
+    mask = prefix_lm_mask(L, jnp.asarray([64, 128]), batch_size=B)
+    with jax.default_matmul_precision("highest"):
+        ref = _xla(q, k, v, mask)
+        out = fa.flash_attention_bias(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_grads_match_xla(qkv):
+    q, k, v = qkv
+    kg, vg = k[:, :2], v[:, :2]
+    mask = causal_mask(L, None, batch_size=B)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention_bias(q, k, v, mask) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla(q, repeat_kv(k, 4), repeat_kv(v, 4), mask) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, kg, vg)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, kg, vg)
+    for a, b in zip(g1, g2):
+        # the flash backward recomputes p from the saved logsumexp, which
+        # rounds slightly differently than XLA's saved-softmax: ~1e-4 rel
+        scale = float(jnp.abs(b).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * max(scale, 1.0))
+
+
+def test_fully_masked_rows_emit_zeros(qkv):
+    q, k, v = qkv
+    from vyomai_tpu.core.masks import NEG_INF
+    mask = jnp.zeros((B, 1, L, L)).at[:, :, :128, :].set(NEG_INF)
+    out = fa.flash_attention_bias(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out[:, :, :128]), 0.0, atol=1e-6)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_supported_gating():
+    q = jnp.zeros((1, 4, 256, 64))
+    k = jnp.zeros((1, 4, 256, 64))
+    assert fa.supported(q, k, None)
+    # decode step: unsupported (XLA path handles it)
+    assert not fa.supported(jnp.zeros((1, 4, 1, 64)), k, None)
+    # odd head_dim
+    assert not fa.supported(jnp.zeros((1, 4, 256, 48)),
+                            jnp.zeros((1, 4, 256, 48)), None)

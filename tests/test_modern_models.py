@@ -1,0 +1,177 @@
+"""PaliGemma / Gemma / Qwen / CLIP model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vyomai_tpu as vt
+
+VCFG = vt.SiglipVisionConfig(hidden_size=64, intermediate_size=128,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=32, patch_size=8)
+TCFG = vt.GemmaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=1, head_dim=32,
+                      max_position_embeddings=128)
+PGCFG = vt.PaliGemmaConfig(vision_config=VCFG, text_config=TCFG,
+                           projection_dim=64, image_token_index=500)
+QCFG = vt.QwenConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=32,
+                     max_position_embeddings=128, qk_norm=True)
+
+
+@pytest.fixture(scope="module")
+def paligemma():
+    model = vt.PaliGemmaForConditionalGeneration(PGCFG)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def pg_inputs():
+    B, n_img = 2, PGCFG.num_image_tokens
+    ids = jnp.concatenate(
+        [jnp.full((B, n_img), 500, dtype=jnp.int32),
+         jnp.arange(6, dtype=jnp.int32)[None].repeat(B, 0) + 3], axis=1)
+    px = jax.random.normal(jax.random.PRNGKey(1), (B, 3, 32, 32))
+    return ids, px
+
+
+def test_paligemma_forward_shapes(paligemma, pg_inputs):
+    model, params = paligemma
+    ids, px = pg_inputs
+    tt = jnp.zeros_like(ids)
+    out = model.apply(params, ids, px, token_type_ids=tt)
+    assert out.logits.shape == (2, ids.shape[1], 512)
+    assert jnp.all(jnp.isfinite(out.logits))
+
+
+def test_paligemma_image_fusion_changes_image_positions(paligemma, pg_inputs):
+    """Different pixels must change logits; different image content at the
+    <image> positions feeds through the projector."""
+    model, params = paligemma
+    ids, px = pg_inputs
+    o1 = model.apply(params, ids, px)
+    o2 = model.apply(params, ids, px + 1.0)
+    assert not jnp.allclose(o1.logits, o2.logits)
+
+
+def test_paligemma_prefix_lm_mask(paligemma, pg_inputs):
+    """Inside the prefix, later tokens influence earlier positions
+    (bidirectional); with a causal-only mask they could not."""
+    model, params = paligemma
+    ids, px = pg_inputs
+    tt = jnp.zeros_like(ids)  # everything is prefix
+    o1 = model.apply(params, ids, px, token_type_ids=tt)
+    ids2 = ids.at[:, -1].set(99)  # change the last prefix token
+    o2 = model.apply(params, ids2, px, token_type_ids=tt)
+    # position 0 logits change because prefix attention is bidirectional
+    assert not jnp.allclose(o1.logits[:, 0], o2.logits[:, 0])
+
+
+def test_paligemma_cached_decode_parity(paligemma, pg_inputs):
+    model, params = paligemma
+    ids, px = pg_inputs
+    tt = jnp.zeros_like(ids)
+    full = model.apply(params, ids, px, token_type_ids=tt)
+    cache = model.init_cache(batch_size=2, max_len=32)
+    pre = model.apply(params, ids, px, token_type_ids=tt, cache=cache,
+                      start_pos=0)
+    np.testing.assert_allclose(np.asarray(pre.logits),
+                               np.asarray(full.logits), atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(pre.logits[:, -1], -1)),
+        np.asarray(jnp.argmax(full.logits[:, -1], -1)))
+
+
+def test_paligemma_generate(paligemma, pg_inputs):
+    model, params = paligemma
+    ids, px = pg_inputs
+    toks = model.generate(params, ids, px, max_new_tokens=4)
+    assert toks.shape == (2, ids.shape[1] + 4)
+    np.testing.assert_array_equal(np.asarray(toks[:, :ids.shape[1]]),
+                                  np.asarray(ids))
+
+
+def test_qwen_incremental_parity():
+    model = vt.ModelForCausalLM(QCFG)
+    params = model.init(jax.random.PRNGKey(2))
+    ids = jnp.arange(8, dtype=jnp.int32)[None] + 1
+    full = model.apply(params, ids).logits
+    cache = model.init_cache(batch_size=1, max_len=16)
+    out = model.apply(params, ids[:, :4], cache=cache, start_pos=0)
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(full[:, :4]), atol=1e-3)
+    cache = out.kv_cache
+    for t in range(4, 8):
+        out = model.apply(params, ids[:, t:t + 1], cache=cache, start_pos=t)
+        cache = out.kv_cache
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(out.logits[:, 0], -1)),
+            np.asarray(jnp.argmax(full[:, t], -1)))
+
+
+def test_qwen_qk_norm_params_exist():
+    model = vt.ModelForCausalLM(QCFG)
+    params = model.init(jax.random.PRNGKey(2))
+    assert "q_norm" in params["layers"]["self_attn"]
+    model2 = vt.ModelForCausalLM(QCFG.__class__(
+        **{**QCFG.__dict__, "qk_norm": False}))
+    params2 = model2.init(jax.random.PRNGKey(2))
+    assert "q_norm" not in params2["layers"]["self_attn"]
+
+
+def test_clip_loss_and_gradient():
+    from vyomai_tpu.training import clip_loss
+    ccfg = vt.CLIPConfig(
+        text_config=vt.EncoderConfig(
+            hidden_size=64, num_attention_heads=4, num_hidden_layers=2,
+            vocab_size=128, max_position_embeddings=64,
+            intermediate_size=128, hidden_dropout_prob=0.0),
+        vision_config=vt.VisionConfig(
+            hidden_size=64, num_attention_heads=4, num_hidden_layers=2,
+            intermediate_size=128, image_size=(32, 32), patch_size=(8, 8),
+            hidden_dropout_prob=0.0),
+        projection_dim=32)
+    clip = vt.CLIPModel(ccfg)
+    params = clip.init(jax.random.PRNGKey(3))
+    ids = jnp.ones((2, 10), jnp.int32)
+    px = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 32, 32))
+
+    def loss(p):
+        img, txt, scale = clip.apply(p, ids, px)
+        return clip_loss(img, txt, scale)
+
+    l, g = jax.value_and_grad(loss)(params)
+    assert jnp.isfinite(l)
+    gnorm = sum(float(jnp.abs(x).sum())
+                for x in jax.tree_util.tree_leaves(g))
+    assert gnorm > 0
+
+
+def test_clip_loss_all_gather_multidevice():
+    """clip_loss with axis_name gathers negatives across devices (virtual
+    CPU mesh)."""
+    from vyomai_tpu.training import clip_loss
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    mesh = Mesh(np.array(cpus[:4]), ("data",))
+    img = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+    txt = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+    scale = jnp.asarray(1.0)
+
+    global_loss = clip_loss(img, txt, scale)
+
+    fn = shard_map(
+        lambda i, t: clip_loss(i, t, scale, axis_name="data")[None],
+        mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"))
+    with jax.default_device(cpus[0]):
+        per_dev = fn(img, txt)
+    # per-device means average to the global mean (fp32 reorder ~1e-4)
+    np.testing.assert_allclose(float(jnp.mean(per_dev)), float(global_loss),
+                               atol=1e-3)

@@ -38,9 +38,9 @@ def _generate_decoder(model, params, idx, max_new_tokens: int,
     tokens = tokens.at[:, :prompt_len].set(idx)
 
     if use_cache:
-        cache = model.init_cache(
-            batch_size=bsz, max_len=total_len,
-            dtype=params["word_embeddings"]["weight"].dtype)
+        param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        cache = model.init_cache(batch_size=bsz, max_len=total_len,
+                                 dtype=param_dtype)
         out = model.apply(params, idx, cache=cache, start_pos=0)
         rng, r = jax.random.split(rng)
         nxt = _sample(out.logits[:, -1], temperature, do_sample, r)

@@ -1,0 +1,140 @@
+"""HuggingFace checkpoint import (safetensors) for the PaliGemma and
+Qwen-style model families (reference ``paligemma.ipynb`` cell 18 and
+``simple_vllm.ipynb`` cells 8-9: shard loading + key-by-key assignment,
+tied-weight handling).
+
+Works on a ``{name: np.ndarray}`` state dict; use :func:`load_safetensors`
+to read local ``*.safetensors`` shards.
+"""
+
+import glob
+import os
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load all ``*.safetensors`` shards under ``path`` (file or dir)."""
+    from safetensors import safe_open
+    files = [path] if path.endswith(".safetensors") else \
+        sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    sd = {}
+    for f in files:
+        with safe_open(f, framework="numpy") as fh:
+            for k in fh.keys():
+                sd[k] = fh.get_tensor(k)
+    return sd
+
+
+def _lin(sd, name, bias=True):
+    p = {"kernel": jnp.asarray(sd[f"{name}.weight"].T)}
+    if bias and f"{name}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _rms(sd, name):
+    return {"weight": jnp.asarray(sd[f"{name}.weight"])}
+
+
+def _ln(sd, name):
+    return {"weight": jnp.asarray(sd[f"{name}.weight"]),
+            "bias": jnp.asarray(sd[f"{name}.bias"])}
+
+
+def _stack(dicts):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *dicts)
+
+
+def _modern_layer(sd, pre, qk_norm=False):
+    lp = {
+        "input_layernorm": _rms(sd, f"{pre}.input_layernorm"),
+        "post_attention_layernorm": _rms(sd, f"{pre}.post_attention_layernorm"),
+        "self_attn": {
+            "q_proj": _lin(sd, f"{pre}.self_attn.q_proj"),
+            "k_proj": _lin(sd, f"{pre}.self_attn.k_proj"),
+            "v_proj": _lin(sd, f"{pre}.self_attn.v_proj"),
+            "o_proj": _lin(sd, f"{pre}.self_attn.o_proj"),
+        },
+        "mlp": {
+            "gate_proj": _lin(sd, f"{pre}.mlp.gate_proj"),
+            "up_proj": _lin(sd, f"{pre}.mlp.up_proj"),
+            "down_proj": _lin(sd, f"{pre}.mlp.down_proj"),
+        },
+    }
+    if qk_norm:
+        lp["self_attn"]["q_norm"] = _rms(sd, f"{pre}.self_attn.q_norm")
+        lp["self_attn"]["k_norm"] = _rms(sd, f"{pre}.self_attn.k_norm")
+    return lp
+
+
+def import_gemma(sd, config, prefix: str = "language_model.model") -> dict:
+    layers = [_modern_layer(sd, f"{prefix}.layers.{i}")
+              for i in range(config.num_hidden_layers)]
+    return {
+        "embed_tokens": {"weight": jnp.asarray(
+            sd[f"{prefix}.embed_tokens.weight"])},
+        "layers": _stack(layers),
+        "norm": _rms(sd, f"{prefix}.norm"),
+    }
+
+
+def import_siglip(sd, config,
+                  prefix: str = "vision_tower.vision_model") -> dict:
+    layers = []
+    for i in range(config.num_hidden_layers):
+        pre = f"{prefix}.encoder.layers.{i}"
+        layers.append({
+            "layer_norm1": _ln(sd, f"{pre}.layer_norm1"),
+            "layer_norm2": _ln(sd, f"{pre}.layer_norm2"),
+            "self_attn": {
+                "q_proj": _lin(sd, f"{pre}.self_attn.q_proj"),
+                "k_proj": _lin(sd, f"{pre}.self_attn.k_proj"),
+                "v_proj": _lin(sd, f"{pre}.self_attn.v_proj"),
+                "out_proj": _lin(sd, f"{pre}.self_attn.out_proj"),
+            },
+            "mlp": {
+                "fc1": _lin(sd, f"{pre}.mlp.fc1"),
+                "fc2": _lin(sd, f"{pre}.mlp.fc2"),
+            },
+        })
+    return {
+        "patch_embedding": {
+            "kernel": jnp.asarray(
+                sd[f"{prefix}.embeddings.patch_embedding.weight"]),
+            "bias": jnp.asarray(
+                sd[f"{prefix}.embeddings.patch_embedding.bias"]),
+        },
+        "position_embedding": {"weight": jnp.asarray(
+            sd[f"{prefix}.embeddings.position_embedding.weight"])},
+        "layers": _stack(layers),
+        "post_layernorm": _ln(sd, f"{prefix}.post_layernorm"),
+    }
+
+
+def import_paligemma(sd, config) -> dict:
+    proj_name = "multi_modal_projector.linear"
+    return {
+        "vision_tower": import_siglip(sd, config.vision_config),
+        "multi_modal_projector": _lin(sd, proj_name),
+        "language_model": import_gemma(sd, config.text_config),
+    }
+
+
+def import_qwen(sd, config, prefix: str = "model") -> dict:
+    layers = [_modern_layer(sd, f"{prefix}.layers.{i}",
+                            qk_norm=getattr(config, "qk_norm", False)
+                            and f"{prefix}.layers.{i}.self_attn.q_norm.weight" in sd)
+              for i in range(config.num_hidden_layers)]
+    params = {
+        "embed_tokens": {"weight": jnp.asarray(
+            sd[f"{prefix}.embed_tokens.weight"])},
+        "layers": _stack(layers),
+        "norm": _rms(sd, f"{prefix}.norm"),
+    }
+    if not config.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
+    return params

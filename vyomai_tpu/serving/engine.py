@@ -1,0 +1,184 @@
+"""Continuous-batching serving engine (reference ``simple_vllm.ipynb``
+``ContinuousBatchEngine`` — SURVEY.md §2.2 N4, §3.5).
+
+Host-side scheduler (waiting room, block-budget admission, radix prefix
+match, finished harvest) around jitted static-shape device steps:
+- prefill: one sequence at a time, suffix padded to a power-of-two bucket
+  (bounded compile count);
+- decode: all active sequences in one fixed-width batch (dead lanes
+  masked), so admissions/retirements never recompile.
+
+Sampling is greedy argmax (the reference's choice).
+"""
+
+import math
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import paged_model
+from .kv_manager import PagedKVManager, SequenceState
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt suffix of {n} tokens exceeds the largest "
+                     f"prefill bucket {buckets[-1]}")
+
+
+class ContinuousBatchEngine:
+    def __init__(self, model, params, *, num_blocks: int = 256,
+                 block_size: int = 16, max_batch: int = 8,
+                 max_blocks_per_seq: int = 32,
+                 max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
+                 prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
+                 dtype=jnp.bfloat16, plus_one: bool = False):
+        self.model = model
+        self.params = params
+        self.cfg = model.config
+        self.plus_one = plus_one  # gemma-style (1+w) RMSNorm towers
+        self.kv = PagedKVManager(num_blocks, block_size)
+        self.block_size = block_size
+        self.max_batch = max_batch
+        self.max_blocks_per_seq = max_blocks_per_seq
+        self.max_new_tokens = max_new_tokens
+        self.eos_token_id = (eos_token_id if eos_token_id is not None
+                             else getattr(self.cfg, "eos_token_id", None))
+        self.prefill_buckets = tuple(prefill_buckets)
+        self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
+                                          dtype=dtype)
+        self.waiting: deque = deque()
+        self.active: Dict[int, SequenceState] = {}
+        self.needs_prefill: deque = deque()
+        self.finished: Dict[int, SequenceState] = {}
+        self._next_id = 0
+
+    # -- API ------------------------------------------------------------------
+    def submit(self, prompt: Sequence[int]) -> int:
+        sid = self._next_id
+        self._next_id += 1
+        self.waiting.append(SequenceState(sid, prompt))
+        return sid
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain all requests; returns {seq_id: generated tokens}."""
+        while self.waiting or self.active or self.needs_prefill:
+            self.step()
+        return {sid: s.tokens[s.prompt_len:]
+                for sid, s in self.finished.items()}
+
+    # -- scheduling -------------------------------------------------------------
+    def _try_admit(self):
+        while self.waiting and len(self.active) + len(self.needs_prefill) \
+                < self.max_batch:
+            state = self.waiting[0]
+            matched = self.kv.match_prefix(state)
+            budget = len(state.tokens) + 1  # room for the first new token
+            if not self.kv.allocate(state, budget):
+                # roll back the prefix references and wait
+                for node in state.cached_nodes:
+                    self.kv._release(node)
+                state.cached_nodes = []
+                state.block_table = []
+                state.num_cached_tokens = 0
+                break
+            self.waiting.popleft()
+            self.needs_prefill.append(state)
+
+    def _slots_for(self, state: SequenceState, start: int, count: int):
+        """(blocks, offsets) pool targets for token positions
+        [start, start+count)."""
+        bs = self.block_size
+        blocks = [state.block_table[(start + i) // bs] for i in range(count)]
+        offs = [(start + i) % bs for i in range(count)]
+        return blocks, offs
+
+    def _prefill_one(self, state: SequenceState):
+        cached = state.num_cached_tokens
+        suffix = state.tokens[cached:state.prompt_len]
+        t = len(suffix)
+        t_pad = _bucket(t, self.prefill_buckets)
+        ids = np.zeros(t_pad, dtype=np.int32)
+        ids[:t] = suffix
+        positions = np.minimum(cached + np.arange(t_pad),
+                               cached + t - 1).astype(np.int32)
+        blocks, offs = self._slots_for(state, cached, t)
+        slot_blocks = np.full(t_pad, -1, dtype=np.int32)
+        slot_offsets = np.zeros(t_pad, dtype=np.int32)
+        slot_blocks[:t] = blocks
+        slot_offsets[:t] = offs
+        table = np.full(self.max_blocks_per_seq, -1, dtype=np.int32)
+        table[:len(state.block_table)] = state.block_table
+
+        logits, self.pool = paged_model.prefill(
+            self.model, self.plus_one, self.params, self.pool,
+            jnp.asarray(ids), jnp.asarray(positions),
+            jnp.asarray(slot_blocks), jnp.asarray(slot_offsets),
+            jnp.asarray(table), jnp.asarray(state.prompt_len, jnp.int32),
+            jnp.asarray(t, jnp.int32))
+        next_tok = int(jnp.argmax(logits))
+        state.tokens.append(next_tok)
+        self.active[state.seq_id] = state
+        self._maybe_finish(state)
+
+    def _decode_batch(self):
+        states = [s for s in self.active.values() if not s.finished]
+        if not states:
+            return
+        b = self.max_batch
+        tokens = np.zeros(b, dtype=np.int32)
+        positions = np.zeros(b, dtype=np.int32)
+        seq_lens = np.zeros(b, dtype=np.int32)
+        slot_blocks = np.full(b, -1, dtype=np.int32)
+        slot_offsets = np.zeros(b, dtype=np.int32)
+        tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
+
+        live = []
+        for i, state in enumerate(states[:b]):
+            pos = len(state.tokens) - 1  # position of the latest token
+            if not self.kv.allocate(state, pos + 1):
+                continue  # pool exhausted: let it retry next step
+            blocks, offs = self._slots_for(state, pos, 1)
+            tokens[i] = state.tokens[-1]
+            positions[i] = pos
+            seq_lens[i] = pos + 1
+            slot_blocks[i] = blocks[0]
+            slot_offsets[i] = offs[0]
+            tables[i, :len(state.block_table)] = state.block_table
+            live.append((i, state))
+
+        if not live:
+            return
+        logits, self.pool = paged_model.decode(
+            self.model, self.plus_one, self.params, self.pool,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
+            jnp.asarray(seq_lens), jnp.asarray(slot_blocks),
+            jnp.asarray(slot_offsets))
+        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        for i, state in live:
+            state.tokens.append(int(next_tokens[i]))
+            self._maybe_finish(state)
+
+    def _maybe_finish(self, state: SequenceState):
+        new = len(state.tokens) - state.prompt_len
+        hit_eos = (self.eos_token_id is not None
+                   and state.tokens[-1] == self.eos_token_id)
+        out_of_blocks = len(state.tokens) >= \
+            self.max_blocks_per_seq * self.block_size
+        if hit_eos or new >= self.max_new_tokens or out_of_blocks:
+            state.finished = True
+            self.kv.free(state)
+            self.active.pop(state.seq_id, None)
+            self.finished[state.seq_id] = state
+
+    def step(self):
+        """One scheduler tick: admit -> prefill one -> decode batch."""
+        self._try_admit()
+        if self.needs_prefill:
+            self._prefill_one(self.needs_prefill.popleft())
+        self._decode_batch()

@@ -1,0 +1,194 @@
+"""Host-side paged-KV block manager with radix-tree prefix caching
+(reference ``simple_vllm.ipynb``: ``PagedKVManager``, ``SequenceState``,
+``RadixNode`` prefix cache with ref-counting + LRU eviction — SURVEY.md
+§2.2 N4 / §3.5).
+
+Pure host bookkeeping (free lists, radix tree, LRU) — the device side is
+the preallocated pool in ``ops.paged_attention``. Block identity is a pool
+index; the radix tree is keyed by block-sized token tuples so a shared
+prompt prefix maps to shared (ref-counted) blocks.
+
+Ownership protocol:
+- ``match_prefix`` returns cached blocks for the longest whole-block prefix
+  and *acquires a reference* on each matched node; the sequence records the
+  matched nodes.
+- blocks past the match are *owned* by the sequence (from the free list or
+  LRU eviction).
+- ``free`` releases the matched references, promotes the sequence's full
+  owned blocks into the radix tree (refcount 0 -> immediately evictable,
+  reusable by future prompts), and returns the partial tail block to the
+  free list.
+"""
+
+from collections import OrderedDict, deque
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+class RadixNode:
+    __slots__ = ("children", "block", "refcount", "parent", "key")
+
+    def __init__(self, parent=None, key=None, block: Optional[int] = None):
+        self.children: Dict[tuple, "RadixNode"] = {}
+        self.block = block
+        self.refcount = 0
+        self.parent = parent
+        self.key = key
+
+
+class SequenceState:
+    """Per-request state: token ids, block table, decode position."""
+
+    def __init__(self, seq_id: int, prompt: Sequence[int]):
+        self.seq_id = seq_id
+        self.tokens: List[int] = list(prompt)
+        self.prompt_len = len(prompt)
+        self.block_table: List[int] = []
+        self.cached_nodes: List[RadixNode] = []   # matched radix nodes
+        self.num_cached_tokens = 0                # tokens covered by them
+        self.finished = False
+
+    def __len__(self):
+        return len(self.tokens)
+
+
+def _chunks(tokens: Sequence[int], block_size: int):
+    for i in range(0, len(tokens) - block_size + 1, block_size):
+        yield tuple(tokens[i:i + block_size])
+
+
+class PagedKVManager:
+    """Block pool free-list + radix prefix cache + LRU eviction."""
+
+    def __init__(self, num_blocks: int, block_size: int):
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.free_blocks = deque(range(num_blocks))
+        self.radix_root = RadixNode()
+        # evictable leaves: block -> node, LRU order (oldest first)
+        self.evictable: "OrderedDict[int, RadixNode]" = OrderedDict()
+        # radix blocks with refcount 0 (leaves AND interior nodes) — all are
+        # reclaimable, interior ones transitively after their leaves
+        self._idle_radix_blocks = 0
+
+    # -- capacity -----------------------------------------------------------
+    def num_free(self) -> int:
+        return len(self.free_blocks) + self._idle_radix_blocks
+
+    def blocks_needed(self, num_tokens: int) -> int:
+        return -(-num_tokens // self.block_size)
+
+    # -- radix prefix cache ---------------------------------------------------
+    def match_prefix(self, state: SequenceState) -> int:
+        """Attach the longest cached whole-block prefix to ``state``.
+        Returns the number of prompt tokens covered."""
+        node = self.radix_root
+        for chunk in _chunks(state.tokens[:state.prompt_len],
+                             self.block_size):
+            child = node.children.get(chunk)
+            if child is None:
+                break
+            self._acquire(child)
+            state.cached_nodes.append(child)
+            state.block_table.append(child.block)
+            node = child
+        # Never cover the entire prompt: at least one token must run through
+        # prefill so the engine has logits to sample from.
+        if state.cached_nodes and \
+                len(state.cached_nodes) * self.block_size >= state.prompt_len:
+            last = state.cached_nodes.pop()
+            self._release(last)
+            state.block_table.pop()
+        state.num_cached_tokens = len(state.cached_nodes) * self.block_size
+        return state.num_cached_tokens
+
+    def _acquire(self, node: RadixNode):
+        if node.refcount == 0:
+            self._idle_radix_blocks -= 1
+        node.refcount += 1
+        self.evictable.pop(node.block, None)
+
+    def _release(self, node: RadixNode):
+        node.refcount -= 1
+        if node.refcount == 0:
+            self._idle_radix_blocks += 1
+            if not node.children:
+                self.evictable[node.block] = node
+                self.evictable.move_to_end(node.block)
+
+    def _evict_one(self) -> Optional[int]:
+        while self.evictable:
+            block, node = self.evictable.popitem(last=False)
+            if node.refcount > 0 or node.children:
+                continue  # stale entry
+            if node.parent is not None:
+                del node.parent.children[node.key]
+                # parent may become an evictable leaf now
+                p = node.parent
+                if p is not self.radix_root and p.refcount == 0 \
+                        and not p.children:
+                    self.evictable[p.block] = p
+            self._idle_radix_blocks -= 1
+            return block
+        return None
+
+    # -- allocation -----------------------------------------------------------
+    def allocate_block(self) -> Optional[int]:
+        if self.free_blocks:
+            return self.free_blocks.popleft()
+        return self._evict_one()
+
+    def allocate(self, state: SequenceState, num_tokens: int) -> bool:
+        """Grow ``state.block_table`` to cover ``num_tokens`` tokens.
+        All-or-nothing; returns False if the pool is exhausted."""
+        need = self.blocks_needed(num_tokens) - len(state.block_table)
+        got = []
+        for _ in range(max(need, 0)):
+            b = self.allocate_block()
+            if b is None:
+                self.free_blocks.extend(got)
+                return False
+            got.append(b)
+        state.block_table.extend(got)
+        return True
+
+    def free(self, state: SequenceState, *, cache_prefix: bool = True):
+        """Release a finished sequence's blocks (see ownership protocol)."""
+        n_cached = len(state.cached_nodes)
+        for node in state.cached_nodes:
+            self._release(node)
+        owned = state.block_table[n_cached:]
+        n_full = len(state.tokens) // self.block_size
+        owned_full = owned[:max(n_full - n_cached, 0)]
+        tail = owned[max(n_full - n_cached, 0):]
+
+        if cache_prefix and owned_full:
+            node = self.radix_root
+            chunks = list(_chunks(state.tokens, self.block_size))
+            # walk through the cached part
+            for chunk in chunks[:n_cached]:
+                child = node.children.get(chunk)
+                if child is None:
+                    node = self.radix_root
+                    break
+                node = child
+            # insert owned full blocks
+            for chunk, block in zip(chunks[n_cached:], owned_full):
+                child = node.children.get(chunk)
+                if child is None:
+                    child = RadixNode(parent=node, key=chunk, block=block)
+                    node.children[chunk] = child
+                    self._idle_radix_blocks += 1
+                    self.evictable[block] = child
+                    self.evictable.move_to_end(block)
+                    # parent is no longer an evictable leaf (still idle)
+                    if node is not self.radix_root:
+                        self.evictable.pop(node.block, None)
+                else:
+                    # this prefix is already cached elsewhere: drop duplicate
+                    self.free_blocks.append(block)
+                node = child
+        else:
+            self.free_blocks.extend(owned_full)
+        self.free_blocks.extend(tail)
+        state.block_table = []
+        state.cached_nodes = []
