@@ -2,14 +2,17 @@
 ``simple_vllm.ipynb``: ``flash_attn_with_kvcache`` + ``block_table`` decode
 and ``flash_attn_varlen_func`` prefill — SURVEY.md §2.3 item 3).
 
-TPU-first: the KV pool is one preallocated array per tensor
-``[num_blocks, block_size, H_kv, D]`` (stacked ``[L, ...]`` across layers);
-block tables are int32 ``[B, max_blocks]``. The decode attention gathers a
-sequence's blocks with one XLA gather (static max context) and runs a
-masked single-query attention — fully jittable, no recompiles as batch
-composition changes. (A scalar-prefetch Pallas variant that DMAs only live
-blocks is the planned upgrade; the gather version is already
-HBM-bandwidth-bound like dense decode.)
+Pool layout (TPU-first): one preallocated array per layer
+
+    kv : [num_blocks, 2, block_size, H_kv * head_dim]
+
+(k in row 0, v in row 1; stacked ``[L, ...]`` across layers). The head and
+feature dims are flattened into the 128-aligned minor dim so both XLA
+scatters and Pallas block DMAs stay tile-aligned, and one DMA per block
+fetches k and v together. Block tables are int32 ``[B, max_blocks]``.
+
+``paged_attention_decode`` is the XLA fallback (single gather + masked
+attention); ``ops.paged_decode_pallas`` streams blocks HBM->VMEM directly.
 """
 
 import jax
@@ -18,43 +21,53 @@ import jax.numpy as jnp
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def write_kv(pool_k, pool_v, k_new, v_new, slot_block, slot_offset):
+def write_kv(pool, k_new, v_new, slot_block, slot_offset):
     """Scatter new K/V rows into the pool.
 
-    pool_k/pool_v: [NB, BS, H_kv, D]; k_new/v_new: [T, H_kv, D];
-    slot_block/slot_offset: [T] int32 (block index and in-block offset per
-    token). Rows with slot_block < 0 are dropped (padding).
+    pool: [NB, 2, BS, width]; k_new/v_new: [T, H_kv, D] (width = H_kv*D);
+    slot_block/slot_offset: [T] int32. Rows with slot_block < 0 are dropped.
     """
+    t = k_new.shape[0]
+    width = pool.shape[-1]
+    k_flat = k_new.reshape(t, width).astype(pool.dtype)
+    v_flat = v_new.reshape(t, width).astype(pool.dtype)
     valid = slot_block >= 0
-    nb = pool_k.shape[0]
-    blk = jnp.where(valid, slot_block, nb - 1)  # dummy target, masked below
-    k_new = jnp.where(valid[:, None, None], k_new, pool_k[blk, slot_offset])
-    v_new = jnp.where(valid[:, None, None], v_new, pool_v[blk, slot_offset])
-    pool_k = pool_k.at[blk, slot_offset].set(k_new)
-    pool_v = pool_v.at[blk, slot_offset].set(v_new)
-    return pool_k, pool_v
+    blk = jnp.where(valid, slot_block, pool.shape[0] - 1)
+    k_flat = jnp.where(valid[:, None], k_flat, pool[blk, 0, slot_offset])
+    v_flat = jnp.where(valid[:, None], v_flat, pool[blk, 1, slot_offset])
+    pool = pool.at[blk, 0, slot_offset].set(k_flat)
+    pool = pool.at[blk, 1, slot_offset].set(v_flat)
+    return pool
 
 
-def paged_attention_decode(q, pool_k, pool_v, block_tables, seq_lens):
-    """Single-token decode attention over paged KV.
+def gather_kv(pool, tables, h_kv: int):
+    """Gather a sequence's context from the pool.
 
-    q: [B, H, D]; pool_k/pool_v: [NB, BS, H_kv, D];
-    block_tables: [B, MAXB] int32 (-1 for unused);
-    seq_lens: [B] int32 (valid context length incl. current token).
-    Returns [B, H, D].
+    pool: [NB, 2, BS, width]; tables: [MAXB] (clamped >= 0).
+    Returns (k, v): [H_kv, MAXB*BS, D]."""
+    maxb = tables.shape[0]
+    nb, _, bs, width = pool.shape
+    d = width // h_kv
+    kv = pool[tables]                                   # [MAXB, 2, BS, width]
+    kv = kv.reshape(maxb, 2, bs, h_kv, d).transpose(1, 3, 0, 2, 4)
+    kv = kv.reshape(2, h_kv, maxb * bs, d)
+    return kv[0], kv[1]
+
+
+def paged_attention_decode(q, pool, block_tables, seq_lens, h_kv: int):
+    """Single-token decode attention over paged KV (XLA fallback).
+
+    q: [B, H, D]; pool: [NB, 2, BS, width]; block_tables: [B, MAXB] int32
+    (-1 for unused); seq_lens: [B] int32. Returns [B, H, D].
     """
     b, h, d = q.shape
-    nb, bs, h_kv, _ = pool_k.shape
+    nb, _, bs, width = pool.shape
     maxb = block_tables.shape[1]
     group = h // h_kv
 
     tables = jnp.where(block_tables < 0, 0, block_tables)
-    # gather: [B, MAXB, BS, H_kv, D] -> [B, MAXB*BS, H_kv, D]
-    k = pool_k[tables].reshape(b, maxb * bs, h_kv, d)
-    v = pool_v[tables].reshape(b, maxb * bs, h_kv, d)
-
-    k = k.transpose(0, 2, 1, 3)                     # [B, H_kv, T, D]
-    v = v.transpose(0, 2, 1, 3)
+    k, v = jax.vmap(lambda t: gather_kv(pool, t, h_kv))(tables)
+    # k, v: [B, H_kv, T, D]
     if group > 1:
         k = jnp.repeat(k, group, axis=1)
         v = jnp.repeat(v, group, axis=1)

@@ -1,0 +1,136 @@
+"""Pallas paged-decode attention: block-table gather inside the kernel
+(SURVEY.md §2.3 item 3 — the TPU equivalent of
+``flash_attn_with_kvcache(block_table=...)``).
+
+Unlike the XLA-gather fallback in ``ops.paged_attention`` (which first
+materializes the gathered KV in HBM, doubling bandwidth), this kernel
+scalar-prefetches the block table and DMAs each live KV block HBM->VMEM
+directly, double-buffered, with an online-softmax accumulator. Dead blocks
+past ``seq_len`` are never fetched.
+
+Layout trick for Mosaic DMA alignment: the kernel reads the pool flattened
+as ``[NB, BS, H_kv * D]`` so block DMAs slice only the leading dim and the
+minor dims stay 128-lane aligned even at head_dim 64. All query heads are
+processed in one MXU dot per block by expanding q into a block-diagonal
+``[H, H_kv * D]`` matrix (zeros outside each head's own kv-head columns) —
+scores come out as ``q_exp @ K_block^T`` for every head at once. The extra
+MXU work (factor H_kv) is negligible: decode is HBM-bandwidth-bound.
+
+Grid: ``(B,)`` — one program per sequence.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _kernel(bt_ref, len_ref, qexp_ref, pool_ref, o_ref,
+            kv_sc, sem, *, bs, group, h, width):
+    """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D)."""
+    b = pl.program_id(0)
+    seq_len = len_ref[b]
+    nblocks = pl.cdiv(seq_len, bs)
+
+    def dma(slot, j):
+        blk = bt_ref[b, j]
+        return pltpu.make_async_copy(pool_ref.at[blk], kv_sc.at[slot],
+                                     sem.at[slot])
+
+    @pl.when(nblocks > 0)
+    def _():
+        dma(0, 0).start()
+
+    q = qexp_ref[0].astype(jnp.float32)                # [H, width], prescaled
+
+    def body(j, carry):
+        m, l, acc = carry
+        slot = j % 2
+
+        @pl.when(j + 1 < nblocks)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+
+        dma(slot, j).wait()
+        k = kv_sc[slot, 0].astype(jnp.float32)         # [BS, width]
+        v = kv_sc[slot, 1].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [H, BS]
+        pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(jnp.maximum(m, m_cur), -1e30)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [H, width]
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((h, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((h, 1), jnp.float32)
+    a0 = jnp.zeros((h, width), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, a0))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
+                                  h_kv: int):
+    """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout);
+    block_tables: [B, MAXB] int32; seq_lens: [B] int32. Returns [B, H, D]."""
+    b, h, d = q.shape
+    nb, _, bs, width = pool.shape
+    group = h // h_kv
+    scale = 1.0 / (d ** 0.5)
+
+    # block-diagonal q expansion: head h occupies its kv-head's columns
+    q_scaled = (q * scale).astype(jnp.float32)          # [B, H, D]
+    sel = jnp.repeat(jnp.eye(h_kv, dtype=jnp.float32), group,
+                     axis=0)                            # [H, H_kv]
+    q_exp = (q_scaled[:, :, None, :] * sel[None, :, :, None]
+             ).reshape(b, h, width)
+
+    kern = functools.partial(_kernel, bs=bs, group=group, h=h, width=width)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # pool stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, bs, width), pool.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, width), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(jnp.where(block_tables < 0, 0, block_tables).astype(jnp.int32),
+      seq_lens.astype(jnp.int32), q_exp.astype(q.dtype), pool)
+
+    # each head's output lives in its kv-head's column slice
+    out = out.reshape(b, h, h_kv, d)
+    kv_idx = jnp.arange(h) // group
+    return jnp.take_along_axis(
+        out, kv_idx[None, :, None, None].repeat(b, 0), axis=2)[:, :, 0, :]
+
+
+def supported(q, pool, h_kv: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    b, h, d = q.shape
+    nb, two, bs, width = pool.shape
+    return width % 128 == 0 and bs % 8 == 0 and h % h_kv == 0

@@ -19,14 +19,16 @@ import jax.numpy as jnp
 from ..core import nn as cnn
 from ..layers.modern import swiglu_apply
 from ..layers.positional import rope_freqs, rotate_half
-from ..ops.paged_attention import paged_attention_decode, write_kv, NEG_INF
+from ..ops.paged_attention import (gather_kv, paged_attention_decode,
+                                   write_kv, NEG_INF)
+from ..ops import paged_decode_pallas
 
 
 def init_pool(config, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
-    shape = (config.num_hidden_layers, num_blocks, block_size,
-             config.num_key_value_heads, config.head_dim)
-    return {"k": jnp.zeros(shape, dtype=dtype),
-            "v": jnp.zeros(shape, dtype=dtype)}
+    """Combined K/V pool: [L, NB, 2, BS, H_kv * D] (k row 0, v row 1)."""
+    width = config.num_key_value_heads * config.head_dim
+    shape = (config.num_hidden_layers, num_blocks, 2, block_size, width)
+    return {"kv": jnp.zeros(shape, dtype=dtype)}
 
 
 def _rope_at(emb_freq, positions, x_q, x_k):
@@ -72,7 +74,7 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
     if hasattr(cfg, "hidden_size") and plus_one:  # gemma input scaling
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
 
-    nb, bs = pool["k"].shape[1], pool["k"].shape[2]
+    nb, bs = pool["kv"].shape[1], pool["kv"].shape[3]
     maxb = block_table.shape[0]
     tables = jnp.where(block_table < 0, 0, block_table)
 
@@ -83,19 +85,17 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
     attn_mask = jnp.where((k_pos <= q_abs) & (k_pos < ctx_len), 0.0, NEG_INF)
 
     def body(h, xs):
-        lp, pk, pv = xs
+        lp, pkv = xs
         normed = cnn.rms_norm(lp["input_layernorm"], h, eps=cfg.rms_norm_eps,
                               plus_one=plus_one)
         q, k, v = _qkv(lp, cfg, normed)
         q, k = _rope_at(emb_freq, positions, q, k)
-        pk, pv = write_kv(pk, pv, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-                          slot_blocks, slot_offsets)
-        # gather full context from the pool
-        kk = pk[tables].reshape(t_ctx, cfg.num_key_value_heads, cfg.head_dim)
-        vv = pv[tables].reshape(t_ctx, cfg.num_key_value_heads, cfg.head_dim)
+        pkv = write_kv(pkv, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+                       slot_blocks, slot_offsets)
+        kk, vv = gather_kv(pkv, tables, cfg.num_key_value_heads)
         group = cfg.num_attention_heads // cfg.num_key_value_heads
-        kk = jnp.repeat(kk.transpose(1, 0, 2), group, axis=0)  # [H, Tctx, D]
-        vv = jnp.repeat(vv.transpose(1, 0, 2), group, axis=0)
+        kk = jnp.repeat(kk, group, axis=0)                     # [H, Tctx, D]
+        vv = jnp.repeat(vv, group, axis=0)
         scale = 1.0 / (cfg.head_dim ** 0.5)
         scores = jnp.einsum("htd,hsd->hts", q.astype(jnp.float32),
                             kk.astype(jnp.float32)) * scale
@@ -109,11 +109,11 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
         h = h + swiglu_apply(lp["mlp"], normed,
                              act="gelu_pytorch_tanh" if plus_one else "silu")
-        return h, (pk, pv)
+        return h, pkv
 
-    hidden, (nk, nv) = jax.lax.scan(
-        body, hidden, (params["layers"], pool["k"], pool["v"]))
-    pool = {"k": nk, "v": nv}
+    hidden, nkv = jax.lax.scan(
+        body, hidden, (params["layers"], pool["kv"]))
+    pool = {"kv": nkv}
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
     last = hidden[true_len - 1]
@@ -141,8 +141,12 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
     if plus_one:
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
 
+    use_pallas = paged_decode_pallas.supported(
+        jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
+        pool["kv"][0], cfg.num_key_value_heads)
+
     def body(h, xs):
-        lp, pk, pv = xs
+        lp, pkv = xs
         normed = cnn.rms_norm(lp["input_layernorm"], h, eps=cfg.rms_norm_eps,
                               plus_one=plus_one)
         nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -161,20 +165,24 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
         sin = jnp.sin(emb).astype(q.dtype)
         q = q * cos + rotate_half(q) * sin
         k = k * cos + rotate_half(k) * sin
-        pk, pv = write_kv(pk, pv, k, v, slot_blocks, slot_offsets)
-        attn = paged_attention_decode(q.transpose(0, 1, 2), pk, pv,
-                                      block_tables, seq_lens)    # [B, H, D]
+        pkv = write_kv(pkv, k, v, slot_blocks, slot_offsets)
+        if use_pallas:
+            attn = paged_decode_pallas.paged_attention_decode_pallas(
+                q, pkv, block_tables, seq_lens, nkv)             # [B, H, D]
+        else:
+            attn = paged_attention_decode(q, pkv, block_tables, seq_lens,
+                                          nkv)
         attn = attn.reshape(b, -1)
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
         h = h + swiglu_apply(lp["mlp"], normed,
                              act="gelu_pytorch_tanh" if plus_one else "silu")
-        return h, (pk, pv)
+        return h, pkv
 
-    hidden, (nk, nv) = jax.lax.scan(
-        body, hidden, (params["layers"], pool["k"], pool["v"]))
-    pool = {"k": nk, "v": nv}
+    hidden, nkv_pool = jax.lax.scan(
+        body, hidden, (params["layers"], pool["kv"]))
+    pool = {"kv": nkv_pool}
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
     if "lm_head" in params:
