@@ -37,12 +37,24 @@ class ContinuousBatchEngine:
                  max_blocks_per_seq: int = 32,
                  max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
-                 dtype=jnp.bfloat16, plus_one: bool = False):
+                 dtype=jnp.bfloat16, plus_one: bool = False,
+                 kv_backend: str = "auto"):
         self.model = model
         self.params = params
         self.cfg = model.config
         self.plus_one = plus_one  # gemma-style (1+w) RMSNorm towers
-        self.kv = PagedKVManager(num_blocks, block_size)
+        # host scheduler: native C++ radix/allocator when available
+        self.kv = None
+        if kv_backend in ("auto", "native"):
+            try:
+                from .native import NativeKVManager, available
+                if available():
+                    self.kv = NativeKVManager(num_blocks, block_size)
+            except Exception:
+                if kv_backend == "native":
+                    raise
+        if self.kv is None:
+            self.kv = PagedKVManager(num_blocks, block_size)
         self.block_size = block_size
         self.max_batch = max_batch
         self.max_blocks_per_seq = max_blocks_per_seq
@@ -77,15 +89,10 @@ class ContinuousBatchEngine:
         while self.waiting and len(self.active) + len(self.needs_prefill) \
                 < self.max_batch:
             state = self.waiting[0]
-            matched = self.kv.match_prefix(state)
+            self.kv.match_prefix(state)
             budget = len(state.tokens) + 1  # room for the first new token
             if not self.kv.allocate(state, budget):
-                # roll back the prefix references and wait
-                for node in state.cached_nodes:
-                    self.kv._release(node)
-                state.cached_nodes = []
-                state.block_table = []
-                state.num_cached_tokens = 0
+                self.kv.release_sequence(state)  # roll back and wait
                 break
             self.waiting.popleft()
             self.needs_prefill.append(state)

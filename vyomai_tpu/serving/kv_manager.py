@@ -151,6 +151,16 @@ class PagedKVManager:
         state.block_table.extend(got)
         return True
 
+    def release_sequence(self, state: SequenceState):
+        """Rollback for failed admission: drop matched references and
+        return owned blocks to the free list (nothing is cached)."""
+        for node in state.cached_nodes:
+            self._release(node)
+        self.free_blocks.extend(state.block_table[len(state.cached_nodes):])
+        state.block_table = []
+        state.cached_nodes = []
+        state.num_cached_tokens = 0
+
     def free(self, state: SequenceState, *, cache_prefix: bool = True):
         """Release a finished sequence's blocks (see ownership protocol)."""
         n_cached = len(state.cached_nodes)
