@@ -1,0 +1,245 @@
+"""Training stack + fused ops + collators + checkpoint + distillation +
+GOT-OCR2/SAM tests."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vyomai_tpu as vt
+from vyomai_tpu.ops.fused import cross_entropy, lm_head_ce_loss
+from vyomai_tpu.training import (Trainer, TrainState, create_train_state,
+                                 dpo_collate, dpo_loss, compute_logprobs,
+                                 electra_inputs, make_optimizer,
+                                 make_train_step, masked_language_modeling,
+                                 select_layers, default_student_indices,
+                                 sft_collate, sft_loss)
+
+CFG = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                       num_key_value_heads=2, num_hidden_layers=2,
+                       vocab_size=128, max_position_embeddings=64,
+                       intermediate_size=256, hidden_dropout_prob=0.0)
+
+
+# ---------------------------------------------------------------------------
+# fused ops
+# ---------------------------------------------------------------------------
+
+def test_chunked_lm_head_ce_matches_plain():
+    h = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 64))
+    kern = jax.random.normal(jax.random.PRNGKey(4), (64, 128)) * 0.05
+    bias = jnp.zeros(128)
+    tg = jax.random.randint(jax.random.PRNGKey(5), (2, 16), 0, 128)
+    l1 = lm_head_ce_loss(h, kern, bias, tg, chunk_size=8)
+    l2 = cross_entropy(h @ kern + bias, tg)
+    assert abs(float(l1 - l2)) < 1e-4
+    g1 = jax.grad(lambda k: lm_head_ce_loss(h, k, bias, tg, chunk_size=8))(kern)
+    g2 = jax.grad(lambda k: cross_entropy(h @ k + bias, tg))(kern)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_chunked_ce_shift_and_ignore_index():
+    h = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 64))
+    kern = jax.random.normal(jax.random.PRNGKey(1), (64, 128)) * 0.05
+    tg = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, 128)
+    tg = tg.at[0, 3].set(-100)
+    l1 = lm_head_ce_loss(h, kern, None, tg, shift=True, chunk_size=4)
+    l2 = cross_entropy((h @ kern)[:, :-1], tg[:, 1:])
+    assert abs(float(l1 - l2)) < 1e-4
+
+
+def test_cross_entropy_all_ignored_is_zero():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16))
+    tg = jnp.full((2, 4), -100)
+    assert float(cross_entropy(logits, tg)) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# collators / losses
+# ---------------------------------------------------------------------------
+
+def test_mlm_collator_properties():
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 5, 128)
+    special = ids < 5
+    out, labels, masked = masked_language_modeling(rng, ids, special, 4, 128)
+    frac = float(masked.mean())
+    assert 0.05 < frac < 0.3                   # ~15% selected
+    # non-masked labels are ignore_index
+    assert bool(jnp.all(jnp.where(~masked, labels == -100, True)))
+    # masked labels keep the original token
+    assert bool(jnp.all(jnp.where(masked, labels == ids, True)))
+    # a good share of masked tokens became [MASK]
+    mask_rate = float(jnp.sum(masked & (out == 4)) / jnp.maximum(masked.sum(), 1))
+    assert mask_rate > 0.5
+
+
+def test_electra_inputs():
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 5, 128)
+    gen_logits = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 128))
+    masked = jax.random.bernoulli(jax.random.PRNGKey(3), 0.3, (2, 16))
+    disc_in, disc_labels, non_pad = electra_inputs(rng, gen_logits, ids,
+                                                   masked, pad_token_id=1)
+    # unmasked positions unchanged
+    assert bool(jnp.all(jnp.where(~masked, disc_in == ids, True)))
+    # labels mark replacements
+    np.testing.assert_array_equal(np.asarray(disc_labels),
+                                  np.asarray((ids != disc_in).astype(jnp.float32)))
+
+
+def test_sft_collate():
+    ids, labels, mask = sft_collate([[5, 6, 7], [8, 9]], pad_token_id=1)
+    assert ids.shape == (2, 3)
+    assert labels[1, 2] == 1      # first pad kept as EOS label
+    assert labels[0, 2] == 7
+
+
+def test_dpo_loss_prefers_chosen():
+    lp_c, lp_r = jnp.asarray([-1.0]), jnp.asarray([-5.0])
+    ref_c, ref_r = jnp.asarray([-2.0]), jnp.asarray([-2.0])
+    loss, cr, rr = dpo_loss(lp_c, lp_r, ref_c, ref_r, beta=0.1)
+    assert cr > rr
+    loss2, _, _ = dpo_loss(lp_r, lp_c, ref_c, ref_r, beta=0.1)
+    assert float(loss) < float(loss2)
+
+
+def test_compute_logprobs_masking():
+    logits = jnp.zeros((1, 4, 8))  # uniform -> logprob = -log(8)
+    labels = jnp.asarray([[1, 2, 3, 4]])
+    mask = jnp.asarray([[0, 1, 1, 0]])
+    lp = compute_logprobs(logits, labels, mask)
+    np.testing.assert_allclose(float(lp[0]), -np.log(8), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# trainer / checkpoint / distillation
+# ---------------------------------------------------------------------------
+
+def test_grad_accum_matches_full_batch():
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 12), 0, 128)
+    batch = {"ids": ids}
+
+    def loss_fn(p, b, rng):
+        out = model.apply(p, b["ids"], jnp.ones_like(b["ids"]))
+        return cross_entropy(out.logits[:, :-1], b["ids"][:, 1:]), {}
+
+    opt = make_optimizer(1e-2)
+    s1 = create_train_state(params, opt)
+    s2 = create_train_state(params, opt)
+    step1 = make_train_step(loss_fn, opt, grad_accum_steps=1, donate=False)
+    step2 = make_train_step(loss_fn, opt, grad_accum_steps=4, donate=False)
+    rng = jax.random.PRNGKey(2)
+    s1, m1 = step1(s1, batch, rng)
+    s2, m2 = step2(s2, batch, rng)
+    # same data, averaged grads -> same update (loss aggregation differs by
+    # microbatch masking only when batch divides evenly: here it does)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               s1.params, s2.params)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vyomai_tpu.training import checkpoint as ckpt
+    model = vt.EncoderModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "ck1")
+    ckpt.save_params(path, params)
+    restored = ckpt.load_params(path, target=params)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               params, restored)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+
+
+def test_distillation_layer_surgery():
+    assert default_student_indices(12, 6) == [0, 2, 4, 7, 9, 11]
+    teacher = vt.EncoderModel(CFG.replace(num_hidden_layers=2))
+    t_params = teacher.init(jax.random.PRNGKey(0))
+    s_params = select_layers(t_params, [1])
+    k_student = s_params["layers"]["attention"]["query"]["kernel"]
+    k_teacher = t_params["layers"]["attention"]["query"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k_student[0]),
+                                  np.asarray(k_teacher[1]))
+
+
+# ---------------------------------------------------------------------------
+# SAM / GOT-OCR2
+# ---------------------------------------------------------------------------
+
+def test_sam_encoder_shapes():
+    from vyomai_tpu.models.sam_vit import ImageEncoderViT, SamVitConfig
+    cfg = SamVitConfig(img_size=64, patch_size=8, embed_dim=64, depth=2,
+                       num_heads=4, out_chans=32, window_size=4,
+                       global_attn_indexes=(1,))
+    enc = ImageEncoderViT(cfg)
+    params = enc.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    out = enc.apply(params, img)
+    assert out.shape == (2, 32, 8, 8)
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_sam_window_partition_roundtrip():
+    from vyomai_tpu.models.sam_vit import window_partition, window_unpartition
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 10, 8))
+    win, pad_hw = window_partition(x, 4)
+    back = window_unpartition(win, 4, pad_hw, (10, 10))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_got_ocr2_forward_and_fusion():
+    from vyomai_tpu.models.sam_vit import SamVitConfig
+    from vyomai_tpu.models.got_ocr2 import GOTOCR2Model, GOTOCR2Config
+    vcfg = SamVitConfig(img_size=64, patch_size=8, embed_dim=64, depth=2,
+                        num_heads=4, out_chans=32, window_size=4,
+                        global_attn_indexes=(1,))
+    tcfg = vt.QwenConfig(vocab_size=512, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         head_dim=32, max_position_embeddings=128,
+                         qk_norm=False)
+    gcfg = GOTOCR2Config(vision_config=vcfg, text_config=tcfg,
+                         image_token_index=500)
+    model = GOTOCR2Model(gcfg)
+    params = model.init(jax.random.PRNGKey(2))
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    n_img = gcfg.num_image_tokens
+    ids = jnp.concatenate(
+        [jnp.full((2, n_img), 500, jnp.int32),
+         jnp.arange(5, dtype=jnp.int32)[None].repeat(2, 0) + 3], axis=1)
+    out = model.apply(params, ids, img)
+    assert out.logits.shape == (2, n_img + 5, 512)
+    # image content reaches the logits
+    out2 = model.apply(params, ids, img + 1.0)
+    assert not jnp.allclose(out.logits, out2.logits)
+
+
+def test_detr_forward_loss_and_matching():
+    from vyomai_tpu.models.detr import DETRModel, DETRConfig
+    from vyomai_tpu.training.detection import (detr_loss, hungarian_match,
+                                               generalized_iou,
+                                               box_cxcywh_to_xyxy)
+    cfg = DETRConfig(num_classes=1, num_queries=8, hidden_size=64,
+                     num_attention_heads=4, num_encoder_layers=1,
+                     num_decoder_layers=1, intermediate_size=128)
+    model = DETRModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 64, 64))
+    cls, boxes = model.apply(params, img)
+    assert cls.shape == (1, 8, 2) and boxes.shape == (1, 8, 4)
+    assert bool(jnp.all((boxes >= 0) & (boxes <= 1)))
+    targets = [(np.array([0]), np.array([[0.5, 0.5, 0.2, 0.2]], np.float32))]
+    loss = detr_loss(cls, boxes, targets, num_classes=1)
+    assert np.isfinite(float(loss))
+    # matching picks each gt exactly once
+    qi, gi = hungarian_match(cls[0], boxes[0], targets[0][0], targets[0][1])
+    assert len(qi) == 1 and len(set(qi.tolist())) == 1
+    # GIoU of identical boxes is 1
+    b = box_cxcywh_to_xyxy(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]))
+    np.testing.assert_allclose(float(generalized_iou(b, b)[0, 0]), 1.0,
+                               atol=1e-6)

@@ -10,7 +10,9 @@ from .models import (  # noqa: F401
     EncoderModel, EncoderForMaskedLM, DecoderModel, EncoderDecoderModel,
     Seq2SeqDecoderModel, Vit, VisionLanguageModel, VisionLanguageDecoderModel,
     CLIPModel, GemmaModel, SiglipVisionModel,
-    PaliGemmaForConditionalGeneration, ModelForCausalLM)
+    PaliGemmaForConditionalGeneration, ModelForCausalLM, OCRModel,
+    ImageEncoderViT, SamVitConfig, GOTOCR2Model, GOTOCR2Config,
+    DETRModel, DETRConfig)
 from .layers.kv_cache import (  # noqa: F401
     DynamicCache, StaticCache, StaticCacheOne, DynamicCacheOne, init_cache)
 from .layers.adapters import LoraLinear, DoraLinear  # noqa: F401

@@ -9,3 +9,4 @@ from .collators import (  # noqa: F401
     dpo_collate, lm_blocks)
 from .distill import select_layers, default_student_indices  # noqa: F401
 from . import checkpoint  # noqa: F401
+from .detection import detr_loss, hungarian_match, generalized_iou  # noqa: F401
