@@ -53,11 +53,14 @@ class GemmaModel:
 
     def apply(self, params, input_ids=None, attention_mask=None,
               inputs_embeds=None, prefix_len=None,
-              cache: Optional[Any] = None, start_pos=0) -> CLMOutput:
+              cache: Optional[Any] = None, start_pos=0,
+              position_offset: int = 0) -> CLMOutput:
         """``prefix_len`` (scalar or [B]) enables the prefix-LM regime:
         bidirectional attention over positions < prefix_len, causal after.
         ``inputs_embeds`` (already sqrt(hidden)-scaled fusion output)
-        overrides token embedding."""
+        overrides token embedding. ``position_offset=1`` selects PaliGemma's
+        1-indexed RoPE positions (reference ``paligemma.ipynb``
+        ``position_ids = cache_position + 1``)."""
         cfg = self.config
         if inputs_embeds is None:
             hidden = cnn.embedding(params["embed_tokens"], input_ids)
@@ -65,8 +68,8 @@ class GemmaModel:
         else:
             hidden = inputs_embeds
         bsz, seqlen = hidden.shape[:2]
-        freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
-                                             seqlen, axis=1)
+        freqs = jax.lax.dynamic_slice_in_dim(
+            self.emb_freq, start_pos + position_offset, seqlen, axis=1)
 
         causal = False
         if cache is not None:

@@ -53,13 +53,15 @@ class PaliGemmaForConditionalGeneration:
         ``<image>`` positions. Returns fused embeds [B, L, D]."""
         cfg = self.config
         tcfg = cfg.text_config
+        # Reference semantics (paligemma.ipynb): image features are divided
+        # by sqrt(hidden) at fusion, then GemmaModel multiplies the FUSED
+        # embeddings by sqrt(hidden) — net: text x sqrt(h), image x 1.
         text = cnn.embedding(params["language_model"]["embed_tokens"],
                              input_ids)
         text = text * jnp.asarray(tcfg.hidden_size ** 0.5, text.dtype)
 
         img = self.vision_tower.apply(params["vision_tower"], pixel_values)
         img = cnn.linear(params["multi_modal_projector"], img)
-        img = img / jnp.asarray(tcfg.hidden_size ** 0.5, img.dtype)
 
         is_image = input_ids == cfg.image_token_index          # [B, L]
         # contiguous layout: the n-th image token takes image feature n
@@ -85,10 +87,12 @@ class PaliGemmaForConditionalGeneration:
         prefix_len = None
         if token_type_ids is not None:
             prefix_len = jnp.sum(token_type_ids == 0, axis=1)
+        # PaliGemma RoPE positions are 1-indexed (reference
+        # ``position_ids = cache_position + 1``).
         return self.language_model.apply(
             params["language_model"], attention_mask=attention_mask,
             inputs_embeds=embeds, prefix_len=prefix_len, cache=cache,
-            start_pos=start_pos)
+            start_pos=start_pos, position_offset=1)
 
     __call__ = apply
 
