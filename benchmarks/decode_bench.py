@@ -1,0 +1,82 @@
+"""Secondary benchmarks: decode throughput (dense static cache) and serving
+engine steady-state throughput. Not the driver's `bench.py` contract — this
+prints human-readable numbers for perf tracking."""
+
+import argparse
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import vyomai_tpu as vt
+from vyomai_tpu.serving import ContinuousBatchEngine
+
+
+def bench_dense_decode(batch: int = 8, prompt: int = 128, new: int = 256):
+    cfg = vt.EncoderConfig(hidden_size=768, num_attention_heads=12,
+                           num_key_value_heads=4, num_hidden_layers=6,
+                           vocab_size=16384, max_position_embeddings=1024,
+                           intermediate_size=3072, hidden_dropout_prob=0.0)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope",
+                            attention_type="gqa")
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt), 0,
+                             cfg.vocab_size, dtype=jnp.int32)
+    # warm up (compile)
+    out = model.generate(params, ids, max_len=new, use_cache=True)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = model.generate(params, ids, max_len=new, use_cache=True)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    tps = batch * new / dt
+    print(f"[dense decode] B={batch} prompt={prompt} new={new}: "
+          f"{tps:.0f} tokens/s ({dt*1e3/new:.2f} ms/step)")
+
+
+def bench_serving(requests: int = 16, new: int = 64):
+    cfg = vt.QwenConfig(vocab_size=16384, hidden_size=768,
+                        intermediate_size=3072, num_hidden_layers=6,
+                        num_attention_heads=12, num_key_value_heads=4,
+                        head_dim=64, max_position_embeddings=2048,
+                        qk_norm=True, eos_token_id=2)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    def run():
+        eng = ContinuousBatchEngine(model, params, num_blocks=1024,
+                                    block_size=32, max_batch=16,
+                                    max_blocks_per_seq=16,
+                                    max_new_tokens=new,
+                                    prefill_buckets=(64, 128, 256),
+                                    decode_horizon=32)
+        for _ in range(requests):
+            eng.submit(list(rng.integers(5, cfg.vocab_size, size=96)))
+        t0 = time.perf_counter()
+        out = eng.run()
+        dt = time.perf_counter() - t0
+        return sum(len(v) for v in out.values()) / dt
+
+    run()  # warm up compiles
+    tps = run()
+    print(f"[serving] {requests} reqs x {new} new tokens: {tps:.0f} tokens/s")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["dense", "serving", "all"],
+                    default="all")
+    args = ap.parse_args()
+    if args.mode in ("dense", "all"):
+        bench_dense_decode()
+    if args.mode in ("serving", "all"):
+        bench_serving()

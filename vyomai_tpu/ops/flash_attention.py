@@ -43,11 +43,18 @@ def set_interpret(flag: bool) -> None:
     _INTERPRET = flag
 
 
-def _block_size(n: int, candidates) -> Optional[int]:
+def _block_size(n: int, candidates, prefer: Optional[int] = None
+                ) -> Optional[int]:
+    if prefer is not None and n % prefer == 0:
+        return prefer
     for c in candidates:
         if n % c == 0:
             return c
     return None
+
+# Tunable default block sizes (overridable per call).
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
 
 
 def supported(q, k, mask) -> bool:
@@ -162,12 +169,14 @@ def _bias_spec(bias, bq, bk, order):
     return pl.BlockSpec((1, 1, rows, bk), idx, memory_space=pltpu.VMEM)
 
 
-def _fwd(q, k, v, bias, causal):
+def _fwd(q, k, v, bias, causal, block_q=None, block_k=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
-    bq = _block_size(lq, (256, 128, 64, 32, 16, 8))
-    bk = _block_size(lk, (256, 128, 64, 32, 16, 8))
+    bq = _block_size(lq, (256, 128, 64, 32, 16, 8),
+                     prefer=block_q or DEFAULT_BLOCK_Q)
+    bk = _block_size(lk, (256, 128, 64, 32, 16, 8),
+                     prefer=block_k or DEFAULT_BLOCK_K)
     nq, nk = lq // bq, lk // bk
     scale = 1.0 / (d ** 0.5)
 
@@ -303,12 +312,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, bias, causal, out, lse, do):
+def _bwd(q, k, v, bias, causal, out, lse, do, block_q=None, block_k=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
-    bq = _block_size(lq, (256, 128, 64, 32, 16, 8))
-    bk = _block_size(lk, (256, 128, 64, 32, 16, 8))
+    bq = _block_size(lq, (256, 128, 64, 32, 16, 8),
+                     prefer=block_q or DEFAULT_BLOCK_Q)
+    bk = _block_size(lk, (256, 128, 64, 32, 16, 8),
+                     prefer=block_k or DEFAULT_BLOCK_K)
     nq, nk = lq // bq, lk // bk
     scale = 1.0 / (d ** 0.5)
 

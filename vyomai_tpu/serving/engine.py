@@ -38,7 +38,7 @@ class ContinuousBatchEngine:
                  max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
                  dtype=jnp.bfloat16, plus_one: bool = False,
-                 kv_backend: str = "auto"):
+                 kv_backend: str = "auto", decode_horizon: int = 8):
         self.model = model
         self.params = params
         self.cfg = model.config
@@ -62,6 +62,8 @@ class ContinuousBatchEngine:
         self.eos_token_id = (eos_token_id if eos_token_id is not None
                              else getattr(self.cfg, "eos_token_id", None))
         self.prefill_buckets = tuple(prefill_buckets)
+        # tokens decoded per host round-trip (device-side multi-step loop)
+        self.decode_horizon = max(1, decode_horizon)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
         self.waiting: deque = deque()
@@ -138,38 +140,45 @@ class ContinuousBatchEngine:
         if not states:
             return
         b = self.max_batch
+        horizon = self.decode_horizon
         tokens = np.zeros(b, dtype=np.int32)
         positions = np.zeros(b, dtype=np.int32)
-        seq_lens = np.zeros(b, dtype=np.int32)
-        slot_blocks = np.full(b, -1, dtype=np.int32)
-        slot_offsets = np.zeros(b, dtype=np.int32)
+        live_mask = np.zeros(b, dtype=bool)
         tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
 
         live = []
         for i, state in enumerate(states[:b]):
             pos = len(state.tokens) - 1  # position of the latest token
-            if not self.kv.allocate(state, pos + 1):
-                continue  # pool exhausted: let it retry next step
-            blocks, offs = self._slots_for(state, pos, 1)
+            # budget the whole horizon up front so in-graph slot arithmetic
+            # never walks off the block table; cap by table capacity
+            remaining = self.max_new_tokens - (len(state.tokens)
+                                               - state.prompt_len)
+            cap = self.max_blocks_per_seq * self.block_size - pos
+            h = max(min(horizon, remaining, cap), 1)
+            while h >= 1 and not self.kv.allocate(state, pos + h):
+                h //= 2  # pool pressure: shrink the grant
+            if h < 1:
+                continue  # pool exhausted: retry next tick
             tokens[i] = state.tokens[-1]
             positions[i] = pos
-            seq_lens[i] = pos + 1
-            slot_blocks[i] = blocks[0]
-            slot_offsets[i] = offs[0]
+            live_mask[i] = True
             tables[i, :len(state.block_table)] = state.block_table
-            live.append((i, state))
+            live.append((i, state, h))
 
         if not live:
             return
-        logits, self.pool = paged_model.decode(
+        gen, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-            jnp.asarray(seq_lens), jnp.asarray(slot_blocks),
-            jnp.asarray(slot_offsets))
-        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
-        for i, state in live:
-            state.tokens.append(int(next_tokens[i]))
-            self._maybe_finish(state)
+            jnp.asarray(live_mask), horizon)
+        gen = np.asarray(gen)
+        for i, state, h in live:
+            # only the granted steps are backed by allocated blocks
+            for t in gen[i, :h]:
+                state.tokens.append(int(t))
+                self._maybe_finish(state)
+                if state.finished:
+                    break
 
     def _maybe_finish(self, state: SequenceState):
         new = len(state.tokens) - state.prompt_len
@@ -184,8 +193,13 @@ class ContinuousBatchEngine:
             self.finished[state.seq_id] = state
 
     def step(self):
-        """One scheduler tick: admit -> prefill one -> decode batch."""
+        """One scheduler tick: admit -> drain prefills -> decode batch.
+
+        Prefills drain fully before decoding so horizon-decode batches run
+        at full occupancy (a decode tick costs the same regardless of how
+        many lanes are live)."""
         self._try_admit()
-        if self.needs_prefill:
+        while self.needs_prefill:
             self._prefill_one(self.needs_prefill.popleft())
+            self._try_admit()
         self._decode_batch()

@@ -124,16 +124,9 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
     return logits, pool
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
-def decode(model, plus_one: bool, params, pool, tokens, positions,
-           block_tables, seq_lens, slot_blocks, slot_offsets):
-    """Batched single-token decode.
-
-    tokens: [B] int32; positions: [B] absolute positions; block_tables:
-    [B, MAXB]; seq_lens: [B] context lengths incl. the new token;
-    slot_blocks/slot_offsets: [B] pool write targets (-1 = dead lane).
-    Returns (logits [B, V], pool).
-    """
+def _decode_core(model, plus_one, params, pool, tokens, positions,
+                 block_tables, seq_lens, slot_blocks, slot_offsets):
+    """One decode step over the paged pool. Returns (logits [B, V], pool)."""
     cfg = model.config
     emb_freq = model.emb_freq
     b = tokens.shape[0]
@@ -191,3 +184,53 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
         logits = hidden @ params["embed_tokens"]["weight"].T.astype(
             hidden.dtype)
     return logits, pool
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
+def decode(model, plus_one: bool, params, pool, tokens, positions,
+           block_tables, seq_lens, slot_blocks, slot_offsets):
+    """Batched single-token decode.
+
+    tokens: [B] int32; positions: [B] absolute positions; block_tables:
+    [B, MAXB]; seq_lens: [B] context lengths incl. the new token;
+    slot_blocks/slot_offsets: [B] pool write targets (-1 = dead lane).
+    Returns (logits [B, V], pool).
+    """
+    return _decode_core(model, plus_one, params, pool, tokens, positions,
+                        block_tables, seq_lens, slot_blocks, slot_offsets)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 8), donate_argnums=(3,))
+def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
+                   block_tables, live, horizon: int):
+    """Run ``horizon`` greedy decode steps fully on device — ONE host
+    round-trip per ``horizon`` tokens instead of per token. The engine
+    pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
+    arithmetic (``table[pos // BS], pos % BS``) always lands on live blocks.
+
+    tokens: [B] latest token per lane; positions: [B] its absolute
+    position; live: [B] bool lane validity. Returns
+    (generated [B, horizon], pool)."""
+    b = tokens.shape[0]
+    bs = pool["kv"].shape[3]
+    out_buf = jnp.zeros((b, horizon), dtype=jnp.int32)
+
+    def body(i, carry):
+        toks, pos, pl_, out = carry
+        blk_idx = pos // bs
+        slot_blocks = jnp.where(
+            live, jnp.take_along_axis(block_tables, blk_idx[:, None],
+                                      axis=1)[:, 0], -1)
+        slot_offsets = pos % bs
+        seq_lens = jnp.where(live, pos + 1, 0)
+        logits, pl_ = _decode_core(model, plus_one, params, pl_, toks, pos,
+                                   block_tables, seq_lens, slot_blocks,
+                                   slot_offsets)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out = out.at[:, i].set(nxt)
+        return nxt, pos + 1, pl_, out
+
+    _, _, pool, out_buf = jax.lax.fori_loop(
+        0, horizon, body, (tokens.astype(jnp.int32), positions, pool,
+                           out_buf))
+    return out_buf, pool
