@@ -175,3 +175,33 @@ def test_clip_loss_all_gather_multidevice():
     # per-device means average to the global mean (fp32 reorder ~1e-4)
     np.testing.assert_allclose(float(jnp.mean(per_dev)), float(global_loss),
                                atol=1e-3)
+
+
+def test_speculative_on_qwen_matches_greedy():
+    """speculative_generate works on the modern CLM protocol; greedy
+    drafter==target reproduces plain greedy (BASELINE config 5 requires
+    speculative decoding on the modern/VLM text stack)."""
+    from vyomai_tpu.generation import speculative_generate, GreedyProcessor
+    from vyomai_tpu.generation import generate
+    model = vt.ModelForCausalLM(QCFG.__class__(
+        **{**QCFG.__dict__, "max_position_embeddings": 64}))
+    params = model.init(jax.random.PRNGKey(4))
+    prompt = jnp.array([[3, 17, 42]])
+    toks, acc = speculative_generate(
+        prompt, model, params, model, params, gamma=3,
+        logits_processor=GreedyProcessor(), max_gen_len=8,
+        eos_tokens_id=9999, pad_token_id=1)
+    ref = generate(model, params, prompt, max_new_tokens=8, use_cache=True)
+    assert toks == ref[0, 3:].tolist()
+    assert acc == 1.0
+
+
+def test_generate_free_function_on_gemma():
+    """The jitted decode loop drives GemmaModel through the same protocol."""
+    from vyomai_tpu.generation import generate
+    model = vt.GemmaModel(TCFG)
+    params = model.init(jax.random.PRNGKey(5))
+    prompt = jnp.array([[3, 17, 42, 9]])
+    t1 = generate(model, params, prompt, max_new_tokens=5, use_cache=True)
+    t2 = generate(model, params, prompt, max_new_tokens=5, use_cache=False)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

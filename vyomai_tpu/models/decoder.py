@@ -44,11 +44,13 @@ class DecoderModel:
 
     def __init__(self, config: EncoderConfig,
                  pos_embedding_type: Optional[str] = "absolute",
-                 attention_type: Optional[str] = None) -> None:
+                 attention_type: Optional[str] = None,
+                 remat: bool = False) -> None:
         self.config = config
         self.pos_embedding_type = pos_embedding_type
         self.kind = "gqa" if attention_type == "gqa" else "mha"
         self.is_gqa = attention_type == "gqa"
+        self.remat = remat  # rematerialize layers in backward (see encoder)
         if pos_embedding_type == "rope":
             self.emb_freq = pos.rope_freqs(config.max_position_embeddings,
                                            config.head_dim)
@@ -134,6 +136,8 @@ class DecoderModel:
                 out = ffn_mod.ffn_apply(lp["ffn"], out, h, cfg,
                                         deterministic=deterministic, rng=f_rng)
                 return out, None
+            if self.remat:
+                body = jax.checkpoint(body)
             hidden, _ = jax.lax.scan(body, hidden, (params["layers"], layer_rngs))
             return hidden, None
 

@@ -44,10 +44,15 @@ class EncoderModel:
 
     def __init__(self, config: EncoderConfig,
                  pos_embedding_type: Optional[str] = "absolute",
-                 attention_type: Optional[str] = None) -> None:
+                 attention_type: Optional[str] = None,
+                 remat: bool = False) -> None:
         self.config = config
         self.pos_embedding_type = pos_embedding_type
         self.kind = "gqa" if attention_type == "gqa" else "mha"
+        # rematerialize each layer in the backward pass (activation memory
+        # ~O(1) in depth, the jax.checkpoint analogue of the reference's
+        # recompute-in-backward fused kernels)
+        self.remat = remat
         # Constant tables (not params): fold into the jitted graph.
         if pos_embedding_type == "rope":
             self.emb_freq = pos.rope_freqs(config.max_position_embeddings,
@@ -109,6 +114,8 @@ class EncoderModel:
                                     deterministic=deterministic, rng=ffn_rng)
             return out, None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         hidden, _ = jax.lax.scan(body, hidden, (params["layers"], layer_rngs))
         return hidden
 

@@ -7,6 +7,13 @@ Params get ``NamedSharding`` annotations; under ``jit`` XLA GSPMD inserts
 the all-reduces/all-gathers over ICI — the gradient psum the reference got
 implicitly from ``accelerator.backward`` falls out of the same machinery.
 
+Caveat: Pallas kernels are opaque to GSPMD — under a model-parallel mesh
+XLA will insert gathers around ``pallas_call`` rather than partitioning it.
+The sdpa auto-dispatch therefore pairs best with pure data parallelism;
+for tensor-parallel training either run the XLA attention path
+(``set_sdpa_impl("xla")``, fully partitionable) or wrap the attention in
+``jax.shard_map`` so each shard calls the kernel on its local heads.
+
 Rules (path-pattern -> PartitionSpec) follow the classic two-way split:
 - qkv / FFN-in kernels: column-parallel (shard the output dim)
 - attention-out / FFN-out kernels: row-parallel (shard the input dim)
