@@ -205,3 +205,59 @@ def test_generate_free_function_on_gemma():
     t1 = generate(model, params, prompt, max_new_tokens=5, use_cache=True)
     t2 = generate(model, params, prompt, max_new_tokens=5, use_cache=False)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_rpad_vlm_fusion_and_prefix():
+    from vyomai_tpu.models.rpad_vlm import RPADVisionLanguageModel
+    vcfg = vt.VisionConfig(hidden_size=64, num_attention_heads=4,
+                           num_hidden_layers=2, intermediate_size=128,
+                           image_size=(32, 32), patch_size=(8, 8),
+                           hidden_dropout_prob=0.0)
+    tcfg = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                            num_key_value_heads=2, num_hidden_layers=2,
+                            vocab_size=512, max_position_embeddings=64,
+                            intermediate_size=128, hidden_dropout_prob=0.0)
+    model = RPADVisionLanguageModel(tcfg, vt.Vit(vcfg), image_token_id=500,
+                                    pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(0))
+    n_img = vcfg.num_patches + 1
+    ids = jnp.concatenate(
+        [jnp.full((2, n_img), 500, jnp.int32),
+         jnp.arange(5, dtype=jnp.int32)[None].repeat(2, 0) + 3], axis=1)
+    px = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    tt = jnp.concatenate([jnp.zeros((2, n_img + 2), jnp.int32),
+                          jnp.ones((2, 3), jnp.int32)], axis=1)
+    out = model.apply(params, ids, px, token_type_ids=tt)
+    assert out.logits.shape == (2, n_img + 5, 512)
+    # image pixels reach logits
+    out2 = model.apply(params, ids, px + 1.0, token_type_ids=tt)
+    assert not jnp.allclose(out.logits, out2.logits)
+    # prefix-LM: a later prefix token affects position 0
+    ids2 = ids.at[:, n_img + 1].set(99)
+    out3 = model.apply(params, ids2, px, token_type_ids=tt)
+    assert not jnp.allclose(out.logits[:, 0], out3.logits[:, 0])
+
+
+def test_chat_template():
+    from vyomai_tpu.serving.chat import build_chat_prompt
+    ids = build_chat_prompt(
+        [("system", "be brief"), ("user", "hello")],
+        tokenize=lambda s: [ord(c) % 50 + 10 for c in s],
+        im_start_id=1, im_end_id=2, newline_id=3)
+    assert ids[0] == 1 and ids.count(2) == 2
+    # generation prompt appended
+    assert ids[-1] == 3
+
+
+def test_language_modeling_dataset(tmp_path):
+    import os
+    from vyomai_tpu.training import LanguageModeling
+    path = os.path.join(str(tmp_path), "corpus.txt")
+    open(path, "w").write("tok " * 200)
+    tok = lambda t: list(range(len(t.split())))
+    ds = LanguageModeling(tok, path, 16)
+    assert len(ds) == 12
+    assert ds[0]["input_ids"].shape == (16,)
+    # cache round-trip
+    ds2 = LanguageModeling(tok, path, 16)
+    np.testing.assert_array_equal(ds[3]["input_ids"], ds2[3]["input_ids"])

@@ -12,7 +12,7 @@ from .models import (  # noqa: F401
     CLIPModel, GemmaModel, SiglipVisionModel,
     PaliGemmaForConditionalGeneration, ModelForCausalLM, OCRModel,
     ImageEncoderViT, SamVitConfig, GOTOCR2Model, GOTOCR2Config,
-    DETRModel, DETRConfig)
+    DETRModel, DETRConfig, RPADVisionLanguageModel)
 from .layers.kv_cache import (  # noqa: F401
     DynamicCache, StaticCache, StaticCacheOne, DynamicCacheOne, init_cache)
 from .layers.adapters import LoraLinear, DoraLinear  # noqa: F401

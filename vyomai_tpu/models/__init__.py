@@ -12,5 +12,6 @@ from .ocr import OCRModel, DeepResNetEncoder  # noqa: F401
 from .sam_vit import ImageEncoderViT, SamVitConfig  # noqa: F401
 from .got_ocr2 import GOTOCR2Model, GOTOCR2Config  # noqa: F401
 from .detr import DETRModel, DETRConfig  # noqa: F401
+from .rpad_vlm import RPADVisionLanguageModel  # noqa: F401
 from .outputs import (  # noqa: F401
     EncoderOutput, MLMOutput, CLMOutput, Seq2SeqOutput, DecoderOutput)

@@ -6,7 +6,7 @@ from .losses import (  # noqa: F401
     distillation_loss)
 from .collators import (  # noqa: F401
     masked_language_modeling, electra_inputs, gumbel_sample, sft_collate,
-    dpo_collate, lm_blocks)
+    dpo_collate, lm_blocks, LanguageModeling)
 from .distill import select_layers, default_student_indices  # noqa: F401
 from . import checkpoint  # noqa: F401
 from .detection import detr_loss, hungarian_match, generalized_iou  # noqa: F401

@@ -109,3 +109,42 @@ def lm_blocks(token_ids: Sequence[int], block_size: int) -> np.ndarray:
     blocks = [token_ids[i:i + block_size]
               for i in range(0, len(token_ids) - block_size + 1, block_size)]
     return np.asarray(blocks, dtype=np.int64)
+
+
+class LanguageModeling:
+    """Fixed-block LM dataset from a text file with an .npz feature cache
+    (reference ``pretraining/collators.py:108-165`` ``LanguageModeling``).
+
+    ``tokenize``: callable text -> list[int];
+    ``add_special_tokens``: optional callable block -> block."""
+
+    def __init__(self, tokenize, file_path: str, block_size: int,
+                 add_special_tokens=None, num_special_tokens: int = 0,
+                 cache_dir: Optional[str] = None):
+        import os
+        if not os.path.isfile(file_path):
+            raise ValueError(f"Input file path {file_path} not found")
+        block_size = block_size - num_special_tokens
+        directory, filename = os.path.split(file_path)
+        cached = os.path.join(cache_dir or directory,
+                              f"cached_lm_{block_size}_{filename}.npz")
+        if os.path.exists(cached):
+            self.examples = list(np.load(cached)["examples"])
+        else:
+            with open(file_path, encoding="utf-8") as f:
+                text = f.read()
+            ids = tokenize(text)
+            self.examples = []
+            for i in range(0, len(ids) - block_size + 1, block_size):
+                block = ids[i:i + block_size]
+                if add_special_tokens is not None:
+                    block = add_special_tokens(block)
+                self.examples.append(np.asarray(block, dtype=np.int64))
+            if self.examples:
+                np.savez(cached, examples=np.stack(self.examples))
+
+    def __len__(self):
+        return len(self.examples)
+
+    def __getitem__(self, i):
+        return {"input_ids": self.examples[i]}
