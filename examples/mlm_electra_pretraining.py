@@ -63,9 +63,10 @@ def run_electra(steps: int):
         "disc_head": cnn.linear_init(jax.random.fold_in(key, 2),
                                      CFG.hidden_size, 1),
     }
-    # tie word embeddings between G and D (reference N7)
-    params["discriminator"]["word_embeddings"] = \
-        params["generator"]["encoder"]["word_embeddings"]
+    # tie word embeddings between G and D (reference N7) structurally:
+    # the discriminator reads the generator's table at apply time (aliasing
+    # the same array twice in a donated pytree trips XLA buffer donation)
+    del params["discriminator"]["word_embeddings"]
     data = np.random.default_rng(0).integers(
         5, CFG.vocab_size, size=(256, 48)).astype(np.int32)
 
@@ -79,7 +80,10 @@ def run_electra(steps: int):
                                   jnp.ones_like(ids))
         disc_in, disc_labels, non_pad = electra_inputs(
             r2, gen_out.logits, ids, masked_idx, PAD)
-        disc_hidden = discriminator.apply(p["discriminator"], disc_in,
+        disc_params = {**p["discriminator"],
+                       "word_embeddings":
+                       p["generator"]["encoder"]["word_embeddings"]}
+        disc_hidden = discriminator.apply(disc_params, disc_in,
                                           jnp.ones_like(ids)).logits
         disc_logits = cnn.linear(p["disc_head"], disc_hidden)
         total, g_loss, d_loss = electra_loss(

@@ -22,3 +22,8 @@ from .generation import (  # noqa: F401
     TopKNucleusProcessor)
 
 __version__ = "0.1.0"
+from . import utils  # noqa: F401
+from . import serving  # noqa: F401
+from . import training  # noqa: F401
+from . import parallel  # noqa: F401
+from . import interop  # noqa: F401

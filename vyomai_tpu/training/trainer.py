@@ -35,6 +35,7 @@ def make_optimizer(learning_rate=1e-4, *, clip_norm: Optional[float] = 1.0,
     """AdamW + global-norm clipping + optional warmup-cosine schedule
     (the reference recipes' cosine LR + clip_grad_norm(1.0))."""
     if schedule == "cosine" and total_steps:
+        warmup_steps = min(warmup_steps, max(total_steps - 1, 0))
         lr = optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps, total_steps)
     elif warmup_steps:
