@@ -261,3 +261,27 @@ def test_language_modeling_dataset(tmp_path):
     # cache round-trip
     ds2 = LanguageModeling(tok, path, 16)
     np.testing.assert_array_equal(ds[3]["input_ids"], ds2[3]["input_ids"])
+
+
+def test_sharded_sdpa_matches_single_device():
+    """shard_map-wrapped attention over a head-sharded CPU mesh equals the
+    single-device result (TP attention without collectives)."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.parallel.tp_attention import sharded_sdpa
+    from vyomai_tpu.layers.attention import sdpa, set_sdpa_impl
+    from vyomai_tpu.core.masks import causal_mask
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    mesh = Mesh(np.array(cpus[:4]), ("model",))
+    B, H, L, D = 2, 8, 32, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    mask = causal_mask(L, None, batch_size=B)
+    set_sdpa_impl("xla")
+    with jax.default_device(cpus[0]):
+        ref = sdpa(q, k, v, mask)
+        out = sharded_sdpa(mesh, q, k, v, mask)
+    set_sdpa_impl("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -243,3 +243,38 @@ def test_detr_forward_loss_and_matching():
     b = box_cxcywh_to_xyxy(jnp.asarray([[0.5, 0.5, 0.2, 0.2]]))
     np.testing.assert_allclose(float(generalized_iou(b, b)[0, 0]), 1.0,
                                atol=1e-6)
+
+
+def test_param_pspec_rules():
+    """Megatron-style sharding rules map to the expected PartitionSpecs."""
+    from jax.sharding import PartitionSpec as P
+    from vyomai_tpu.parallel import param_pspec
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope",
+                            attention_type="gqa")
+    params = model.init(jax.random.PRNGKey(0))
+    specs = param_pspec(params)
+    lay = specs["layers"]
+    # stacked kernels get a leading None for the layer axis
+    assert lay["attention"]["query"]["kernel"] == P(None, None, "model")
+    assert lay["attention"]["out"]["dense"]["kernel"] == P(None, "model", None)
+    assert lay["ffn"]["intermediate"]["kernel"] == P(None, None, "model")
+    assert lay["ffn"]["out"]["kernel"] == P(None, "model", None)
+    assert specs["word_embeddings"]["weight"] == P(None, "model")
+    assert specs["lm_head"]["decoder"]["kernel"] == P(None, "model")
+    # norms replicated
+    assert lay["attention"]["out"]["layernorm"]["weight"] == P()
+
+
+def test_timing_tpu_and_model_utils():
+    from vyomai_tpu.utils import timing_tpu, model_parameters, model_size
+    model = vt.EncoderModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    info = model_parameters(params)
+    assert info["total_params"] > 0
+    assert model_size(params) > 0
+    ids = jnp.ones((2, 8), jnp.int32)
+    fn = jax.jit(lambda p, i: model.apply(p, i).logits)
+    stats = timing_tpu(fn, params, ids, num_batches=3, min_new_tokens=4)
+    assert stats["mean_ms"] > 0
+    assert stats["latency_per_token_ms"] == pytest.approx(
+        stats["mean_ms"] / 4)

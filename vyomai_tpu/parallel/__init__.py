@@ -1,2 +1,3 @@
 from .mesh import (  # noqa: F401
     create_mesh, param_pspec, shard_params, data_sharding, replicated)
+from .tp_attention import sharded_sdpa  # noqa: F401
