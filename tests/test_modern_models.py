@@ -285,3 +285,28 @@ def test_sharded_sdpa_matches_single_device():
         out = sharded_sdpa(mesh, q, k, v, mask)
     set_sdpa_impl("auto")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_full(causal):
+    """Sequence-parallel ring attention over a 4-device CPU ring equals
+    single-device full attention (both mask regimes)."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.ops.ring_attention import ring_attention
+    from vyomai_tpu.layers.attention import sdpa, set_sdpa_impl
+    from vyomai_tpu.core.masks import causal_mask
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    mesh = Mesh(np.array(cpus[:4]), ("sp",))
+    B, H, L, D = 2, 4, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, D))
+    set_sdpa_impl("xla")
+    with jax.default_device(cpus[0]):
+        mask = causal_mask(L, None, batch_size=B) if causal else None
+        ref = sdpa(q, k, v, mask)
+        out = ring_attention(q, k, v, mesh=mesh, causal=causal)
+    set_sdpa_impl("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -1,1 +1,2 @@
-from . import flash_attention, fused, paged_attention, paged_decode_pallas  # noqa: F401
+from . import (flash_attention, fused, paged_attention,  # noqa: F401
+               paged_decode_pallas, ring_attention)
