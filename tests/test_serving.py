@@ -115,3 +115,14 @@ def test_engine_more_requests_than_batch(qwen):
     out = eng.run()
     assert set(out.keys()) == set(sids)
     assert all(len(v) == 3 for v in out.values())
+
+
+def test_engine_rejects_oversized_prompt(qwen):
+    model, params = qwen
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_blocks_per_seq=8,
+                                max_new_tokens=2, dtype=jnp.float32,
+                                prefill_buckets=(8,))
+    eng.submit(list(range(3, 20)))  # 17 tokens > largest bucket 8
+    with pytest.raises(ValueError, match="prefill bucket"):
+        eng.run()
