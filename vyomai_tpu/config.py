@@ -11,7 +11,7 @@ functions as static structure.
 """
 
 from dataclasses import dataclass, field, replace
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclass(frozen=True)

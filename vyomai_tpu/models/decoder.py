@@ -27,8 +27,7 @@ import jax.numpy as jnp
 
 from ..config import EncoderConfig
 from ..core import nn as cnn
-from ..core.masks import (bidirectional_mask, causal_mask,
-                          causal_mask_static_kv)
+from ..core.masks import bidirectional_mask, causal_mask_static_kv
 from ..layers import attention as attn
 from ..layers import ffn as ffn_mod
 from ..layers import positional as pos

@@ -8,8 +8,7 @@ host-side (``scipy.optimize.linear_sum_assignment``), standard even for GPU
 DETR; the loss itself is jittable given the assignment
 (``training.detection``)."""
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +17,7 @@ from ..config import EncoderConfig
 from ..core import nn as cnn
 from ..layers import attention as attn
 from ..layers import ffn as ffn_mod
-from .ocr import DeepResNetEncoder, sinusoidal_2d
+from .ocr import DeepResNetEncoder
 
 
 @dataclass(frozen=True)

@@ -60,8 +60,7 @@ class DeepResNetEncoder:
     positions (reference ``DeepResNetEncoder``)."""
 
     def __init__(self, config: EncoderConfig, in_channels: int = 1,
-                 channels: Tuple[int, ...] = (32, 64, 128),
-                 num_downsamples: Optional[int] = None):
+                 channels: Tuple[int, ...] = (32, 64, 128)):
         self.config = config
         self.in_channels = in_channels
         self.channels = channels

@@ -11,9 +11,8 @@ TPU-first notes:
   matmuls.
 """
 
-import math
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

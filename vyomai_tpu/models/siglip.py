@@ -5,8 +5,6 @@ transformer blocks with tanh-GELU MLP, final post-LayerNorm. Patchify
 lowers to a single MXU matmul under XLA.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -19,9 +19,6 @@ Shift semantics for CLM (``x[:, :-1]`` vs ``target[:, 1:]``) follow the
 reference's fused decoder (``vyom-ai-decoder-fused.ipynb`` MyLinearCrossEntropy).
 """
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

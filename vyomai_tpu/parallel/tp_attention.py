@@ -12,7 +12,6 @@ what all the library mask builders produce.
 """
 
 from functools import partial
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P

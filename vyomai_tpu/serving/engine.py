@@ -11,11 +11,9 @@ match, finished harvest) around jitted static-shape device steps:
 Sampling is greedy argmax (the reference's choice).
 """
 
-import math
 from collections import deque
 from typing import Dict, List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

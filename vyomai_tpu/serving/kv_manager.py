@@ -21,7 +21,7 @@ Ownership protocol:
 """
 
 from collections import OrderedDict, deque
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 
 class RadixNode:

@@ -11,7 +11,7 @@ usable.
 import ctypes
 import os
 import subprocess
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

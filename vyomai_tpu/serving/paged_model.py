@@ -11,14 +11,13 @@ changes never trigger recompiles (SURVEY.md §7 hard part #2).
 """
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core import nn as cnn
 from ..layers.modern import swiglu_apply
-from ..layers.positional import rope_freqs, rotate_half
+from ..layers.positional import rotate_half
 from ..ops.paged_attention import (gather_kv, paged_attention_decode,
                                    write_kv, NEG_INF)
 from ..ops import paged_decode_pallas

@@ -12,7 +12,7 @@ pipelines or on host numpy equally.
   SFT/DPO recipes (N5/N6).
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -104,8 +104,6 @@ def dpo_collate(prompts: Sequence[Sequence[int]],
 
 def lm_blocks(token_ids: Sequence[int], block_size: int) -> np.ndarray:
     """Fixed-size LM blocks (reference ``LanguageModeling`` dataset core)."""
-    n = (len(token_ids) - block_size + 1) // block_size + 1 \
-        if len(token_ids) >= block_size else 0
     blocks = [token_ids[i:i + block_size]
               for i in range(0, len(token_ids) - block_size + 1, block_size)]
     return np.asarray(blocks, dtype=np.int64)

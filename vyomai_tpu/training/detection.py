@@ -2,8 +2,6 @@
 given the assignment (the standard split — matching is data-dependent
 control flow, the loss is dense math)."""
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

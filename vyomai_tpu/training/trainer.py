@@ -11,15 +11,13 @@ clip-by-norm, tensorboard — ``vyomai-fused-kernals-2t4.ipynb`` main()) with:
 
 import json
 import time
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from ..parallel.mesh import (create_mesh, data_sharding, param_pspec,
-                             replicated, shard_params)
+from ..parallel.mesh import create_mesh, data_sharding, shard_params
 
 
 class TrainState(NamedTuple):
