@@ -36,7 +36,8 @@ class ContinuousBatchEngine:
                  max_new_tokens: int = 128, eos_token_id: Optional[int] = None,
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
                  dtype=jnp.bfloat16, plus_one: bool = False,
-                 kv_backend: str = "auto", decode_horizon: int = 8):
+                 kv_backend: str = "auto", decode_horizon: int = 8,
+                 prefill_group: int = 4):
         self.model = model
         self.params = params
         self.cfg = model.config
@@ -62,6 +63,8 @@ class ContinuousBatchEngine:
         self.prefill_buckets = tuple(prefill_buckets)
         # tokens decoded per host round-trip (device-side multi-step loop)
         self.decode_horizon = max(1, decode_horizon)
+        # admissions prefilled per device call (padded, recompile-free)
+        self.prefill_group = max(1, prefill_group)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
         self.waiting: deque = deque()
@@ -105,33 +108,44 @@ class ContinuousBatchEngine:
         offs = [(start + i) % bs for i in range(count)]
         return blocks, offs
 
-    def _prefill_one(self, state: SequenceState):
-        cached = state.num_cached_tokens
-        suffix = state.tokens[cached:state.prompt_len]
-        t = len(suffix)
-        t_pad = _bucket(t, self.prefill_buckets)
-        ids = np.zeros(t_pad, dtype=np.int32)
-        ids[:t] = suffix
-        positions = np.minimum(cached + np.arange(t_pad),
-                               cached + t - 1).astype(np.int32)
-        blocks, offs = self._slots_for(state, cached, t)
-        slot_blocks = np.full(t_pad, -1, dtype=np.int32)
-        slot_offsets = np.zeros(t_pad, dtype=np.int32)
-        slot_blocks[:t] = blocks
-        slot_offsets[:t] = offs
-        table = np.full(self.max_blocks_per_seq, -1, dtype=np.int32)
-        table[:len(state.block_table)] = state.block_table
+    def _prefill_group_call(self, states):
+        """Prefill up to ``prefill_group`` admissions in one device call
+        (padded to the group's largest suffix bucket; dead lanes masked)."""
+        n_pad = self.prefill_group
+        suffixes = [s.tokens[s.num_cached_tokens:s.prompt_len]
+                    for s in states]
+        t_pad = _bucket(max(len(sf) for sf in suffixes),
+                        self.prefill_buckets)
+        ids = np.zeros((n_pad, t_pad), dtype=np.int32)
+        positions = np.zeros((n_pad, t_pad), dtype=np.int32)
+        slot_blocks = np.full((n_pad, t_pad), -1, dtype=np.int32)
+        slot_offsets = np.zeros((n_pad, t_pad), dtype=np.int32)
+        tables = np.full((n_pad, self.max_blocks_per_seq), -1, dtype=np.int32)
+        ctx_len = np.zeros(n_pad, dtype=np.int32)
+        true_len = np.zeros(n_pad, dtype=np.int32)
+        for i, (state, suffix) in enumerate(zip(states, suffixes)):
+            cached = state.num_cached_tokens
+            t = len(suffix)
+            ids[i, :t] = suffix
+            positions[i] = np.minimum(cached + np.arange(t_pad),
+                                      cached + max(t - 1, 0))
+            blocks, offs = self._slots_for(state, cached, t)
+            slot_blocks[i, :t] = blocks
+            slot_offsets[i, :t] = offs
+            tables[i, :len(state.block_table)] = state.block_table
+            ctx_len[i] = state.prompt_len
+            true_len[i] = t
 
         logits, self.pool = paged_model.prefill(
             self.model, self.plus_one, self.params, self.pool,
             jnp.asarray(ids), jnp.asarray(positions),
             jnp.asarray(slot_blocks), jnp.asarray(slot_offsets),
-            jnp.asarray(table), jnp.asarray(state.prompt_len, jnp.int32),
-            jnp.asarray(t, jnp.int32))
-        next_tok = int(jnp.argmax(logits))
-        state.tokens.append(next_tok)
-        self.active[state.seq_id] = state
-        self._maybe_finish(state)
+            jnp.asarray(tables), jnp.asarray(ctx_len), jnp.asarray(true_len))
+        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        for i, state in enumerate(states):
+            state.tokens.append(int(next_tokens[i]))
+            self.active[state.seq_id] = state
+            self._maybe_finish(state)
 
     def _decode_batch(self):
         states = [s for s in self.active.values() if not s.finished]
@@ -198,6 +212,9 @@ class ContinuousBatchEngine:
         many lanes are live)."""
         self._try_admit()
         while self.needs_prefill:
-            self._prefill_one(self.needs_prefill.popleft())
+            group = []
+            while self.needs_prefill and len(group) < self.prefill_group:
+                group.append(self.needs_prefill.popleft())
+            self._prefill_group_call(group)
             self._try_admit()
         self._decode_batch()

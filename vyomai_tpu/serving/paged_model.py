@@ -30,79 +30,80 @@ def init_pool(config, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
     return {"kv": jnp.zeros(shape, dtype=dtype)}
 
 
-def _rope_at(emb_freq, positions, x_q, x_k):
-    """Apply RoPE at explicit ``positions`` [T]. x: [H, T, D]."""
-    freqs = jnp.take(emb_freq[0], positions, axis=0)      # [T, D/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)[None]  # [1, T, D]
-    cos = jnp.cos(emb).astype(x_q.dtype)
-    sin = jnp.sin(emb).astype(x_q.dtype)
-    q = x_q * cos + rotate_half(x_q) * sin
-    k = x_k * cos + rotate_half(x_k) * sin
-    return q, k
-
-
-def _qkv(lp, cfg, hidden):
-    """hidden: [T, Dm] -> q [H, T, D], k/v [Hkv, T, D] (with QK-norm)."""
-    t = hidden.shape[0]
-    nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                   cfg.head_dim)
-    q = cnn.linear(lp["self_attn"]["q_proj"], hidden).reshape(t, nh, hd)
-    k = cnn.linear(lp["self_attn"]["k_proj"], hidden).reshape(t, nkv, hd)
-    v = cnn.linear(lp["self_attn"]["v_proj"], hidden).reshape(t, nkv, hd)
-    if "q_norm" in lp["self_attn"]:
-        q = cnn.rms_norm(lp["self_attn"]["q_norm"], q, eps=cfg.rms_norm_eps)
-        k = cnn.rms_norm(lp["self_attn"]["k_norm"], k, eps=cfg.rms_norm_eps)
-    return (q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2))
-
-
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
 def prefill(model, plus_one: bool, params, pool, ids, positions,
-            slot_blocks, slot_offsets, block_table, ctx_len, true_len):
-    """Single-sequence prefill of the uncached prompt suffix.
+            slot_blocks, slot_offsets, block_tables, ctx_len, true_len):
+    """Batched prefill of uncached prompt suffixes (one device call for a
+    whole group of admissions — the engine packs same-bucket sequences).
 
-    ids: [T_pad] (padded bucket); positions: [T_pad] absolute positions
-    (cached_len + i, clamped); slot_blocks/slot_offsets: [T_pad] pool write
-    targets (-1 for padding); block_table: [MAXB]; ctx_len: scalar total
-    context after this prefill (= cached + true_len); true_len: scalar
-    number of real suffix tokens. Returns (last-token logits [V], pool).
+    ids/positions/slot_blocks/slot_offsets: [N, T_pad] (slot -1 = padding or
+    dead lane); block_tables: [N, MAXB]; ctx_len/true_len: [N] (total
+    context after prefill / number of real suffix tokens; 0 = dead lane).
+    Returns (last-token logits [N, V], pool).
     """
     cfg = model.config
     emb_freq = model.emb_freq
-    t_pad = ids.shape[0]
-    hidden = cnn.embedding(params["embed_tokens"], ids[None])[0]
-    if hasattr(cfg, "hidden_size") and plus_one:  # gemma input scaling
+    n, t_pad = ids.shape
+    nh, nkv_h, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                     cfg.head_dim)
+    hidden = cnn.embedding(params["embed_tokens"], ids)       # [N, Tp, Dm]
+    if plus_one:  # gemma input scaling
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
 
     nb, bs = pool["kv"].shape[1], pool["kv"].shape[3]
-    maxb = block_table.shape[0]
-    tables = jnp.where(block_table < 0, 0, block_table)
+    maxb = block_tables.shape[1]
+    tables = jnp.where(block_tables < 0, 0, block_tables)
+    flat_blocks = slot_blocks.reshape(-1)
+    flat_offsets = slot_offsets.reshape(-1)
 
-    # causal-with-offset mask over the gathered context [T_pad, MAXB*BS]
+    # causal-with-offset mask over the gathered context [N, Tp, MAXB*BS]
     t_ctx = maxb * bs
-    k_pos = jnp.arange(t_ctx)[None, :]
-    q_abs = positions[:, None]
-    attn_mask = jnp.where((k_pos <= q_abs) & (k_pos < ctx_len), 0.0, NEG_INF)
+    k_pos = jnp.arange(t_ctx)[None, None, :]
+    q_abs = positions[:, :, None]
+    attn_mask = jnp.where(
+        (k_pos <= q_abs) & (k_pos < ctx_len[:, None, None]), 0.0, NEG_INF)
+
+    # per-token RoPE tables [N, Tp, D]
+    freqs = jnp.take(emb_freq[0], positions.reshape(-1), axis=0)
+    emb = jnp.concatenate([freqs, freqs], axis=-1).reshape(n, t_pad, 1, -1)
+    cos = jnp.cos(emb)
+    sin = jnp.sin(emb)
 
     def body(h, xs):
         lp, pkv = xs
         normed = cnn.rms_norm(lp["input_layernorm"], h, eps=cfg.rms_norm_eps,
                               plus_one=plus_one)
-        q, k, v = _qkv(lp, cfg, normed)
-        q, k = _rope_at(emb_freq, positions, q, k)
-        pkv = write_kv(pkv, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
-                       slot_blocks, slot_offsets)
-        kk, vv = gather_kv(pkv, tables, cfg.num_key_value_heads)
-        group = cfg.num_attention_heads // cfg.num_key_value_heads
-        kk = jnp.repeat(kk, group, axis=0)                     # [H, Tctx, D]
-        vv = jnp.repeat(vv, group, axis=0)
-        scale = 1.0 / (cfg.head_dim ** 0.5)
-        scores = jnp.einsum("htd,hsd->hts", q.astype(jnp.float32),
+        q = cnn.linear(lp["self_attn"]["q_proj"], normed).reshape(
+            n, t_pad, nh, hd)
+        k = cnn.linear(lp["self_attn"]["k_proj"], normed).reshape(
+            n, t_pad, nkv_h, hd)
+        v = cnn.linear(lp["self_attn"]["v_proj"], normed).reshape(
+            n, t_pad, nkv_h, hd)
+        if "q_norm" in lp["self_attn"]:
+            q = cnn.rms_norm(lp["self_attn"]["q_norm"], q,
+                             eps=cfg.rms_norm_eps)
+            k = cnn.rms_norm(lp["self_attn"]["k_norm"], k,
+                             eps=cfg.rms_norm_eps)
+        c = cos.astype(q.dtype)
+        si = sin.astype(q.dtype)
+        q = q * c + rotate_half(q) * si                      # [N, Tp, H, D]
+        k = k * c + rotate_half(k) * si
+        pkv = write_kv(pkv, k.reshape(n * t_pad, nkv_h, hd),
+                       v.reshape(n * t_pad, nkv_h, hd),
+                       flat_blocks, flat_offsets)
+        kk, vv = jax.vmap(lambda t: gather_kv(pkv, t, nkv_h))(tables)
+        group = nh // nkv_h
+        kk = jnp.repeat(kk, group, axis=1)                   # [N, H, Tctx, D]
+        vv = jnp.repeat(vv, group, axis=1)
+        scale = 1.0 / (hd ** 0.5)
+        qh = q.transpose(0, 2, 1, 3)                         # [N, H, Tp, D]
+        scores = jnp.einsum("nhtd,nhsd->nhts", qh.astype(jnp.float32),
                             kk.astype(jnp.float32)) * scale
-        scores = scores + attn_mask[None]
+        scores = scores + attn_mask[:, None]
         probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("hts,hsd->htd", probs,
+        attn = jnp.einsum("nhts,nhsd->nhtd", probs,
                           vv.astype(jnp.float32)).astype(h.dtype)
-        attn = attn.transpose(1, 0, 2).reshape(t_pad, -1)
+        attn = attn.transpose(0, 2, 1, 3).reshape(n, t_pad, -1)
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
@@ -115,7 +116,9 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
     pool = {"kv": nkv}
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
-    last = hidden[true_len - 1]
+    last = jnp.take_along_axis(
+        hidden, jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0]                                        # [N, Dm]
     if "lm_head" in params:
         logits = cnn.linear(params["lm_head"], last)
     else:
