@@ -118,3 +118,31 @@ def test_supported_gating():
     # odd head_dim
     assert not fa.supported(jnp.zeros((1, 4, 256, 48)),
                             jnp.zeros((1, 4, 256, 48)), None)
+
+
+def test_bias_path_with_longer_kv(qkv):
+    """Cached-prefill shape: queries shorter than the static KV buffer
+    (the mask regime DecoderModel uses for prompts >= 128 tokens)."""
+    q, k, v = qkv
+    lq = 128
+    qs = q[:, :, :lq]
+    from vyomai_tpu.core.masks import causal_mask_static_kv
+    mask = causal_mask_static_kv(lq, L, 0, None, batch_size=B)
+    with jax.default_matmul_precision("highest"):
+        ref = _xla(qs, k, v, mask)
+        out = fa.flash_attention_bias(qs, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_bias_path_with_longer_kv_nonzero_start(qkv):
+    """Prefill resuming mid-cache (start_pos > 0): only a window of keys is
+    valid; flash must reproduce the XLA result bit-for-bit at highest."""
+    q, k, v = qkv
+    lq, start = 64, 32
+    qs = q[:, :, :lq]
+    from vyomai_tpu.core.masks import causal_mask_static_kv
+    mask = causal_mask_static_kv(lq, L, start, None, batch_size=B)
+    with jax.default_matmul_precision("highest"):
+        ref = _xla(qs, k, v, mask)
+        out = fa.flash_attention_bias(qs, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
