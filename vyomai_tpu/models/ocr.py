@@ -50,7 +50,8 @@ def _conv_init(key, out_ch, in_ch, k, dtype):
 
 def _conv(p, x, stride=1, padding="SAME"):
     out = jax.lax.conv_general_dilated(
-        x, p["kernel"], window_strides=(stride, stride), padding=padding,
+        x.astype(p["kernel"].dtype), p["kernel"],
+        window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
     return out + p["bias"][None, :, None, None]
 

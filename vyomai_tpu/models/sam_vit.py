@@ -49,7 +49,8 @@ def _conv_init(key, out_ch, in_ch, kh, kw, dtype, bias=True):
 
 def _conv(p, x, stride=1, padding="SAME"):
     out = jax.lax.conv_general_dilated(
-        x, p["kernel"], window_strides=(stride, stride), padding=padding,
+        x.astype(p["kernel"].dtype), p["kernel"],
+        window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
     if "bias" in p:
         out = out + p["bias"][None, :, None, None]

@@ -66,8 +66,9 @@ class SiglipVisionModel:
     def apply(self, params, pixel_values):
         """[B, C, H, W] -> [B, num_patches, hidden]."""
         cfg = self.config
+        kern = params["patch_embedding"]["kernel"]
         out = jax.lax.conv_general_dilated(
-            pixel_values, params["patch_embedding"]["kernel"],
+            pixel_values.astype(kern.dtype), kern,
             window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"))
         out = out + params["patch_embedding"]["bias"][None, :, None, None]

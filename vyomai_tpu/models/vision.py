@@ -69,8 +69,9 @@ class Vit:
 
     def patchify(self, params, pixel_values):
         """[B,C,H,W] -> [B, num_patches, hidden] (conv -> flatten)."""
+        kern = params["pixel_seq"]["kernel"]
         out = jax.lax.conv_general_dilated(
-            pixel_values, params["pixel_seq"]["kernel"],
+            pixel_values.astype(kern.dtype), kern,
             window_strides=self.config.patch_size, padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"))
         out = out + params["pixel_seq"]["bias"][None, :, None, None]
