@@ -46,10 +46,16 @@ def build(fused: bool):
 
     if fused:
         def loss_fn(p, batch, rng):
+            from vyomai_tpu.core import nn as cnn
             out = model.apply(p, batch["ids"], batch["mask"])
-            # hidden-state CE through the chunked fused head
+            # same lm-head transform as out.logits (dense+GELU+LN), then
+            # the decoder projection fused into the chunked CE — both paths
+            # optimize the identical objective (ADVICE r1)
+            h = cnn.linear(p["lm_head"]["dense"], out.hidden_state)
+            h = cnn.layer_norm(p["lm_head"]["layer_norm"], cnn.gelu(h),
+                               eps=getattr(CFG, "layer_norm_eps", 1e-6))
             loss = lm_head_ce_loss(
-                out.hidden_state, p["lm_head"]["decoder"]["kernel"],
+                h, p["lm_head"]["decoder"]["kernel"],
                 p["lm_head"]["decoder"]["bias"], batch["ids"], shift=True,
                 chunk_size=2048)
             return loss, {}
@@ -82,8 +88,6 @@ def measure(fused: bool) -> float:
 
 
 def main():
-    # Note: bench uses hidden-state CE for the fused path and full-logits CE
-    # for the naive path — identical math, different memory/fusion schedule.
     naive = measure(fused=False)
     fused = measure(fused=True)
     set_sdpa_impl("auto")

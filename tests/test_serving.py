@@ -117,12 +117,121 @@ def test_engine_more_requests_than_batch(qwen):
     assert all(len(v) == 3 for v in out.values())
 
 
+def test_write_kv_dead_rows_never_collide():
+    """ADVICE r1 (high): padding rows must not scatter stale values into a
+    real block — a dead row aimed at the same (block, offset) as a live
+    write used to be able to win the duplicate-index race."""
+    from vyomai_tpu.ops.paged_attention import write_kv
+    pool = jnp.zeros((4, 2, 2, 8))  # NB=4, BS=2, width=8 (h_kv=2, d=4)
+    k = jnp.stack([jnp.full((2, 4), 7.0),    # live row -> block 3 (== NB-1)
+                   jnp.full((2, 4), -5.0)])  # dead row, same offset
+    slot_block = jnp.asarray([3, -1], dtype=jnp.int32)
+    slot_offset = jnp.asarray([1, 1], dtype=jnp.int32)
+    out = write_kv(pool, k, k, slot_block, slot_offset)
+    np.testing.assert_allclose(np.asarray(out[3, 0, 1]), 7.0)
+    np.testing.assert_allclose(np.asarray(out[3, 1, 1]), 7.0)
+    # dead row dropped entirely — nothing else in the pool was touched
+    assert float(jnp.abs(out).sum()) == pytest.approx(7.0 * 16)
+
+
+def test_engine_preemption_under_pool_pressure(qwen, monkeypatch):
+    """A pool too small for all admitted sequences preempts (recompute
+    policy) instead of busy-spinning, and still produces exact greedy."""
+    model, params = qwen
+    prompts = [[3, 17, 42, 9, 21, 33, 40, 2], [5, 11, 8, 30, 12, 44, 7]]
+    # 5 blocks of 4 fit exactly the two prefills (3 + 2 blocks); any decode
+    # growth must fail until one sequence is preempted and recomputed later
+    preempts = []
+    orig = ContinuousBatchEngine._preempt_youngest
+    monkeypatch.setattr(ContinuousBatchEngine, "_preempt_youngest",
+                        lambda self: (preempts.append(1), orig(self))[1])
+    eng = ContinuousBatchEngine(model, params, num_blocks=5, block_size=4,
+                                max_batch=2, max_blocks_per_seq=8,
+                                max_new_tokens=8, dtype=jnp.float32,
+                                prefill_buckets=(8,))
+    sids = [eng.submit(p) for p in prompts]
+    out = eng.run()
+    assert preempts, "scenario never hit the preemption path"
+    for sid, prompt in zip(sids, prompts):
+        ref = generate(model, params, jnp.asarray([prompt], dtype=jnp.int32),
+                       max_new_tokens=8, use_cache=True)
+        assert out[sid] == ref[0, len(prompt):].tolist(), f"seq {sid}"
+
+
+def test_engine_pool_too_small_raises(qwen):
+    model, params = qwen
+    eng = ContinuousBatchEngine(model, params, num_blocks=2, block_size=4,
+                                max_batch=2, max_blocks_per_seq=8,
+                                max_new_tokens=4, dtype=jnp.float32,
+                                prefill_buckets=(8, 16))
+    eng.submit(list(range(3, 15)))  # 12 tokens need 4 blocks, pool has 2
+    with pytest.raises(RuntimeError, match="pool too small"):
+        eng.run()
+
+
+def test_engine_eos_stops_horizon(qwen):
+    """Device-side EOS: lanes freeze at EOS mid-horizon and output matches
+    the no-EOS run truncated at the first EOS occurrence."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9]
+
+    def run(eos):
+        eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                    block_size=8, max_batch=2,
+                                    max_blocks_per_seq=8, max_new_tokens=10,
+                                    dtype=jnp.float32, prefill_buckets=(8,),
+                                    eos_token_id=eos, decode_horizon=4)
+        sid = eng.submit(list(prompt))
+        return eng.run()[sid]
+
+    free_run = run(eos=9999)           # never fires (outside vocab)
+    assert len(free_run) == 10
+    eos_tok = free_run[5]              # force EOS mid-second-horizon
+    stopped = run(eos=eos_tok)
+    cut = free_run.index(eos_tok)
+    assert stopped == free_run[:cut + 1]
+
+
+def test_engine_topp_sampling(qwen):
+    """do_sample with a vanishing nucleus degenerates to greedy (the top
+    token is always the whole nucleus) — checks the sampling plumbing end
+    to end without flaky randomness."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9, 21]
+    kwargs = dict(num_blocks=64, block_size=8, max_batch=2,
+                  max_blocks_per_seq=8, max_new_tokens=6,
+                  dtype=jnp.float32, prefill_buckets=(8,))
+    greedy_eng = ContinuousBatchEngine(model, params, **kwargs)
+    sid = greedy_eng.submit(list(prompt))
+    greedy = greedy_eng.run()[sid]
+    samp_eng = ContinuousBatchEngine(model, params, do_sample=True,
+                                     temperature=0.7, top_p=1e-9, **kwargs)
+    sid = samp_eng.submit(list(prompt))
+    assert samp_eng.run()[sid] == greedy
+
+
+def test_engine_long_prompt_chunked_prefill(qwen):
+    """A prompt longer than the largest prefill bucket is split across
+    bucket-sized prefill calls (chunked prefill) — exact greedy output."""
+    model, params = qwen
+    prompt = [(7 * i + 3) % 512 for i in range(21)]  # 21 > bucket 8
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_blocks_per_seq=8,
+                                max_new_tokens=4, dtype=jnp.float32,
+                                prefill_buckets=(8,))
+    sid = eng.submit(list(prompt))
+    out = eng.run()
+    ref = generate(model, params, jnp.asarray([prompt], dtype=jnp.int32),
+                   max_new_tokens=4, use_cache=True)
+    assert out[sid] == ref[0, len(prompt):].tolist()
+
+
 def test_engine_rejects_oversized_prompt(qwen):
     model, params = qwen
     eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
-                                max_batch=2, max_blocks_per_seq=8,
+                                max_batch=2, max_blocks_per_seq=2,
                                 max_new_tokens=2, dtype=jnp.float32,
                                 prefill_buckets=(8,))
-    eng.submit(list(range(3, 20)))  # 17 tokens > largest bucket 8
-    with pytest.raises(ValueError, match="prefill bucket"):
+    eng.submit(list(range(3, 20)))  # 17 tokens > 2 blocks x 8
+    with pytest.raises(ValueError, match="block table"):
         eng.run()

@@ -26,6 +26,12 @@ from ..layers.kv_cache import with_length
 from .sampling import LogitsProcessor, NucleusProcessor
 
 
+def _rate(accepted: float, speculated: float) -> float:
+    """Acceptance rate; 0.0 when no round ever speculated (e.g.
+    ``max_gen_len <= 2`` with ``first_target`` — ADVICE r1)."""
+    return accepted / speculated if speculated else 0.0
+
+
 def norm_fn(x, eps: float = 0.0):
     """norm(max(0, x)) — adjusted residual distribution
     (reference ``speculative_decoding.py:73-82``)."""
@@ -160,7 +166,7 @@ def speculative_generate(
         if hits.size > 0:
             stop = int(hits[0])
             return (input_ids[0, prompt_len:current + stop + 1].tolist(),
-                    drafts_accepted / drafts_speculated)
+                    _rate(drafts_accepted, drafts_speculated))
 
         if n == corrected_gamma:
             # all accepted: sample one more from the target's last row
@@ -186,7 +192,7 @@ def speculative_generate(
 
         if np.isin(x, stop_tokens):
             return (input_ids[0, prompt_len:current].tolist(),
-                    drafts_accepted / drafts_speculated)
+                    _rate(drafts_accepted, drafts_speculated))
 
     return (input_ids[0, prompt_len:].tolist(),
-            drafts_accepted / drafts_speculated)
+            _rate(drafts_accepted, drafts_speculated))

@@ -31,12 +31,13 @@ def write_kv(pool, k_new, v_new, slot_block, slot_offset):
     width = pool.shape[-1]
     k_flat = k_new.reshape(t, width).astype(pool.dtype)
     v_flat = v_new.reshape(t, width).astype(pool.dtype)
+    # Invalid rows are redirected OUT OF RANGE (blk = NB) and dropped by the
+    # scatter, so a dead lane can never collide with a live lane's write to a
+    # real block (duplicate scatter indices have unspecified winner order).
     valid = slot_block >= 0
-    blk = jnp.where(valid, slot_block, pool.shape[0] - 1)
-    k_flat = jnp.where(valid[:, None], k_flat, pool[blk, 0, slot_offset])
-    v_flat = jnp.where(valid[:, None], v_flat, pool[blk, 1, slot_offset])
-    pool = pool.at[blk, 0, slot_offset].set(k_flat)
-    pool = pool.at[blk, 1, slot_offset].set(v_flat)
+    blk = jnp.where(valid, slot_block, pool.shape[0])
+    pool = pool.at[blk, 0, slot_offset].set(k_flat, mode="drop")
+    pool = pool.at[blk, 1, slot_offset].set(v_flat, mode="drop")
     return pool
 
 

@@ -14,11 +14,15 @@ Sampling is greedy argmax (the reference's choice).
 from collections import deque
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import paged_model
 from .kv_manager import PagedKVManager, SequenceState
+
+
+_sample_jit = jax.jit(paged_model.sample_tokens)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -37,7 +41,9 @@ class ContinuousBatchEngine:
                  prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512),
                  dtype=jnp.bfloat16, plus_one: bool = False,
                  kv_backend: str = "auto", decode_horizon: int = 8,
-                 prefill_group: int = 4):
+                 prefill_group: int = 4, do_sample: bool = False,
+                 temperature: float = 1.0, top_p: float = 1.0,
+                 seed: int = 0):
         self.model = model
         self.params = params
         self.cfg = model.config
@@ -65,6 +71,11 @@ class ContinuousBatchEngine:
         self.decode_horizon = max(1, decode_horizon)
         # admissions prefilled per device call (padded, recompile-free)
         self.prefill_group = max(1, prefill_group)
+        # sampling (greedy when do_sample=False — the reference's choice)
+        self.do_sample = do_sample
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self._rng = jax.random.PRNGKey(seed)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
         self.waiting: deque = deque()
@@ -92,13 +103,37 @@ class ContinuousBatchEngine:
         while self.waiting and len(self.active) + len(self.needs_prefill) \
                 < self.max_batch:
             state = self.waiting[0]
-            self.kv.match_prefix(state)
             budget = len(state.tokens) + 1  # room for the first new token
+            if self.kv.blocks_needed(budget) > self.max_blocks_per_seq:
+                raise ValueError(
+                    f"prompt of {len(state.tokens)} tokens exceeds the "
+                    f"per-sequence block table "
+                    f"({self.max_blocks_per_seq} x {self.block_size})")
+            self.kv.match_prefix(state)
             if not self.kv.allocate(state, budget):
                 self.kv.release_sequence(state)  # roll back and wait
+                if not self.active and not self.needs_prefill:
+                    # nothing running that could ever free blocks: the pool
+                    # is simply too small for this request
+                    raise RuntimeError(
+                        f"KV pool too small: prompt of {len(state.tokens)} "
+                        f"tokens needs {self.kv.blocks_needed(budget)} "
+                        f"blocks, pool has {self.kv.num_blocks}")
                 break
             self.waiting.popleft()
             self.needs_prefill.append(state)
+
+    def _preempt_youngest(self):
+        """Pool exhausted with no decode progress possible: evict the most
+        recently admitted sequence (recompute policy — free its blocks, put
+        it back at the head of the waiting queue; its generated tokens are
+        re-prefilled on re-admission)."""
+        victim = max(self.active.values(), key=lambda s: s.seq_id)
+        self.kv.free(victim, cache_prefix=False)
+        self.active.pop(victim.seq_id, None)
+        victim.prefill_len = len(victim.tokens)
+        victim.num_cached_tokens = 0
+        self.waiting.appendleft(victim)
 
     def _slots_for(self, state: SequenceState, start: int, count: int):
         """(blocks, offsets) pool targets for token positions
@@ -110,10 +145,19 @@ class ContinuousBatchEngine:
 
     def _prefill_group_call(self, states):
         """Prefill up to ``prefill_group`` admissions in one device call
-        (padded to the group's largest suffix bucket; dead lanes masked)."""
+        (padded to the group's largest suffix bucket; dead lanes masked).
+
+        Suffixes longer than the largest bucket are CHUNKED: this call
+        writes KV for the first bucket-sized chunk and re-queues the
+        sequence (head of the prefill queue) for the rest — long prompts
+        and preempted-sequence recomputes never exceed a bucket."""
         n_pad = self.prefill_group
-        suffixes = [s.tokens[s.num_cached_tokens:s.prompt_len]
+        cap = self.prefill_buckets[-1]
+        suffixes = [s.tokens[s.num_cached_tokens:
+                             min(s.prefill_len, s.num_cached_tokens + cap)]
                     for s in states]
+        is_final = [s.num_cached_tokens + len(sf) >= s.prefill_len
+                    for s, sf in zip(states, suffixes)]
         t_pad = _bucket(max(len(sf) for sf in suffixes),
                         self.prefill_buckets)
         ids = np.zeros((n_pad, t_pad), dtype=np.int32)
@@ -133,7 +177,7 @@ class ContinuousBatchEngine:
             slot_blocks[i, :t] = blocks
             slot_offsets[i, :t] = offs
             tables[i, :len(state.block_table)] = state.block_table
-            ctx_len[i] = state.prompt_len
+            ctx_len[i] = state.prefill_len
             true_len[i] = t
 
         logits, self.pool = paged_model.prefill(
@@ -141,11 +185,21 @@ class ContinuousBatchEngine:
             jnp.asarray(ids), jnp.asarray(positions),
             jnp.asarray(slot_blocks), jnp.asarray(slot_offsets),
             jnp.asarray(tables), jnp.asarray(ctx_len), jnp.asarray(true_len))
-        next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+        next_tokens = np.asarray(self._pick_tokens(logits))
         for i, state in enumerate(states):
-            state.tokens.append(int(next_tokens[i]))
-            self.active[state.seq_id] = state
-            self._maybe_finish(state)
+            if is_final[i]:
+                state.tokens.append(int(next_tokens[i]))
+                self.active[state.seq_id] = state
+                self._maybe_finish(state)
+            else:  # more chunks to go: KV written, logits discarded
+                state.num_cached_tokens += len(suffixes[i])
+                self.needs_prefill.appendleft(state)
+
+    def _pick_tokens(self, logits):
+        if not self.do_sample:
+            return jnp.argmax(logits, axis=-1)
+        self._rng, sub = jax.random.split(self._rng)
+        return _sample_jit(logits, sub, self.temperature, self.top_p)
 
     def _decode_batch(self):
         states = [s for s in self.active.values() if not s.finished]
@@ -156,6 +210,7 @@ class ContinuousBatchEngine:
         tokens = np.zeros(b, dtype=np.int32)
         positions = np.zeros(b, dtype=np.int32)
         live_mask = np.zeros(b, dtype=bool)
+        budget = np.zeros(b, dtype=np.int32)
         tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
 
         live = []
@@ -174,15 +229,24 @@ class ContinuousBatchEngine:
             tokens[i] = state.tokens[-1]
             positions[i] = pos
             live_mask[i] = True
+            budget[i] = h
             tables[i, :len(state.block_table)] = state.block_table
             live.append((i, state, h))
 
         if not live:
+            # every lane failed to allocate even one step: preempt the
+            # youngest sequence so the survivors (or it, re-admitted once
+            # blocks free up) can make progress — no busy-spin
+            self._preempt_youngest()
             return
+        self._rng, sub = jax.random.split(self._rng)
         gen, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-            jnp.asarray(live_mask), horizon)
+            jnp.asarray(live_mask), horizon, self.do_sample,
+            eos=(-1 if self.eos_token_id is None else self.eos_token_id),
+            rng=sub, temperature=self.temperature, top_p=self.top_p,
+            budget=jnp.asarray(budget))
         gen = np.asarray(gen)
         for i, state, h in live:
             # only the granted steps are backed by allocated blocks

@@ -42,6 +42,10 @@ class SequenceState:
         self.seq_id = seq_id
         self.tokens: List[int] = list(prompt)
         self.prompt_len = len(prompt)
+        # tokens that must run through prefill on (re-)admission; equals
+        # prompt_len initially, grows to len(tokens) after a preemption so
+        # generated tokens' KV is recomputed (vLLM-style recompute policy)
+        self.prefill_len = len(prompt)
         self.block_table: List[int] = []
         self.cached_nodes: List[RadixNode] = []   # matched radix nodes
         self.num_cached_tokens = 0                # tokens covered by them
@@ -82,7 +86,7 @@ class PagedKVManager:
         """Attach the longest cached whole-block prefix to ``state``.
         Returns the number of prompt tokens covered."""
         node = self.radix_root
-        for chunk in _chunks(state.tokens[:state.prompt_len],
+        for chunk in _chunks(state.tokens[:state.prefill_len],
                              self.block_size):
             child = node.children.get(chunk)
             if child is None:
@@ -94,7 +98,7 @@ class PagedKVManager:
         # Never cover the entire prompt: at least one token must run through
         # prefill so the engine has logits to sample from.
         if state.cached_nodes and \
-                len(state.cached_nodes) * self.block_size >= state.prompt_len:
+                len(state.cached_nodes) * self.block_size >= state.prefill_len:
             last = state.cached_nodes.pop()
             self._release(last)
             state.block_table.pop()

@@ -202,37 +202,78 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
                         block_tables, seq_lens, slot_blocks, slot_offsets)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 8), donate_argnums=(3,))
+def sample_tokens(logits, rng, temperature, top_p):
+    """Temperature + nucleus (top-p) sampling on device. logits: [B, V];
+    temperature/top_p: f32 scalars. Returns [B] int32."""
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    order = jnp.argsort(logits, axis=-1)[:, ::-1]          # descending
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while the cumulative mass *before* them is < top_p
+    keep = (cum - probs) < top_p
+    keep = keep.at[:, 0].set(True)                         # never empty
+    sorted_logits = jnp.where(keep, sorted_logits, NEG_INF)
+    idx = jax.random.categorical(rng, sorted_logits, axis=-1)
+    return jnp.take_along_axis(order, idx[:, None], axis=-1)[:, 0].astype(
+        jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,))
 def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
-                   block_tables, live, horizon: int):
-    """Run ``horizon`` greedy decode steps fully on device — ONE host
+                   block_tables, live, horizon: int, do_sample: bool = False,
+                   eos=-1, rng=None, temperature=1.0, top_p=1.0,
+                   budget=None):
+    """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
     arithmetic (``table[pos // BS], pos % BS``) always lands on live blocks.
 
+    Lanes that emit ``eos`` (pass -1 to disable) go dead: their KV writes
+    are dropped, their token/position freeze, and the loop exits early once
+    every lane is dead — no wasted steps in EOS-heavy workloads.
+
     tokens: [B] latest token per lane; positions: [B] its absolute
-    position; live: [B] bool lane validity. Returns
-    (generated [B, horizon], pool)."""
+    position; live: [B] bool lane validity; budget: [B] int32 granted steps
+    per lane (lanes freeze once exhausted; None = ``horizon`` for all).
+    With ``do_sample`` the next token is temperature+top-p sampled using
+    ``rng`` (greedy otherwise). Returns (generated [B, horizon], pool)."""
     b = tokens.shape[0]
     bs = pool["kv"].shape[3]
     out_buf = jnp.zeros((b, horizon), dtype=jnp.int32)
+    eos = jnp.asarray(eos, dtype=jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if budget is None:
+        budget = jnp.full((b,), horizon, dtype=jnp.int32)
 
-    def body(i, carry):
-        toks, pos, pl_, out = carry
+    def cond(carry):
+        i, _, _, alive, _, _, _ = carry
+        return (i < horizon) & jnp.any(alive)
+
+    def body(carry):
+        i, toks, pos, alive, key, pl_, out = carry
         blk_idx = pos // bs
         slot_blocks = jnp.where(
-            live, jnp.take_along_axis(block_tables, blk_idx[:, None],
-                                      axis=1)[:, 0], -1)
+            alive, jnp.take_along_axis(block_tables, blk_idx[:, None],
+                                       axis=1)[:, 0], -1)
         slot_offsets = pos % bs
-        seq_lens = jnp.where(live, pos + 1, 0)
+        seq_lens = jnp.where(alive, pos + 1, 0)
         logits, pl_ = _decode_core(model, plus_one, params, pl_, toks, pos,
                                    block_tables, seq_lens, slot_blocks,
                                    slot_offsets)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        out = out.at[:, i].set(nxt)
-        return nxt, pos + 1, pl_, out
+        if do_sample:
+            key, sub = jax.random.split(key)
+            nxt = sample_tokens(logits, sub, temperature, top_p)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(alive, nxt, toks)                # freeze dead lanes
+        out = out.at[:, i].set(jnp.where(alive, nxt, 0))
+        alive = alive & (nxt != eos) & (i + 1 < budget)
+        pos = jnp.where(alive, pos + 1, pos)
+        return i + 1, nxt, pos, alive, key, pl_, out
 
-    _, _, pool, out_buf = jax.lax.fori_loop(
-        0, horizon, body, (tokens.astype(jnp.int32), positions, pool,
-                           out_buf))
+    _, _, _, _, _, pool, out_buf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
+                     live, rng, pool, out_buf))
     return out_buf, pool

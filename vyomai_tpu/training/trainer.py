@@ -73,20 +73,19 @@ def make_train_step(loss_fn: Callable, optimizer, *,
             micro = jax.tree_util.tree_map(reshape, batch)
             rngs = jax.random.split(rng, grad_accum_steps)
 
-            def body(carry, xs):
-                g_acc, l_acc = carry
+            def body(g_acc, xs):
                 mb, r = xs
-                (l, _), g = grad_fn(state.params, mb, r)
+                (l, a), g = grad_fn(state.params, mb, r)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
-                return (g_acc, l_acc + l), None
+                return g_acc, (l, a)
 
             zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (grads, loss), _ = jax.lax.scan(body, (zero, jnp.float32(0)),
-                                            (micro, rngs))
+            grads, (losses, auxs) = jax.lax.scan(body, zero, (micro, rngs))
             grads = jax.tree_util.tree_map(
                 lambda g: g / grad_accum_steps, grads)
-            loss = loss / grad_accum_steps
-            aux = {}
+            loss = losses.mean()
+            # aux metrics averaged over microbatches (not dropped)
+            aux = jax.tree_util.tree_map(lambda x: x.mean(axis=0), auxs)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
@@ -119,6 +118,10 @@ class MetricLogger:
     def close(self):
         if self._fh:
             self._fh.close()
+            self._fh = None
+
+    def __del__(self):
+        self.close()
 
 
 class Trainer:
@@ -166,3 +169,12 @@ class Trainer:
             if i % log_every == 0:
                 self.logger.log(int(state.step), metrics)
         return state
+
+    def close(self):
+        self.logger.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
