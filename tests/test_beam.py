@@ -1,0 +1,89 @@
+"""Beam search: token-exact parity vs HF ``generate(num_beams=N)`` on a
+tiny Qwen2 checkpoint (VERDICT r1 missing #1 — the reference's
+``ModelForCausalLM`` exists so HF beam generation works on it,
+``custom_transformer.py:606-747``)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import vyomai_tpu as vt
+from vyomai_tpu.generation import beam_search_generate
+from vyomai_tpu.interop.hf_import import import_qwen
+
+
+def _tiny_pair(seed=0, tie=False):
+    """Matching (HF Qwen2 double model, our ModelForCausalLM + params)."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    hf_cfg = Qwen2Config(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-6, tie_word_embeddings=tie,
+        bos_token_id=0, eos_token_id=1, pad_token_id=1,
+        attention_dropout=0.0)
+    torch.manual_seed(seed)
+    hf = Qwen2ForCausalLM(hf_cfg).double().eval()
+
+    cfg = vt.QwenConfig(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        rms_norm_eps=1e-6, qk_norm=False, tie_word_embeddings=tie,
+        eos_token_id=1)
+    model = vt.ModelForCausalLM(cfg)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    with jax.enable_x64(True):  # import at full fp64 (strict parity)
+        params = import_qwen(sd, cfg)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+    return hf, model, params
+
+
+@pytest.mark.parametrize("num_beams,max_new,tie", [(4, 12, False),
+                                                   (3, 20, True)])
+def test_beam_matches_hf_generate(num_beams, max_new, tie):
+    hf, model, params = _tiny_pair(seed=num_beams, tie=tie)
+    prompts = torch.tensor([[3, 17, 42, 9, 21], [5, 11, 8, 30, 12]])
+    with torch.no_grad():
+        hf_out = hf.generate(
+            prompts, num_beams=num_beams, do_sample=False,
+            max_new_tokens=max_new, pad_token_id=1).numpy()
+
+    with jax.enable_x64(True):
+        seqs, scores = beam_search_generate(
+            model, params, jnp.asarray(prompts.numpy()),
+            num_beams=num_beams, max_new_tokens=max_new,
+            eos_token_id=1, pad_token_id=1)
+    seqs = np.asarray(seqs)
+    assert seqs.shape == hf_out.shape, (seqs.shape, hf_out.shape)
+    np.testing.assert_array_equal(seqs, hf_out)
+    assert bool(jnp.all(jnp.isfinite(scores)))
+
+
+def test_beam_on_decoder_model_protocol():
+    """beam_search_generate speaks the library model protocol — it runs on
+    DecoderModel too, returning sorted finite scores."""
+    cfg = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                           num_key_value_heads=2, num_hidden_layers=2,
+                           vocab_size=128, max_position_embeddings=64,
+                           intermediate_size=128, hidden_dropout_prob=0.0)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope",
+                            attention_type="gqa")
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray([[3, 17, 42, 9]], dtype=jnp.int32)
+    seqs, scores = beam_search_generate(
+        model, params, ids, num_beams=4, max_new_tokens=8,
+        eos_token_id=-1, num_return_sequences=4)
+    assert seqs.shape == (4, 12)
+    s = np.asarray(scores)
+    assert np.all(np.diff(s) <= 1e-6)  # best-first
+    # prompt preserved on every returned beam
+    np.testing.assert_array_equal(np.asarray(seqs[:, :4]),
+                                  np.broadcast_to(np.asarray(ids), (4, 4)))

@@ -18,6 +18,7 @@ from .layers.kv_cache import (  # noqa: F401
 from .layers.adapters import LoraLinear, DoraLinear  # noqa: F401
 from .generation import (  # noqa: F401
     generate, generate_seq2seq, generate_multimodel, speculative_generate,
+    beam_search_generate,
     GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
     TopKNucleusProcessor)
 

@@ -3,3 +3,4 @@ from .sampling import (  # noqa: F401
     LogitsProcessor, GreedyProcessor, MultinomialProcessor, TopKProcessor,
     NucleusProcessor, TopKNucleusProcessor)
 from .speculative import speculative_generate, norm_fn  # noqa: F401
+from .beam import beam_search_generate, reorder_cache  # noqa: F401

@@ -1,0 +1,217 @@
+"""Static-shape beam search over the static KV cache.
+
+Completes the HF-interop story of ``ModelForCausalLM`` (reference
+``VyomAI/models/custom_transformer.py:606-747``): the reference implements
+``prepare_inputs_for_generation`` + ``_reorder_cache`` *so that* HF
+``.generate(num_beams=N)`` works on a from-scratch model. Here the whole
+beam loop is a single jitted program instead — the static cache makes the
+reference's ``_reorder_cache`` (``custom_transformer.py:~740``) a pure
+``jnp.take`` on the batch axis.
+
+The algorithm mirrors the vectorized beam search that transformers ships
+(itself derived from Flax's static-shape beam search), so greedy beam
+outputs are token-exact vs HF ``.generate`` for the same weights:
+- keep ``2*num_beams`` top continuations so the running set never starves,
+- running beams = best non-finished continuations,
+- finished set = best length-penalized completed hypotheses (merged topk),
+- the `early_stopping=False` improvement heuristic uses the current
+  generated length as the best hypothetical length.
+
+Works on any model exposing the library protocol
+(``config`` / ``init_cache`` / ``apply(params, ids, cache=, start_pos=)``):
+``DecoderModel``, ``ModelForCausalLM``, ...
+"""
+
+from functools import partial
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1.0e9
+
+
+def reorder_cache(cache, beam_idx):
+    """HF ``_reorder_cache`` equivalent: select source lanes (batch axis)
+    of the static cache. beam_idx: int32 [batch*beams] source indices."""
+    return {
+        "k": jnp.take(cache["k"], beam_idx, axis=1),
+        "v": jnp.take(cache["v"], beam_idx, axis=1),
+        "length": cache["length"],
+    }
+
+
+def _gather_beams(x, idx):
+    """x: [B, K_src, ...]; idx: [B, K_out] -> [B, K_out, ...]."""
+    idx = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
+def _beam_search_jit(model, params, input_ids, num_beams: int,
+                     max_new_tokens: int, eos_token_id, pad_token_id,
+                     length_penalty: float, early_stopping: bool):
+    bsz, prompt_len = input_ids.shape
+    k = num_beams
+    k2 = 2 * num_beams  # beams_to_keep with one EOS token
+    max_length = prompt_len + max_new_tokens
+    vocab = model.config.vocab_size
+    eos = jnp.asarray(eos_token_id, dtype=jnp.int32)
+    pad = jnp.asarray(pad_token_id, dtype=input_ids.dtype)
+    top_k_mask = jnp.arange(k2) < k  # only top-k candidates may finalize
+
+    # running/finished state (HF _beam_search step 3)
+    running_seq = jnp.full((bsz, k, max_length), pad, dtype=input_ids.dtype)
+    running_seq = running_seq.at[:, :, :prompt_len].set(input_ids[:, None, :])
+    sequences = running_seq
+    running_scores = jnp.full((bsz, k), NEG, dtype=jnp.float32)
+    running_scores = running_scores.at[:, 0].set(0.0)
+    beam_scores = jnp.full((bsz, k), NEG, dtype=jnp.float32)
+    is_sent_finished = jnp.zeros((bsz, k), dtype=bool)
+    early_unsat = jnp.ones((bsz, 1), dtype=bool)
+    hits_all = jnp.zeros((bsz, k2), dtype=bool)
+    # generated-token beam provenance, -1 = unfilled (crops the output)
+    running_beam_indices = jnp.full((bsz, k, max_new_tokens), -1, jnp.int32)
+    beam_indices = running_beam_indices
+
+    # prefill: all beams share the prompt — run it once per lane
+    param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    cache = model.init_cache(batch_size=bsz * k, max_len=max_length,
+                             dtype=param_dtype)
+    flat_prompt = jnp.broadcast_to(
+        input_ids[:, None, :], (bsz, k, prompt_len)).reshape(bsz * k, -1)
+    out = model.apply(params, flat_prompt, cache=cache, start_pos=0)
+    logits0, cache = out.logits[:, -1], out.kv_cache
+
+    def step(logits, carry):
+        (running_seq, running_scores, sequences, beam_scores,
+         is_sent_finished, early_unsat, hits_all, running_beam_indices,
+         beam_indices, cache, cur_len) = carry
+
+        # b. accumulated log probs [B, K*V]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lp = lp.reshape(bsz, k, vocab) + running_scores[:, :, None]
+        lp = lp.reshape(bsz, k * vocab)
+
+        # c. top 2K continuations
+        topk_lp, topk_idx = jax.lax.top_k(lp, k2)           # [B, K2]
+        beam_src = topk_idx // vocab
+        tok = (topk_idx % vocab).astype(running_seq.dtype)
+        topk_seq = _gather_beams(running_seq, beam_src)
+        topk_seq = jax.lax.dynamic_update_slice_in_dim(
+            topk_seq, tok[:, :, None], cur_len, axis=2)
+        topk_bidx = _gather_beams(running_beam_indices, beam_src)
+        batch_offset = (jnp.arange(bsz) * k)[:, None]
+        topk_bidx = jax.lax.dynamic_update_slice_in_dim(
+            topk_bidx, (beam_src + batch_offset)[:, :, None].astype(jnp.int32),
+            cur_len - prompt_len, axis=2)
+
+        # d. stopping criteria on each candidate
+        hits = (tok.astype(jnp.int32) == eos) | (cur_len + 1 >= max_length)
+
+        # e. running beams for the next iteration (non-finished top K)
+        running_lp = topk_lp + hits.astype(jnp.float32) * NEG
+        _, next_idx = jax.lax.top_k(running_lp, k)
+        new_running_seq = _gather_beams(topk_seq, next_idx)
+        new_running_scores = _gather_beams(running_lp, next_idx)
+        new_running_bidx = _gather_beams(topk_bidx, next_idx)
+
+        # f. merge new finished hypotheses into the finished set
+        gen_len = (cur_len + 1 - prompt_len).astype(jnp.float32)
+        fin_lp = topk_lp / jnp.power(gen_len, length_penalty)
+        beams_full = jnp.all(is_sent_finished, axis=-1, keepdims=True) \
+            & early_stopping
+        fin_lp = fin_lp + beams_full.astype(jnp.float32) * NEG
+        fin_lp = fin_lp + (~early_unsat).astype(jnp.float32) * NEG
+        just_finished = hits & top_k_mask[None, :]
+        fin_lp = fin_lp + (~just_finished).astype(jnp.float32) * NEG
+        merged_seq = jnp.concatenate([sequences, topk_seq], axis=1)
+        merged_scores = jnp.concatenate([beam_scores, fin_lp], axis=1)
+        merged_bidx = jnp.concatenate([beam_indices, topk_bidx], axis=1)
+        merged_fin = jnp.concatenate([is_sent_finished, just_finished],
+                                     axis=1)
+        _, merge_idx = jax.lax.top_k(merged_scores, k)
+        new_sequences = _gather_beams(merged_seq, merge_idx)
+        new_beam_scores = _gather_beams(merged_scores, merge_idx)
+        new_beam_indices = _gather_beams(merged_bidx, merge_idx)
+        new_is_finished = _gather_beams(merged_fin, merge_idx)
+
+        # g. cache reorder: source lane of each running beam
+        src_flat = (_gather_beams(beam_src, next_idx)
+                    + batch_offset).reshape(-1)
+        new_cache = reorder_cache(cache, src_flat)
+
+        cur_len = cur_len + 1
+        # early-stop improvement heuristic (early_stopping=False flavor)
+        best_len = (cur_len - prompt_len).astype(jnp.float32)
+        best_running = new_running_scores[:, :1] / jnp.power(best_len,
+                                                             length_penalty)
+        worst_finished = jnp.where(
+            new_is_finished, jnp.min(new_beam_scores, axis=1, keepdims=True),
+            NEG)
+        new_early_unsat = early_unsat & jnp.any(
+            best_running > worst_finished, axis=-1, keepdims=True)
+
+        return (new_running_seq, new_running_scores, new_sequences,
+                new_beam_scores, new_is_finished, new_early_unsat, hits,
+                new_running_bidx, new_beam_indices, new_cache, cur_len)
+
+    def cond(carry):
+        is_sent_finished, early_unsat, hits_all = carry[4], carry[5], carry[6]
+        cur_len = carry[10]
+        improvement_possible = jnp.any(early_unsat)
+        exists_open_beam = ~(jnp.all(is_sent_finished) & early_stopping)
+        valid_continuations = ~jnp.all(hits_all)
+        return (improvement_possible & exists_open_beam
+                & valid_continuations & (cur_len < max_length))
+
+    def body(carry):
+        cur_len = carry[10]
+        toks = jax.lax.dynamic_slice_in_dim(
+            carry[0].reshape(bsz * k, max_length), cur_len - 1, 1, axis=1)
+        out = model.apply(params, toks, cache=carry[9],
+                          start_pos=cur_len - 1)
+        carry = carry[:9] + (out.kv_cache,) + carry[10:]
+        return step(out.logits[:, -1], carry)
+
+    carry = (running_seq, running_scores, sequences, beam_scores,
+             is_sent_finished, early_unsat, hits_all, running_beam_indices,
+             beam_indices, cache, jnp.asarray(prompt_len, jnp.int32))
+    # first step consumes the prefill logits
+    carry = step(logits0, carry)
+    carry = jax.lax.while_loop(cond, body, carry)
+    (_, _, sequences, beam_scores, _, _, _, _, beam_indices, _, _) = carry
+    return sequences, beam_scores, beam_indices
+
+
+def beam_search_generate(model, params, input_ids, *, num_beams: int = 4,
+                         max_new_tokens: int = 32,
+                         eos_token_id: Union[int, None] = None,
+                         pad_token_id: int = 0,
+                         length_penalty: float = 1.0,
+                         early_stopping: bool = False,
+                         num_return_sequences: int = 1):
+    """Beam-search decode; returns ``(sequences, scores)``.
+
+    sequences: [batch * num_return_sequences, out_len] (cropped to the
+    longest finished hypothesis, HF-style); scores: matching
+    length-penalized sequence scores. Token-exact vs HF ``generate``
+    (``num_beams=N, do_sample=False``) for the same weights.
+    """
+    if eos_token_id is None:
+        eos_token_id = getattr(model.config, "eos_token_id", None)
+        if eos_token_id is None:
+            eos_token_id = -1  # never fires; length-capped beams
+    input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
+    prompt_len = input_ids.shape[1]
+    sequences, scores, beam_indices = _beam_search_jit(
+        model, params, input_ids, num_beams, max_new_tokens,
+        eos_token_id, pad_token_id, float(length_penalty),
+        bool(early_stopping))
+    n = num_return_sequences
+    sequences = sequences[:, :n].reshape(-1, sequences.shape[-1])
+    scores = scores[:, :n].reshape(-1)
+    beam_indices = beam_indices[:, :n].reshape(-1, beam_indices.shape[-1])
+    # crop static buffer to the longest generated hypothesis (HF behavior)
+    max_gen = int(jnp.max(jnp.sum(beam_indices >= 0, axis=1)))
+    return sequences[:, :prompt_len + max_gen], scores

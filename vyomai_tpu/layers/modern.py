@@ -61,10 +61,14 @@ def modern_attention_apply(p, hidden, config, *, freqs=None, mask=None,
 
     if cache_kv is not None:
         k_buf, v_buf = cache_kv
+        # index dtypes must match under jax.enable_x64 (int32 traced pos
+        # mixed with python-int zeros would promote to int64)
+        sp = jnp.asarray(start_pos, jnp.int32)
+        z = jnp.zeros((), jnp.int32)
         k_buf = jax.lax.dynamic_update_slice(
-            k_buf, k.astype(k_buf.dtype), (0, 0, start_pos, 0))
+            k_buf, k.astype(k_buf.dtype), (z, z, sp, z))
         v_buf = jax.lax.dynamic_update_slice(
-            v_buf, v.astype(v_buf.dtype), (0, 0, start_pos, 0))
+            v_buf, v.astype(v_buf.dtype), (z, z, sp, z))
         k, v = k_buf.astype(q.dtype), v_buf.astype(q.dtype)
         cache_kv = (k_buf, v_buf)
 
