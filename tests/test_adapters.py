@@ -93,3 +93,30 @@ def test_inject_lora_filter():
     # only attention linears got factors; ffn/lm_head did not
     full = inject_lora(params, jax.random.PRNGKey(5), rank=4)
     assert len(flat) < len(jax.tree_util.tree_leaves(full["tree"]))
+
+
+def test_trainable_mask_and_masked_optimizer():
+    """Frozen leaves never move; masked leaves train (reference
+    paligemma.ipynb cell 26 freeze-all-but-attention recipe)."""
+    import optax
+    from vyomai_tpu.layers.adapters import trainable_mask, masked_optimizer
+
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(0))
+    mask = trainable_mask(params, lambda p: "attention" in p)
+    # mask mirrors the params tree structure
+    assert jax.tree_util.tree_structure(mask) == \
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(lambda _: True, params))
+    opt = masked_optimizer(optax.sgd(0.5), mask)
+    opt_state = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, opt_state, params)
+
+    def check(path, upd, m):
+        if m:
+            assert bool(jnp.any(upd != 0)), path
+        else:
+            assert bool(jnp.all(upd == 0)), path
+
+    jax.tree_util.tree_map(lambda u, m: check("", u, m), updates, mask)

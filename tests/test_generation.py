@@ -115,3 +115,56 @@ def test_speculative_eos_stops():
         eos_tokens_id=eos, pad_token_id=1)
     assert toks[-1] == eos
     assert len(toks) <= 4
+
+
+def test_parse_detection_boxes():
+    from vyomai_tpu.models import parse_detection_boxes
+    text = "<loc0010><loc0020><loc0030><loc0040> cat"
+    boxes, labels = parse_detection_boxes(text)
+    np.testing.assert_allclose(boxes, [[10., 20., 30., 40.]])
+    assert labels == ["cat"]
+    boxes, _ = parse_detection_boxes(text, image_size=(512, 1024))
+    np.testing.assert_allclose(boxes, [[5., 20., 15., 40.]])
+    boxes, labels = parse_detection_boxes("no detections here")
+    assert boxes.shape == (0, 4) and labels == []
+
+
+class _FakeTok:
+    def __call__(self, text):
+        return [{"<stop>": 7}.get(text, 99)] if text == "<stop>" else [1, 2]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_keywords_stopping_criteria_token_match():
+    from vyomai_tpu.generation import KeywordsStoppingCriteria
+    prompt = np.asarray([[3, 4, 5]])
+    crit = KeywordsStoppingCriteria(["<stop>"], _FakeTok(), prompt)
+    assert not crit(np.asarray([[3, 4, 5]]))          # prompt only
+    assert not crit(np.asarray([[3, 4, 5, 9]]))       # no keyword
+    assert crit(np.asarray([[3, 4, 5, 9, 7]]))        # single-token keyword
+
+
+def test_generate_until_stops_on_keyword():
+    from vyomai_tpu.generation import generate_until
+
+    cfg = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                           num_key_value_heads=2, num_hidden_layers=2,
+                           vocab_size=64, max_position_embeddings=64,
+                           intermediate_size=128, hidden_dropout_prob=0.0)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope",
+                            attention_type="gqa")
+    params = model.init(jax.random.PRNGKey(3))
+    ids = jnp.asarray([[3, 17, 42]], dtype=jnp.int32)
+    free = generate_until(model, params, ids, max_new_tokens=8)
+    assert free.shape == (1, 11)
+    # greedy parity with the jitted generate loop
+    ref = generate(model, params, ids, max_new_tokens=8, use_cache=True)
+    np.testing.assert_array_equal(np.asarray(free), np.asarray(ref))
+    # stop as soon as the first generated token appears (trivial criterion)
+    first = int(free[0, 3])
+    crit = lambda toks: int(np.asarray(toks)[0, -1]) == first
+    stopped = generate_until(model, params, ids, max_new_tokens=8,
+                             stopping_criteria=crit)
+    assert stopped.shape[1] == 4 and int(stopped[0, -1]) == first

@@ -15,7 +15,8 @@ from .models import (  # noqa: F401
     DETRModel, DETRConfig, RPADVisionLanguageModel)
 from .layers.kv_cache import (  # noqa: F401
     DynamicCache, StaticCache, StaticCacheOne, DynamicCacheOne, init_cache)
-from .layers.adapters import LoraLinear, DoraLinear  # noqa: F401
+from .layers.adapters import (  # noqa: F401
+    LoraLinear, DoraLinear, trainable_mask, masked_optimizer)
 from .generation import (  # noqa: F401
     generate, generate_seq2seq, generate_multimodel, speculative_generate,
     beam_search_generate,

@@ -4,3 +4,5 @@ from .sampling import (  # noqa: F401
     NucleusProcessor, TopKNucleusProcessor)
 from .speculative import speculative_generate, norm_fn  # noqa: F401
 from .beam import beam_search_generate, reorder_cache  # noqa: F401
+from .stopping import (  # noqa: F401
+    KeywordsStoppingCriteria, generate_until)

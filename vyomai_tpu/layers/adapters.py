@@ -187,5 +187,36 @@ def merge_adapters(params, adapters):
     return merge(params, adapters["tree"])
 
 
+def trainable_mask(params, predicate: Callable[[str], bool]):
+    """Boolean pytree parallel to ``params`` for optax param freezing.
+
+    ``predicate("path/like/this")`` decides whether the subtree leaf is
+    trainable. Combine with :func:`masked_optimizer` (or
+    ``optax.multi_transform``) for partial fine-tunes — e.g. the PaliGemma
+    attention-only recipe (reference ``Examples/paligemma.ipynb``
+    freeze-all-but-attention cells):
+
+        mask = trainable_mask(params, lambda p: "self_attn" in p)
+        opt = masked_optimizer(optax.adamw(1e-5), mask)
+    """
+    def walk(node, path=()):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return bool(predicate("/".join(path)))
+
+    return walk(params)
+
+
+def masked_optimizer(optimizer, mask):
+    """optax transform that applies ``optimizer`` where ``mask`` is True and
+    zeroes updates elsewhere (frozen params never move; their optimizer
+    state is not allocated)."""
+    import optax
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", mask)
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels)
+
+
 def count_params(tree) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))

@@ -6,7 +6,8 @@ from .multimodel import VisionLanguageModel, VisionLanguageDecoderModel  # noqa:
 from .clip import CLIPModel  # noqa: F401
 from .gemma import GemmaModel  # noqa: F401
 from .siglip import SiglipVisionModel  # noqa: F401
-from .paligemma import PaliGemmaForConditionalGeneration  # noqa: F401
+from .paligemma import (  # noqa: F401
+    PaliGemmaForConditionalGeneration, parse_detection_boxes)
 from .qwen import ModelForCausalLM  # noqa: F401
 from .ocr import OCRModel, DeepResNetEncoder  # noqa: F401
 from .sam_vit import ImageEncoderViT, SamVitConfig  # noqa: F401

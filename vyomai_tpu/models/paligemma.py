@@ -152,3 +152,33 @@ def _pg_generate(model, params, input_ids, pixel_values, max_new_tokens,
     tokens, _, _ = jax.lax.fori_loop(0, max_new_tokens - 1, body,
                                      (tokens, out.kv_cache, rng))
     return tokens
+
+
+def parse_detection_boxes(text: str, *, image_size=None):
+    """Parse PaliGemma detection output into boxes (+ labels).
+
+    The detect task emits ``<locYYYY><locXXXX><locYYYY><locXXXX> label``
+    runs with coordinates binned to 0..1023 (reference
+    ``Examples/paligemma.ipynb`` cell 35 ``parse_segments``). Returns
+    ``(boxes, labels)``: boxes ``float32 [N, 4]`` as (y0, x0, y1, x1) in
+    bin units, or scaled to pixels when ``image_size=(height, width)``.
+    """
+    import re
+
+    import numpy as np
+
+    cleaned = text.replace(" ", "")
+    boxes, labels = [], []
+    pat = re.compile(r"<loc(?P<y0>\d{4})><loc(?P<x0>\d{4})>"
+                     r"<loc(?P<y1>\d{4})><loc(?P<x1>\d{4})>"
+                     r"(?P<label>[^<;]*)")
+    for m in pat.finditer(cleaned):
+        d = m.groupdict()
+        boxes.append([float(d["y0"]), float(d["x0"]),
+                      float(d["y1"]), float(d["x1"])])
+        labels.append(d["label"])
+    boxes = np.asarray(boxes, dtype=np.float32).reshape(-1, 4)
+    if image_size is not None and boxes.size:
+        h, w = image_size
+        boxes = boxes / 1024.0 * np.asarray([h, w, h, w], dtype=np.float32)
+    return boxes, labels
