@@ -1,0 +1,113 @@
+"""BASELINE.md tracked metrics (VERDICT r1 #3).
+
+Measures the two metrics BASELINE.md names — PaliGemma caption
+tokens/sec/chip and ViT images/sec — plus MFU for the headline `bench.py`
+training config. Prints one JSON line per metric.
+
+Run on the TPU chip: `python benchmarks/baseline_metrics.py [--mode ...]`.
+"""
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import vyomai_tpu as vt
+
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+
+
+def bench_caption(new_tokens: int = 64, repeats: int = 3):
+    """PaliGemma caption tokens/sec/chip at the reference model size
+    (SigLIP-base tower + Gemma-2B decoder, the `paligemma.ipynb` config),
+    batch-1 captioning: fused image+prompt prefill then cached decode."""
+    cfg = vt.PaliGemmaConfig()  # reference defaults: Gemma-2B, 257k vocab
+    model = vt.PaliGemmaForConditionalGeneration(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    n_img = cfg.num_image_tokens
+    prompt = jnp.concatenate([
+        jnp.full((1, n_img), cfg.image_token_index, dtype=jnp.int32),
+        jnp.asarray([[2, 7, 11, 13, 17, 19, 23, 29]], dtype=jnp.int32),
+    ], axis=1)
+    pix = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, 3, cfg.vision_config.image_size,
+                             cfg.vision_config.image_size),
+                            dtype=jnp.bfloat16)
+
+    out = model.generate(params, prompt, pix, max_new_tokens=new_tokens)
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = model.generate(params, prompt, pix, max_new_tokens=new_tokens)
+        jax.block_until_ready(out)
+    tps = new_tokens * repeats / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "paligemma_caption_tokens_per_sec_per_chip",
+                      "value": round(tps, 1), "unit": "tokens/s",
+                      "prompt_tokens": int(prompt.shape[1]),
+                      "new_tokens": new_tokens}))
+
+
+def bench_vit(batch: int = 32, repeats: int = 10):
+    """ViT-base images/sec (224x224/16 -> 197 tokens), bf16 forward on the
+    flash-attention path (pad-and-mask engages the kernel at L=197)."""
+    cfg = vt.VisionConfig(num_hidden_layers=12, hidden_dropout_prob=0.0)
+    model = vt.Vit(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    images = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224),
+                               dtype=jnp.bfloat16)
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x).logits)
+    out = fwd(params, images)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fwd(params, images)
+    jax.block_until_ready(out)
+    ips = batch * repeats / (time.perf_counter() - t0)
+    print(json.dumps({"metric": "vit_images_per_sec", "value": round(ips, 1),
+                      "unit": "images/s", "batch": batch}))
+
+
+def bench_mfu():
+    """MFU of the headline `bench.py` fused training step: model FLOPs
+    (6N per token + attention 12*L*S*H) over v5e peak bf16."""
+    import bench
+
+    tps = bench.measure(fused=True)
+    cfg, seq = bench.CFG, bench.SEQ
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope",
+                            attention_type="gqa")
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    flops_per_token = 6 * n_params + \
+        12 * cfg.num_hidden_layers * seq * cfg.hidden_size
+    mfu = flops_per_token * tps / V5E_PEAK_BF16
+    print(json.dumps({"metric": "train_mfu_vs_v5e_peak_bf16",
+                      "value": round(mfu, 4), "unit": "fraction",
+                      "tokens_per_sec": round(tps, 1),
+                      "params": n_params}))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["caption", "vit", "mfu", "all"],
+                    default="all")
+    args = ap.parse_args()
+    if args.mode in ("vit", "all"):
+        bench_vit()
+    if args.mode in ("caption", "all"):
+        bench_caption()
+    if args.mode in ("mfu", "all"):
+        bench_mfu()

@@ -42,6 +42,67 @@ def bench_dense_decode(batch: int = 8, prompt: int = 128, new: int = 256):
           f"{tps:.0f} tokens/s ({dt*1e3/new:.2f} ms/step)")
 
 
+def bench_decode_ratio(batch: int = 16, context: int = 1024,
+                       block_size: int = 32, steps: int = 64):
+    """BASELINE target metric: decode tokens/sec/chip, fused Pallas paged
+    attention vs the naive XLA gather port, same model/step (target >=1.5x).
+    Measures the jitted serving decode step at steady-state context."""
+    import json
+
+    from vyomai_tpu.ops import paged_decode_pallas
+    from vyomai_tpu.serving import paged_model
+
+    cfg = vt.QwenConfig(vocab_size=16384, hidden_size=768,
+                        intermediate_size=3072, num_hidden_layers=6,
+                        num_attention_heads=12, num_key_value_heads=4,
+                        head_dim=64, max_position_embeddings=2048,
+                        qk_norm=True, eos_token_id=2)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+
+    blocks_per_seq = context // block_size
+    num_blocks = batch * blocks_per_seq + 1
+    block_tables = jnp.asarray(
+        np.arange(batch * blocks_per_seq, dtype=np.int32).reshape(
+            batch, blocks_per_seq))
+    seq_lens = jnp.full((batch,), context, dtype=jnp.int32)
+    positions = seq_lens - 1
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(5, cfg.vocab_size, size=batch),
+        dtype=jnp.int32)
+    # each step rewrites the last slot of each sequence (steady-state shape)
+    slot_blocks = block_tables[:, -1]
+    slot_offsets = jnp.full((batch,), (context - 1) % block_size,
+                            dtype=jnp.int32)
+
+    def measure(impl: str) -> float:
+        paged_decode_pallas.set_paged_impl(impl)
+        paged_model.decode.clear_cache()  # impl choice is baked at trace time
+        pool = paged_model.init_pool(cfg, num_blocks, block_size,
+                                     dtype=jnp.bfloat16)
+        logits, pool = paged_model.decode(  # compile + warmup
+            model, False, params, pool, tokens, positions, block_tables,
+            seq_lens, slot_blocks, slot_offsets)
+        jax.block_until_ready(logits)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            logits, pool = paged_model.decode(
+                model, False, params, pool, tokens, positions, block_tables,
+                seq_lens, slot_blocks, slot_offsets)
+        jax.block_until_ready(logits)
+        return batch * steps / (time.perf_counter() - t0)
+
+    naive = measure("xla")
+    fused = measure("pallas")
+    paged_decode_pallas.set_paged_impl("auto")
+    paged_model.decode.clear_cache()
+    print(f"[decode ratio] B={batch} ctx={context}: fused {fused:.0f} tok/s, "
+          f"naive {naive:.0f} tok/s")
+    print(json.dumps({"metric": "decode_tokens_per_sec_fused_vs_naive",
+                      "fused": round(fused, 1), "naive": round(naive, 1),
+                      "ratio": round(fused / naive, 3)}))
+
+
 def bench_serving(requests: int = 16, new: int = 64):
     cfg = vt.QwenConfig(vocab_size=16384, hidden_size=768,
                         intermediate_size=3072, num_hidden_layers=6,
@@ -73,10 +134,12 @@ def bench_serving(requests: int = 16, new: int = 64):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["dense", "serving", "all"],
+    ap.add_argument("--mode", choices=["dense", "serving", "ratio", "all"],
                     default="all")
     args = ap.parse_args()
     if args.mode in ("dense", "all"):
         bench_dense_decode()
+    if args.mode in ("ratio", "all"):
+        bench_decode_ratio()
     if args.mode in ("serving", "all"):
         bench_serving()

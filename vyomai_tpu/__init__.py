@@ -19,6 +19,7 @@ from .layers.adapters import (  # noqa: F401
     LoraLinear, DoraLinear, trainable_mask, masked_optimizer)
 from .generation import (  # noqa: F401
     generate, generate_seq2seq, generate_multimodel, speculative_generate,
+    speculative_generate_onchip, speculative_generate_multimodel,
     beam_search_generate,
     GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
     TopKNucleusProcessor)

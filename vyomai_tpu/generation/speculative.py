@@ -196,3 +196,248 @@ def speculative_generate(
 
     return (input_ids[0, prompt_len:].tolist(),
             _rate(drafts_accepted, drafts_speculated))
+
+
+# ---------------------------------------------------------------------------
+# On-chip speculative decoding: ONE jitted program, zero per-round host syncs
+# ---------------------------------------------------------------------------
+#
+# The host-loop version above transfers the full [gamma, vocab] draft and
+# target distributions to the host every round (reference
+# ``speculative_decoding.py:172-206`` does the same via ``.item()``/indexing)
+# — fine at test vocabs, a bandwidth-and-latency wall at Qwen-scale (151k)
+# vocabs on a remote-attached TPU. The variant below runs the ENTIRE decode
+# (both prefills, first sample, every speculation round with its rejection
+# sampling, residual resample, EOS scan and cache rollback) as a single
+# jitted ``lax.while_loop`` program; the host dispatches once and reads back
+# the finished token buffer plus two stats scalars.
+#
+# Static-shape trick that makes one compiled round serve every
+# accept/reject history: after the prompt prefill + first target sample,
+#   * the drafter is behind by exactly 1 or 2 tokens, so its catch-up is
+#     always expressible as a fixed 2-token chunk ending at ``current``
+#     (re-encoding one already-cached token is idempotent: same token, same
+#     position, same K/V), followed by gamma-1 single-token scan steps;
+#   * the target always scores a fixed (gamma+1)-token chunk
+#     [current-1, current+gamma) on a cache rewound to current-1.
+# Cache rollback is the free ``length`` rewind (``layers/kv_cache.py``).
+
+
+def _round_body(drafter_model, target_model, gamma: int, processor,
+                skip_adjustment: bool, drafter_params, target_params,
+                buf, current, d_cache, t_cache, stop_tokens, pad_id, rng):
+    """One speculation round (traced). ``current`` = committed tokens in
+    ``buf``. Returns updated state + (accepted_count, done)."""
+    rng, r_draft, r_accept, r_final = jax.random.split(rng, 4)
+
+    # -- drafter: 2-token catch-up chunk, then gamma-1 single-token steps
+    chunk2 = jax.lax.dynamic_slice(buf, (0, current - 2), (1, 2))
+    d_out = drafter_model.apply(drafter_params, chunk2,
+                                cache=with_length(d_cache, current - 2),
+                                start_pos=current - 2)
+    d_cache = d_out.kv_cache
+    q0 = processor(d_out.logits[0, -1])
+    x0 = processor.sample(q0, jax.random.fold_in(r_draft, 0))[0]
+
+    def draft_step(carry, k):
+        cache, prev, pos = carry
+        out = drafter_model.apply(
+            drafter_params, prev[None, None].astype(buf.dtype),
+            cache=cache, start_pos=pos)
+        qk = processor(out.logits[0, -1])
+        xk = processor.sample(qk, jax.random.fold_in(r_draft, k))[0]
+        return (out.kv_cache, xk, pos + 1), (qk, xk)
+
+    if gamma > 1:
+        (d_cache, _, _), (q_rest, x_rest) = jax.lax.scan(
+            draft_step, (d_cache, x0, current), jnp.arange(1, gamma))
+        q = jnp.concatenate([q0[None], q_rest], axis=0)        # [gamma, V]
+        x = jnp.concatenate([x0[None], x_rest], axis=0)        # [gamma]
+    else:
+        q, x = q0[None], x0[None]
+    buf = jax.lax.dynamic_update_slice(buf, x[None].astype(buf.dtype),
+                                       (0, current))
+
+    # -- target scores all drafts in one (gamma+1)-token call
+    chunk = jax.lax.dynamic_slice(buf, (0, current - 1), (1, gamma + 1))
+    t_out = target_model.apply(target_params, chunk,
+                               cache=with_length(t_cache, current - 1),
+                               start_pos=current - 1)
+    t_cache = t_out.kv_cache
+    p = processor(t_out.logits[0, :gamma])                     # [gamma, V]
+
+    # -- rejection sampling (reference :199-206), vectorized on device
+    rand = jax.random.uniform(r_accept, (gamma,))
+    p_tok = jnp.take_along_axis(p, x[:, None], axis=1)[:, 0]
+    q_tok = jnp.take_along_axis(q, x[:, None], axis=1)[:, 0]
+    reject = rand > p_tok / jnp.maximum(q_tok, 1e-20)
+    n = jnp.where(reject.any(), jnp.argmax(reject),
+                  jnp.asarray(gamma, jnp.int32)).astype(jnp.int32)
+
+    # -- final token: target extra row on full accept, residual otherwise
+    row = jnp.minimum(n, gamma - 1)
+    resid = p[row] if skip_adjustment else norm_fn(p[row] - q[row])
+    p_extra = processor(t_out.logits[0, gamma])
+    p_final = jnp.where(n == gamma, p_extra, resid)
+    x_final = processor.sample(p_final, r_final)[0]
+
+    # -- commit: pad the rejected tail, write the resampled token
+    idx = jnp.arange(buf.shape[1])[None, :]
+    tail = (idx >= current + n) & (idx < current + gamma)
+    buf = jnp.where(tail, jnp.asarray(pad_id, buf.dtype), buf)
+    buf = jax.lax.dynamic_update_slice(
+        buf, x_final[None, None].astype(buf.dtype), (0, current + n))
+
+    # -- EOS scan over the n accepted drafts + the final token
+    win = jax.lax.dynamic_slice(buf, (0, current), (1, gamma + 1))[0]
+    valid = jnp.arange(gamma + 1) <= n
+    is_stop = valid & (win[:, None] == stop_tokens[None, :]).any(-1)
+    done = is_stop.any()
+    new_current = jnp.where(done,
+                            current + jnp.argmax(is_stop).astype(jnp.int32) + 1,
+                            current + n + 1)
+
+    # rollback = free length rewind (next round re-pins lengths anyway)
+    d_cache = with_length(d_cache, jnp.minimum(d_cache["length"], new_current))
+    t_cache = with_length(t_cache, jnp.minimum(t_cache["length"], new_current))
+    return buf, new_current, d_cache, t_cache, n, done, rng
+
+
+def _prefill(model, params, prompt, pixels, cache):
+    """Prompt prefill: text-model protocol, or PaliGemma-style fused
+    image+prompt prefix (the whole prompt bidirectional, as in captioning)."""
+    if pixels is None:
+        return model.apply(params, prompt, cache=cache, start_pos=0)
+    return model.apply(params, prompt, pixel_values=pixels,
+                       token_type_ids=jnp.zeros_like(prompt), cache=cache,
+                       start_pos=0)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _spec_decode_jit(drafter_model, target_model, gamma: int, processor,
+                     skip_adjustment: bool, prompt_len: int, total_len: int,
+                     drafter_params, target_params, buf, d_cache, t_cache,
+                     stop_tokens, pad_id, rng, target_pixels, drafter_pixels):
+    prompt = buf[:, :prompt_len]
+    t_out = _prefill(target_model, target_params, prompt, target_pixels,
+                     t_cache)
+    d_cache = _prefill(drafter_model, drafter_params, prompt, drafter_pixels,
+                       d_cache).kv_cache
+
+    rng, r0 = jax.random.split(rng)
+    probs = processor(t_out.logits[0, -1])
+    t0 = processor.sample(probs, r0)[0].astype(buf.dtype)
+    buf = buf.at[0, prompt_len].set(t0)
+    done0 = (t0 == stop_tokens).any()
+    zero = jnp.zeros((), jnp.int32)
+
+    def cond(carry):
+        _, current, _, _, _, _, _, done = carry
+        return (current < total_len) & ~done
+
+    def body(carry):
+        buf, current, d_cache, t_cache, rng, acc, rounds, done = carry
+        buf, current, d_cache, t_cache, n, done, rng = _round_body(
+            drafter_model, target_model, gamma, processor, skip_adjustment,
+            drafter_params, target_params, buf, current, d_cache, t_cache,
+            stop_tokens, pad_id, rng)
+        return (buf, current, d_cache, t_cache, rng, acc + n, rounds + 1,
+                done)
+
+    carry = (buf, jnp.asarray(prompt_len + 1, jnp.int32), d_cache,
+             t_out.kv_cache, rng, zero, zero, done0)
+    buf, current, _, _, _, acc, rounds, _ = jax.lax.while_loop(
+        cond, body, carry)
+    return buf, current, acc, rounds
+
+
+def speculative_generate_onchip(
+    inputs,
+    drafter_model, drafter_params,
+    target_model, target_params,
+    gamma: int = 5,
+    logits_processor: Optional[LogitsProcessor] = None,
+    max_gen_len: int = 128,
+    eos_tokens_id: Union[int, List[int]] = 2,
+    pad_token_id: int = 2,
+    skip_sample_adjustment: bool = False,
+    rng=None,
+    cache_dtype=jnp.float32,
+    target_pixels=None,
+    drafter_pixels=None,
+) -> Tuple[List[int], float]:
+    """``speculative_generate`` as ONE jitted device program (see section
+    notes above): zero per-round host syncs. Always samples the first token
+    from the target (the reference's ``first_target=True`` default).
+
+    Compiles once per (models, gamma, processor instance, prompt_len,
+    total_len) — reuse the same ``logits_processor`` object across calls.
+    Returns ``(generated_token_list, acceptance_rate)``.
+    """
+    if logits_processor is None:
+        logits_processor = NucleusProcessor(temperature=0.2, top_p=0.9)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    stop_tokens = jnp.atleast_1d(jnp.asarray(eos_tokens_id, dtype=jnp.int32))
+
+    inputs = np.asarray(inputs)
+    assert inputs.shape[0] == 1, "Speculative decoding only supports batch size 1."
+    prompt_len = int(inputs.shape[1])
+    assert prompt_len >= 1
+    assert gamma >= 1
+
+    def _max_seq(model):
+        cfg = model.config
+        return getattr(cfg, "max_position_embeddings", None) or \
+            cfg.text_config.max_position_embeddings
+
+    max_seq = min(_max_seq(target_model), _max_seq(drafter_model))
+    total_len = min(max_seq, prompt_len + max_gen_len)
+    # slack so every round keeps the same static shapes near the end; the
+    # output is clipped back to total_len
+    buf_len = min(max_seq, total_len + gamma + 1)
+    total_len = min(total_len, buf_len - gamma - 1)
+    if total_len <= prompt_len:
+        return [], 0.0
+
+    buf = jnp.full((1, buf_len), pad_token_id, dtype=jnp.int32)
+    buf = buf.at[0, :prompt_len].set(jnp.asarray(inputs[0], jnp.int32))
+    d_cache = drafter_model.init_cache(batch_size=1, max_len=buf_len,
+                                       dtype=cache_dtype)
+    t_cache = target_model.init_cache(batch_size=1, max_len=buf_len,
+                                      dtype=cache_dtype)
+
+    buf, current, acc, rounds = _spec_decode_jit(
+        drafter_model, target_model, gamma, logits_processor,
+        skip_sample_adjustment, prompt_len, total_len,
+        drafter_params, target_params, buf, d_cache, t_cache, stop_tokens,
+        jnp.asarray(pad_token_id, jnp.int32), rng,
+        None if target_pixels is None else jnp.asarray(target_pixels),
+        None if drafter_pixels is None else jnp.asarray(drafter_pixels))
+
+    current = min(int(current), total_len)
+    tokens = np.asarray(buf[0, prompt_len:current]).tolist()
+    return tokens, _rate(float(acc), float(rounds) * gamma)
+
+
+def speculative_generate_multimodel(
+    inputs,
+    pixel_values,
+    drafter_model, drafter_params,
+    target_model, target_params,
+    drafter_pixel_values=None,
+    **kw,
+) -> Tuple[List[int], float]:
+    """Speculative captioning (SURVEY §7 stage 7): the image threads through
+    both prefills; every speculation round is text-only cached continuation,
+    so the shared on-chip round program is reused unchanged.
+
+    The target is a VLM (e.g. ``PaliGemmaForConditionalGeneration``); the
+    drafter is either a smaller VLM (pass ``drafter_pixel_values``, which
+    may alias ``pixel_values``) or a text-only model that drafts from the
+    token prompt alone.
+    """
+    return speculative_generate_onchip(
+        inputs, drafter_model, drafter_params, target_model, target_params,
+        target_pixels=pixel_values, drafter_pixels=drafter_pixel_values,
+        **kw)

@@ -128,7 +128,28 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
         out, kv_idx[None, :, None, None].repeat(b, 0), axis=2)[:, :, 0, :]
 
 
+_PAGED_IMPL = "auto"  # "auto" | "xla" | "pallas"
+
+
+def set_paged_impl(impl: str) -> None:
+    """Force the paged-decode attention implementation: ``"pallas"`` (the
+    kernel above), ``"xla"`` (the gather fallback in
+    ``ops.paged_attention``), or ``"auto"`` (kernel when supported).
+    Benchmarks use this to measure the fused/naive decode ratio.
+
+    The choice is baked in at trace time: call
+    ``serving.paged_model.decode.clear_cache()`` (and the prefill's) after
+    switching, or already-compiled programs keep the old path."""
+    global _PAGED_IMPL
+    assert impl in ("auto", "xla", "pallas")
+    _PAGED_IMPL = impl
+
+
 def supported(q, pool, h_kv: int) -> bool:
+    if _PAGED_IMPL == "xla":
+        return False
+    if _PAGED_IMPL == "pallas":
+        return True
     if jax.default_backend() != "tpu":
         return False
     b, h, d = q.shape
