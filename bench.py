@@ -77,12 +77,13 @@ def measure(fused: bool) -> float:
                              CFG.vocab_size, dtype=jnp.int32)
     batch = {"ids": ids, "mask": jnp.ones_like(ids)}
     rng = jax.random.PRNGKey(2)
-    state, _ = step(state, batch, rng)  # compile + warmup
-    jax.block_until_ready(state.params)
+    state, m = step(state, batch, rng)  # compile + warmup
+    float(m["loss"])  # host fetch = true sync (block_until_ready does not
+    # synchronize execution on the remote-attached chip)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, m = step(state, batch, rng)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / STEPS
     return BATCH * SEQ / dt
 

@@ -46,11 +46,11 @@ def bench_caption(new_tokens: int = 64, repeats: int = 3):
                             dtype=jnp.bfloat16)
 
     out = model.generate(params, prompt, pix, max_new_tokens=new_tokens)
-    jax.block_until_ready(out)  # compile + warmup
+    np.asarray(out)  # compile + true sync (see bench_vit note)
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = model.generate(params, prompt, pix, max_new_tokens=new_tokens)
-        jax.block_until_ready(out)
+    np.asarray(out)
     tps = new_tokens * repeats / (time.perf_counter() - t0)
     print(json.dumps({"metric": "paligemma_caption_tokens_per_sec_per_chip",
                       "value": round(tps, 1), "unit": "tokens/s",
@@ -67,13 +67,17 @@ def bench_vit(batch: int = 32, repeats: int = 10):
     images = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224),
                                dtype=jnp.bfloat16)
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x).logits)
-    out = fwd(params, images)
-    jax.block_until_ready(out)
+    # Timing on the remote-attached chip: block_until_ready does NOT
+    # synchronize execution (it returns on handle creation), so reduce to a
+    # scalar inside jit, pipeline the dispatches, and force one host fetch
+    # at the end — programs execute in dispatch order, so the final fetch
+    # bounds them all without paying a ~25ms RTT per iteration.
+    fwd = jax.jit(lambda p, x: jnp.sum(model.apply(p, x).logits))
+    float(fwd(params, images))  # compile + sync
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = fwd(params, images)
-    jax.block_until_ready(out)
+    float(out)
     ips = batch * repeats / (time.perf_counter() - t0)
     print(json.dumps({"metric": "vit_images_per_sec", "value": round(ips, 1),
                       "unit": "images/s", "batch": batch}))

@@ -30,19 +30,20 @@ def bench_dense_decode(batch: int = 8, prompt: int = 128, new: int = 256):
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, prompt), 0,
                              cfg.vocab_size, dtype=jnp.int32)
-    # warm up (compile)
+    # warm up (compile); np.asarray = true sync (block_until_ready does not
+    # synchronize execution on the remote-attached chip)
     out = model.generate(params, ids, max_len=new, use_cache=True)
-    jax.block_until_ready(out)
+    np.asarray(out)
     t0 = time.perf_counter()
     out = model.generate(params, ids, max_len=new, use_cache=True)
-    jax.block_until_ready(out)
+    np.asarray(out)
     dt = time.perf_counter() - t0
     tps = batch * new / dt
     print(f"[dense decode] B={batch} prompt={prompt} new={new}: "
           f"{tps:.0f} tokens/s ({dt*1e3/new:.2f} ms/step)")
 
 
-def bench_decode_ratio(batch: int = 16, context: int = 1024,
+def bench_decode_ratio(batch: int = 32, context: int = 1920,
                        block_size: int = 32, steps: int = 64):
     """BASELINE target metric: decode tokens/sec/chip, fused Pallas paged
     attention vs the naive XLA gather port, same model/step (target >=1.5x).
@@ -83,13 +84,13 @@ def bench_decode_ratio(batch: int = 16, context: int = 1024,
         logits, pool = paged_model.decode(  # compile + warmup
             model, False, params, pool, tokens, positions, block_tables,
             seq_lens, slot_blocks, slot_offsets)
-        jax.block_until_ready(logits)
+        float(logits.sum())  # true sync (block_until_ready doesn't wait)
         t0 = time.perf_counter()
         for _ in range(steps):
             logits, pool = paged_model.decode(
                 model, False, params, pool, tokens, positions, block_tables,
                 seq_lens, slot_blocks, slot_offsets)
-        jax.block_until_ready(logits)
+        float(logits.sum())
         return batch * steps / (time.perf_counter() - t0)
 
     naive = measure("xla")

@@ -57,11 +57,11 @@ def main():
 
     toks = model.generate(params, jnp.asarray(ids), jnp.asarray(px),
                           max_new_tokens=args.max_new)
-    jax.block_until_ready(toks)
+    vt.utils.device_sync(toks)
     t0 = time.perf_counter()
     toks = model.generate(params, jnp.asarray(ids), jnp.asarray(px),
                           max_new_tokens=args.max_new)
-    jax.block_until_ready(toks)
+    vt.utils.device_sync(toks)
     dt = time.perf_counter() - t0
     print(f"caption tokens: {toks[0, ids.shape[1]:].tolist()}")
     print(f"caption throughput: {2 * args.max_new / dt:.1f} tokens/s")

@@ -40,17 +40,33 @@ def peak_memory_mb(device=None) -> Optional[float]:
     return peak / 1e6 if peak else None
 
 
+def device_sync(x):
+    """True execution barrier: fetch one element of ``x`` to the host.
+
+    On remote-attached TPU runtimes ``jax.block_until_ready`` can return
+    once the buffer *handle* exists, not when the program finished — timing
+    loops that rely on it measure dispatch, not execution. A one-element
+    host fetch is an unambiguous barrier on every backend, and because
+    programs execute in dispatch order it also bounds everything enqueued
+    before it. Returns ``x``."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    if hasattr(leaf, "ndim") and leaf.ndim:
+        leaf = leaf[(0,) * leaf.ndim]
+    np.asarray(leaf)
+    return x
+
+
 def timing_tpu(fn: Callable, *args, num_batches: int = 10,
                min_new_tokens: Optional[int] = None, warmup: int = 2):
     """Benchmark ``fn(*args)`` on device. Returns a dict with latency stats
     (ms), optional per-token latency, and peak HBM MB."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        device_sync(fn(*args))
     lat = []
     for _ in range(num_batches):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        device_sync(out)
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.asarray(lat)
     res = {
