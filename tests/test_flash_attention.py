@@ -202,3 +202,35 @@ def test_bias_path_with_longer_kv_nonzero_start(qkv):
         ref = _xla(qs, k, v, mask)
         out = fa.flash_attention_bias(qs, k, v, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_auto_dispatch_follows_lowering_platform():
+    """``auto`` sdpa resolves per lowering platform (lax.platform_dependent):
+    a computation placed on CPU takes the XLA einsum path even when the
+    process default backend is TPU — flash-supported shapes must compile and
+    run on a CPU device with no ``set_sdpa_impl("xla")`` override."""
+    import numpy as np
+
+    cpu = jax.devices("cpu")[0]
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(1, 4, 256, 64)).astype(np.float32)
+    k = rng.normal(size=(1, 4, 256, 64)).astype(np.float32)
+    v = rng.normal(size=(1, 4, 256, 64)).astype(np.float32)
+
+    set_sdpa_impl("auto")
+    with jax.default_device(cpu):
+        out = jax.jit(lambda a, b, c: sdpa(a, b, c, causal=True))(q, k, v)
+        out = np.asarray(out)
+        # reference on the same platform (TPU's bf16 MXU matmuls differ from
+        # CPU fp32 at ~1e-2 — cross-platform numerics is not what's tested)
+        ref = np.asarray(_xla(jnp.asarray(q), jnp.asarray(k),
+                              jnp.asarray(v), causal=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    # differentiation must thread through platform_dependent (the flash
+    # branch carries a custom VJP)
+    with jax.default_device(cpu):
+        g = jax.jit(jax.grad(
+            lambda a: jnp.sum(sdpa(a, jnp.asarray(k), jnp.asarray(v),
+                                   causal=True))))(jnp.asarray(q))
+    assert np.isfinite(np.asarray(g)).all()

@@ -50,10 +50,10 @@ def repeat_kv(x, n_rep: int):
     return x.reshape(b, h * n_rep, l, d)
 
 
-def _flash_available(q, k, mask) -> bool:
+def _flash_shapes_ok(q, k, mask) -> bool:
     try:
         from ..ops import flash_attention as fa
-        return fa.supported(q, k, mask)
+        return fa.supported_shapes(q, k, mask)
     except Exception:
         return False
 
@@ -62,13 +62,37 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False):
     """Scaled dot-product attention. q: [B,H,Lq,D]; k,v: [B,H,Lk,D];
     mask: additive, broadcastable to [B,H,Lq,Lk]. ``causal=True`` applies
     the triangular mask (queries aligned to the end of the kv range) —
-    on the flash path this skips future blocks entirely."""
+    on the flash path this skips future blocks entirely.
+
+    ``"auto"`` picks the implementation per *lowering platform*
+    (``lax.platform_dependent``): the Pallas kernel on TPU, the einsum path
+    everywhere else — so a computation placed on a CPU mesh takes the XLA
+    path even when the process default backend is TPU (no
+    ``set_sdpa_impl("xla")`` needed on CPU meshes)."""
     impl = _SDPA_IMPL
-    if impl == "auto":
-        impl = "flash" if _flash_available(q, k, mask) else "xla"
+    if impl == "auto" and _flash_shapes_ok(q, k, mask):
+        from ..ops import flash_attention as fa
+
+        def flash_path(*args):
+            qq, kk, vv = args[:3]
+            mm = args[3] if len(args) > 3 else None
+            return fa.flash_attention_bias(qq, kk, vv, mm, causal=causal)
+
+        def xla_path(*args):
+            qq, kk, vv = args[:3]
+            mm = args[3] if len(args) > 3 else None
+            return _sdpa_xla(qq, kk, vv, mm, causal=causal)
+
+        args = (q, k, v) if mask is None else (q, k, v, mask)
+        return jax.lax.platform_dependent(*args, tpu=flash_path,
+                                          default=xla_path)
     if impl == "flash":
         from ..ops import flash_attention as fa
         return fa.flash_attention_bias(q, k, v, mask, causal=causal)
+    return _sdpa_xla(q, k, v, mask, causal=causal)
+
+
+def _sdpa_xla(q, k, v, mask=None, *, causal: bool = False):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale

@@ -60,14 +60,21 @@ DEFAULT_BLOCK_K = 512
 
 
 def supported(q, k, mask) -> bool:
-    """Whether the Pallas path should take these shapes.
+    """Backend AND shape check (legacy entry). The ``sdpa`` auto dispatcher
+    now uses ``supported_shapes`` + ``lax.platform_dependent`` instead, so
+    the implementation choice follows the *lowering* platform rather than
+    the process default backend."""
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    return supported_shapes(q, k, mask)
+
+
+def supported_shapes(q, k, mask) -> bool:
+    """Whether the Pallas kernel handles these shapes/dtypes.
 
     Conservative: flash engages only for MXU-sized problems (head_dim >= 64,
     seq >= 128) where it wins; small/odd shapes (unit tests, decode steps)
-    stay on the XLA einsum path, which is also what runs when the
-    computation is placed on a CPU mesh (Pallas compiles for TPU only)."""
-    if not _INTERPRET and jax.default_backend() != "tpu":
-        return False
+    stay on the XLA einsum path."""
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     b, h, lq, d = q.shape

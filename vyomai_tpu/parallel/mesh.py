@@ -13,6 +13,9 @@ The sdpa auto-dispatch therefore pairs best with pure data parallelism;
 for tensor-parallel training either run the XLA attention path
 (``set_sdpa_impl("xla")``, fully partitionable) or wrap the attention in
 ``jax.shard_map`` so each shard calls the kernel on its local heads.
+(On CPU meshes no override is needed: auto-dispatch resolves per lowering
+platform via ``lax.platform_dependent``, so a computation placed on CPU
+takes the XLA path even when the process default backend is TPU.)
 
 Rules (path-pattern -> PartitionSpec) follow the classic two-way split:
 - qkv / FFN-in kernels: column-parallel (shard the output dim)
