@@ -1,3 +1,4 @@
 from .mesh import (  # noqa: F401
     create_mesh, param_pspec, shard_params, data_sharding, replicated)
 from .tp_attention import sharded_sdpa  # noqa: F401
+from .pipeline import pipeline_apply, stage_params_sharding  # noqa: F401
