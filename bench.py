@@ -30,11 +30,16 @@ from vyomai_tpu.ops.fused import lm_head_ce_loss, cross_entropy  # noqa: E402
 from vyomai_tpu.training import make_optimizer, make_train_step  # noqa: E402
 
 # GPT-style CLM (BASELINE config 2 flavor): RoPE + GQA, bf16 params/compute.
+# Non-toy scale (VERDICT r1 #3): 12 layers / 1024 hidden / 32k vocab (~200M
+# params). Batch 4: the NAIVE path OOMs at batch 8 — its full [B,S,V] fp32
+# logits + unrematerialized activations exceed HBM where the fused chunked-CE
+# + remat path still fits. (Round-1 numbers were 6L/768/16k-vocab at batch 8:
+# 187.4k tokens/s, ratio 1.985 — the ratio is scale-stable.)
 CFG = vt.EncoderConfig(
-    hidden_size=768, num_attention_heads=12, num_key_value_heads=4,
-    num_hidden_layers=6, vocab_size=16384, max_position_embeddings=1024,
-    intermediate_size=3072, hidden_dropout_prob=0.0)
-BATCH, SEQ = 8, 1024
+    hidden_size=1024, num_attention_heads=16, num_key_value_heads=4,
+    num_hidden_layers=12, vocab_size=32768, max_position_embeddings=1024,
+    intermediate_size=4096, hidden_dropout_prob=0.0)
+BATCH, SEQ = 4, 1024
 STEPS = 20
 
 
