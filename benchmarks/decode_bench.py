@@ -104,7 +104,7 @@ def bench_decode_ratio(batch: int = 32, context: int = 1920,
                       "ratio": round(fused / naive, 3)}))
 
 
-def bench_serving(requests: int = 16, new: int = 64):
+def bench_serving(requests: int = 64, new: int = 128):
     cfg = vt.QwenConfig(vocab_size=16384, hidden_size=768,
                         intermediate_size=3072, num_hidden_layers=6,
                         num_attention_heads=12, num_key_value_heads=4,
@@ -115,12 +115,14 @@ def bench_serving(requests: int = 16, new: int = 64):
     rng = np.random.default_rng(0)
 
     def run():
-        eng = ContinuousBatchEngine(model, params, num_blocks=1024,
-                                    block_size=32, max_batch=16,
+        # max_batch 32 / horizon 64 swept best on v5e (4.9k tok/s vs 3.2k
+        # at the round-1 16/32 settings)
+        eng = ContinuousBatchEngine(model, params, num_blocks=2048,
+                                    block_size=32, max_batch=32,
                                     max_blocks_per_seq=16,
                                     max_new_tokens=new,
                                     prefill_buckets=(64, 128, 256),
-                                    decode_horizon=32)
+                                    decode_horizon=64)
         for _ in range(requests):
             eng.submit(list(rng.integers(5, cfg.vocab_size, size=96)))
         t0 = time.perf_counter()
