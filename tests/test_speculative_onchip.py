@@ -139,3 +139,78 @@ def test_vlm_speculative_text_drafter():
         eos_tokens_id=9999, pad_token_id=0)
     assert len(toks) == 6
     assert 0.0 <= acc <= 1.0
+
+
+def test_onchip_near_context_limit_uses_tail_steps():
+    """When the context limit caps the round slack, the remaining tokens
+    come from single-token target steps — nothing generatable is forfeited
+    (code-review r2: the old clamp returned [] / truncated output)."""
+    cfg = CFG.replace(max_position_embeddings=16)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(4))
+    prompt = jnp.array([[3, 17, 42, 5, 9, 1, 2, 6, 8, 7, 11, 13]])  # len 12
+    toks, _ = speculative_generate_onchip(
+        prompt, model, params, model, params, gamma=5,
+        logits_processor=GreedyProcessor(), max_gen_len=10,
+        eos_tokens_id=999, pad_token_id=1)
+    ref = model.generate(params, prompt, max_len=4, use_cache=True)
+    assert toks == ref[0, 12:].tolist()  # all 4 in-limit tokens produced
+
+
+def test_onchip_prompt_at_limit_returns_empty():
+    cfg = CFG.replace(max_position_embeddings=8)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(4))
+    prompt = jnp.array([[3, 17, 42, 5, 9, 1, 2, 6]])  # len == max_pos
+    toks, acc = speculative_generate_onchip(
+        prompt, model, params, model, params, gamma=3,
+        logits_processor=GreedyProcessor(), max_gen_len=5,
+        eos_tokens_id=999, pad_token_id=1)
+    assert toks == [] and acc == 0.0
+    host, hacc = speculative_generate(
+        prompt, model, params, model, params, gamma=3,
+        logits_processor=GreedyProcessor(), max_gen_len=5,
+        eos_tokens_id=999, pad_token_id=1)
+    assert host == [] and hacc == 0.0
+
+
+def test_host_use_cache_false_matches_true():
+    """use_cache=False is API parity only: the rollback still happens, so
+    both settings produce identical output (code-review r2: skipping the
+    rewind desynchronized cache positions)."""
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(4))
+    drafter_params = model.init(jax.random.PRNGKey(99))
+    prompt = jnp.array([[3, 17, 42]])
+    kw = dict(gamma=3, logits_processor=GreedyProcessor(), max_gen_len=8,
+              eos_tokens_id=999, pad_token_id=1)
+    a, acc_a = speculative_generate(
+        prompt, model, drafter_params, model, params, use_cache=True, **kw)
+    b, acc_b = speculative_generate(
+        prompt, model, drafter_params, model, params, use_cache=False, **kw)
+    assert a == b and acc_a == acc_b
+
+
+def test_vlm_drafter_rejects_image_token_tail():
+    model = vt.PaliGemmaForConditionalGeneration(PGCFG)
+    params = model.init(jax.random.PRNGKey(0))
+    pix = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 32, 32))
+    prompt = jnp.full((1, 16), PGCFG.image_token_index, dtype=jnp.int32)
+    import pytest
+    with pytest.raises(ValueError, match="text token"):
+        speculative_generate_multimodel(
+            prompt, pix, model, params, model, params,
+            drafter_pixel_values=pix, gamma=2, max_gen_len=4)
+
+
+def test_onchip_vocab_mismatch_asserts():
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(4))
+    small = vt.DecoderModel(CFG.replace(vocab_size=64),
+                            pos_embedding_type="rope")
+    small_params = small.init(jax.random.PRNGKey(5))
+    import pytest
+    with pytest.raises(AssertionError, match="vocab"):
+        speculative_generate_onchip(
+            jnp.array([[3, 17]]), small, small_params, model, params,
+            gamma=2, max_gen_len=4)

@@ -34,9 +34,11 @@ def _rate(accepted: float, speculated: float) -> float:
 
 def norm_fn(x, eps: float = 0.0):
     """norm(max(0, x)) — adjusted residual distribution
-    (reference ``speculative_decoding.py:73-82``)."""
+    (reference ``speculative_decoding.py:73-82``). ``eps`` stabilizes the
+    denominator against an all-non-positive residual (0/0); the default 0.0
+    keeps exact reference numerics."""
     x_max = jnp.where(x > 0, x, jnp.zeros_like(x))
-    return x_max / jnp.sum(x_max, axis=-1, keepdims=True)
+    return x_max / (jnp.sum(x_max, axis=-1, keepdims=True) + eps)
 
 
 @partial(jax.jit, static_argnums=(0, 4))
@@ -64,7 +66,9 @@ def speculative_generate(
     """Generate with speculative decoding; batch size 1.
 
     Returns ``(generated_token_list, acceptance_rate)`` — same contract as
-    the reference (``speculative_decoding.py:85-245``).
+    the reference (``speculative_decoding.py:85-245``). ``use_cache`` is
+    accepted for API parity; the static cache always threads through (the
+    uncached math is identical, see ``layers/kv_cache.py``).
     """
     if logits_processor is None:
         logits_processor = NucleusProcessor(temperature=0.2, top_p=0.9)
@@ -79,6 +83,8 @@ def speculative_generate(
     prompt_len = inputs.shape[1]
     max_seq = getattr(target_model.config, "max_position_embeddings", 512)
     total_len = min(max_seq, prompt_len + max_gen_len)
+    if total_len <= prompt_len:  # prompt at/over the context limit
+        return [], 0.0
     input_ids = np.full((1, total_len), pad_token_id, dtype=np.int64)
     input_ids[0, :prompt_len] = inputs[0]
 
@@ -142,12 +148,13 @@ def speculative_generate(
         logits, target_cache, target_pos = run(
             target_model, target_params, target_cache, target_pos,
             current + corrected_gamma)
-        # logits rows for positions current-1 .. current+gamma-2
+        # logits rows for positions current-1 .. current+gamma-2, processed
+        # in ONE batched call (the processors are last-axis-vectorized; a
+        # per-row loop would pay gamma dispatch round-trips per round)
         tail = np.asarray(logits[0])
         offset = target_pos - tail.shape[0]
         rows = [current - 1 - offset + i for i in range(corrected_gamma)]
-        p = np.stack([np.asarray(logits_processor(jnp.asarray(tail[rr])))
-                      for rr in rows])
+        p = np.asarray(logits_processor(jnp.asarray(tail[rows])))
 
         # rejection sampling
         rng, r = jax.random.split(rng)
@@ -173,12 +180,15 @@ def speculative_generate(
             p_p = np.asarray(logits_processor(
                 jnp.asarray(tail[current + corrected_gamma - 1 - offset])))
         else:
-            # roll back both caches to the accepted prefix (free rewind)
-            if use_cache:
-                drafter_cache = with_length(drafter_cache, current + n)
-                drafter_pos = current + n
-                target_cache = with_length(target_cache, current + n)
-                target_pos = current + n
+            # Roll back both caches to the accepted prefix (free rewind).
+            # This happens regardless of ``use_cache``: the chunked runners
+            # always thread the static cache (the flag is API parity only —
+            # skipping the rewind would leave rejected-draft K/V valid and
+            # desynchronize cache positions from ``current``).
+            drafter_cache = with_length(drafter_cache, current + n)
+            drafter_pos = current + n
+            target_cache = with_length(target_cache, current + n)
+            target_pos = current + n
             if not skip_sample_adjustment:
                 p_p = np.asarray(norm_fn(jnp.asarray(p[n] - q[n])))
             else:
@@ -346,9 +356,9 @@ def _spec_decode_jit(drafter_model, target_model, gamma: int, processor,
 
     carry = (buf, jnp.asarray(prompt_len + 1, jnp.int32), d_cache,
              t_out.kv_cache, rng, zero, zero, done0)
-    buf, current, _, _, _, acc, rounds, _ = jax.lax.while_loop(
+    buf, current, _, t_cache, _, acc, rounds, done = jax.lax.while_loop(
         cond, body, carry)
-    return buf, current, acc, rounds
+    return buf, current, acc, rounds, done, t_cache
 
 
 def speculative_generate_onchip(
@@ -386,6 +396,13 @@ def speculative_generate_onchip(
     assert prompt_len >= 1
     assert gamma >= 1
 
+    def _vocab(model):
+        cfg = model.config
+        return getattr(cfg, "vocab_size", None) or cfg.text_config.vocab_size
+
+    assert _vocab(drafter_model) == _vocab(target_model), \
+        "drafter/target vocab sizes must match for rejection sampling"
+
     def _max_seq(model):
         cfg = model.config
         return getattr(cfg, "max_position_embeddings", None) or \
@@ -393,12 +410,16 @@ def speculative_generate_onchip(
 
     max_seq = min(_max_seq(target_model), _max_seq(drafter_model))
     total_len = min(max_seq, prompt_len + max_gen_len)
-    # slack so every round keeps the same static shapes near the end; the
-    # output is clipped back to total_len
-    buf_len = min(max_seq, total_len + gamma + 1)
-    total_len = min(total_len, buf_len - gamma - 1)
-    if total_len <= prompt_len:
+    if total_len <= prompt_len:  # prompt at/over the context limit
         return [], 0.0
+    # Slack so every round keeps the same static shapes near the end; the
+    # output is clipped back to total_len. When the context limit caps the
+    # slack, rounds stop early (at ``round_limit``) and the remaining
+    # ``<= gamma+1`` tokens are decoded by plain single-token target steps —
+    # no generatable token is forfeited (the host-loop variant's
+    # ``corrected_gamma`` tail, expressed statically).
+    buf_len = min(max_seq, total_len + gamma + 1)
+    round_limit = min(total_len, buf_len - gamma)
 
     buf = jnp.full((1, buf_len), pad_token_id, dtype=jnp.int32)
     buf = buf.at[0, :prompt_len].set(jnp.asarray(inputs[0], jnp.int32))
@@ -407,15 +428,29 @@ def speculative_generate_onchip(
     t_cache = target_model.init_cache(batch_size=1, max_len=buf_len,
                                       dtype=cache_dtype)
 
-    buf, current, acc, rounds = _spec_decode_jit(
+    buf, current, acc, rounds, done, t_cache = _spec_decode_jit(
         drafter_model, target_model, gamma, logits_processor,
-        skip_sample_adjustment, prompt_len, total_len,
+        skip_sample_adjustment, prompt_len, round_limit,
         drafter_params, target_params, buf, d_cache, t_cache, stop_tokens,
         jnp.asarray(pad_token_id, jnp.int32), rng,
         None if target_pixels is None else jnp.asarray(target_pixels),
         None if drafter_pixels is None else jnp.asarray(drafter_pixels))
 
-    current = min(int(current), total_len)
+    current, done = int(current), bool(done)
+    stop_np = np.asarray(stop_tokens)
+    while not done and current < total_len:
+        # context-limit tail: plain cached single-token target steps
+        logits, t_cache = _forward_chunk(
+            target_model, target_params, buf[:, current - 1:current],
+            current - 1, 1, with_length(t_cache, current - 1))
+        r = jax.random.fold_in(rng, current)
+        tok = int(logits_processor.sample(
+            logits_processor(logits[0, -1]), r)[0])
+        buf = buf.at[0, current].set(tok)
+        current += 1
+        done = bool(np.isin(tok, stop_np))
+
+    current = min(current, total_len)
     tokens = np.asarray(buf[0, prompt_len:current]).tolist()
     return tokens, _rate(float(acc), float(rounds) * gamma)
 
@@ -436,7 +471,22 @@ def speculative_generate_multimodel(
     drafter is either a smaller VLM (pass ``drafter_pixel_values``, which
     may alias ``pixel_values``) or a text-only model that drafts from the
     token prompt alone.
+
+    With a VLM drafter the prompt must END with a TEXT token (PaliGemma
+    prompts do: the task text + separator follow the image run): the first
+    round's fixed 2-token catch-up re-encodes the last prompt position
+    through the text-embedding path, which is only idempotent for text
+    tokens — an ``<image>`` placeholder there would silently overwrite its
+    fused K/V. Later rounds only touch generated (text) positions.
     """
+    if drafter_pixel_values is not None:
+        img_idx = getattr(target_model.config, "image_token_index", None)
+        if img_idx is not None and int(np.asarray(inputs)[0, -1]) == img_idx:
+            raise ValueError(
+                "VLM drafter requires the prompt to end with a text token "
+                "(the catch-up chunk re-encodes the last prompt position "
+                "through the text path; an <image> token there would "
+                "corrupt its drafter K/V)")
     return speculative_generate_onchip(
         inputs, drafter_model, drafter_params, target_model, target_params,
         target_pixels=pixel_values, drafter_pixels=drafter_pixel_values,

@@ -65,22 +65,41 @@ def pipeline_apply(stage_fn: Callable, layer_params, x, *, mesh: Mesh,
 
 def _pipeline_body(stage_fn, local_params, xs, *, axis: str, n: int, m: int):
     """Per-stage body (under shard_map). xs: [M, mb, ...] replicated;
-    local_params: this stage's [L/n, ...] slice."""
+    local_params: this stage's [L/n, ...] slice.
+
+    The tick loop is a ``fori_loop`` (lowered to scan — differentiable), so
+    the compiled program contains ONE stage_fn application regardless of
+    ``num_microbatches`` — raising M to shrink the bubble does not grow
+    compile time."""
     idx = jax.lax.axis_index(axis)
     shift = [(j, j + 1) for j in range(n - 1)]  # no wraparound: fill w/ zeros
-    carry = jnp.zeros_like(xs[0])
-    outs = jnp.zeros_like(xs)
     zero = jnp.zeros_like(xs[0])
 
-    for t in range(m + n - 1):
-        inject = xs[t] if t < m else zero
-        inp = jnp.where(idx == 0, inject, carry)
+    def tick(t, carry):
+        act, outs = carry
+        inject = jnp.where(
+            t < m,
+            jax.lax.dynamic_index_in_dim(xs, jnp.minimum(t, m - 1), 0,
+                                         keepdims=False),
+            zero)
+        inp = jnp.where(idx == 0, inject, act)
         y = stage_fn(local_params, inp)
-        if t >= n - 1:
-            keep = jnp.where(idx == n - 1, y, outs[t - (n - 1)])
-            outs = outs.at[t - (n - 1)].set(keep)
+        # collect y into outs[t - (n-1)] once the pipeline is full; earlier
+        # ticks write back the existing row (no-op)
+        o_idx = jnp.clip(t - (n - 1), 0, m - 1)
+        cur = jax.lax.dynamic_index_in_dim(outs, o_idx, 0, keepdims=False)
+        row = jnp.where(t >= n - 1, y, cur)
+        outs = jax.lax.dynamic_update_index_in_dim(outs, row, o_idx, 0)
         if n > 1:
-            carry = jax.lax.ppermute(y, axis, shift)
+            y = jax.lax.ppermute(y, axis, shift)
+        return (y, outs)
+
+    carry = (zero, jnp.zeros_like(xs))
+    # mark carries shard-varying so the loop typechecks under shard_map's
+    # varying-manual-axes tracking (ppermute outputs are device-varying)
+    carry = jax.tree_util.tree_map(
+        lambda x: jax.lax.pcast(x, (axis,), to="varying"), carry)
+    _, outs = jax.lax.fori_loop(0, m + n - 1, tick, carry)
 
     # only the last stage holds real outputs: mask + psum = broadcast
     outs = jnp.where(idx == n - 1, outs, jnp.zeros_like(outs))
