@@ -43,7 +43,10 @@ def test_pipeline_matches_sequential(n, m):
     mesh = _pp_mesh(n)
     params = _layers(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
-    ref = _stage_fn(params, x)
+    # reference on the same (CPU) platform: under a TPU default backend the
+    # bf16 MXU matmuls differ from the CPU-mesh pipeline at ~1e-2
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = _stage_fn(params, x)
     out = pipeline_apply(_stage_fn, params, x, mesh=mesh,
                          num_microbatches=m)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
@@ -54,8 +57,9 @@ def test_pipeline_single_stage_degenerates():
     params = _layers(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (B, D))
     out = pipeline_apply(_stage_fn, params, x, mesh=mesh, num_microbatches=2)
-    np.testing.assert_allclose(np.asarray(out),
-                               np.asarray(_stage_fn(params, x)), atol=1e-6)
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = _stage_fn(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 def test_pipeline_grads_match_sequential():
@@ -73,7 +77,8 @@ def test_pipeline_grads_match_sequential():
         return jnp.sum(_stage_fn(p, x) ** 2)
 
     gp, gx = jax.grad(loss_pipe, argnums=(0, 1))(params, x)
-    rp, rx = jax.grad(loss_seq, argnums=(0, 1))(params, x)
+    with jax.default_device(jax.devices("cpu")[0]):
+        rp, rx = jax.grad(loss_seq, argnums=(0, 1))(params, x)
     for a, b in zip(jax.tree_util.tree_leaves(gp),
                     jax.tree_util.tree_leaves(rp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
@@ -113,7 +118,8 @@ def test_pipeline_under_jit_with_decoder_layers():
     try:
         emb = cnn.embedding(params["word_embeddings"], ids)
         emb = emb + model.sin_table[:, :8].astype(emb.dtype)
-        ref = stage_fn(params["layers"], emb)
+        with jax.default_device(jax.devices("cpu")[0]):
+            ref = stage_fn(params["layers"], emb)
         out = jax.jit(lambda p, h: pipeline_apply(
             stage_fn, p, h, mesh=mesh, num_microbatches=2))(
                 params["layers"], emb)

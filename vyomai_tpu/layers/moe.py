@@ -1,0 +1,114 @@
+"""Mixture-of-Experts FFN with expert parallelism (GShard/Switch style).
+
+The reference has no MoE (SURVEY §2.4: EP n/a); this is a TPU-native
+scaling extension completing the parallelism set (dp/tp/sp/pp/ep/fsdp).
+
+Design: capacity-based dispatch expressed as dense einsums — the GShard
+formulation, which is exactly what maps onto the MXU and onto GSPMD:
+
+    dispatch [T, E, C]  one-hot routing of each token to its (expert,
+                        buffer-slot); tokens beyond an expert's capacity
+                        C = ceil(capacity_factor * k * T / E) are dropped
+    expert_in [E, C, D] = einsum('tec,td->ecd', dispatch, x)
+    h         [E, C, D] = ffn_e(expert_in)        # stacked expert weights
+    out       [T, D]    = einsum('tec,ecd->td', combine, h)
+
+Expert parallelism = sharding the stacked expert weights and the [E, C, D]
+activations on the E dim over an ``ep`` mesh axis (``expert_pspec``); under
+``jit`` GSPMD partitions the einsums over E and inserts the all-to-all-
+equivalent collectives — no hand-written dispatch loops. The router's
+load-balancing auxiliary loss is the Switch formulation
+``E * sum_e(frac_tokens_e * mean_prob_e)``.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import nn as cnn
+
+
+def moe_init(key, config, *, num_experts: int, dtype=jnp.float32):
+    """Router + stacked expert FFN weights ([E, ...] leading expert dim)."""
+    d, f = config.hidden_size, config.intermediate_size
+    kr, k1, k2 = jax.random.split(key, 3)
+    std = getattr(config, "initializer_range", 0.02)
+    return {
+        "router": {"kernel": (jax.random.normal(kr, (d, num_experts))
+                              * std).astype(dtype)},
+        "w_in": (jax.random.normal(k1, (num_experts, d, f)) * std
+                 ).astype(dtype),
+        "b_in": jnp.zeros((num_experts, f), dtype=dtype),
+        "w_out": (jax.random.normal(k2, (num_experts, f, d)) * std
+                  ).astype(dtype),
+        "b_out": jnp.zeros((num_experts, d), dtype=dtype),
+    }
+
+
+def moe_apply(params, x, *, top_k: int = 2, capacity_factor: float = 1.25,
+              act: str = "gelu") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Route ``x [..., T, D]`` through the experts.
+
+    Returns ``(out [..., T, D], aux_loss scalar)`` — add
+    ``aux_weight * aux_loss`` (typical 0.01) to the training objective to
+    balance expert load. Tokens over an expert's capacity pass through the
+    residual unchanged (their combine weights are zero).
+    """
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    x2 = x.reshape(-1, d)                                   # [T, D]
+    t = x2.shape[0]
+    e = params["w_in"].shape[0]
+    k = min(top_k, e)
+    cap = max(1, int(capacity_factor * k * t / e))
+
+    logits = x2 @ params["router"]["kernel"].astype(x2.dtype)   # [T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gate_v, gate_i = jax.lax.top_k(probs, k)                # [T, k]
+    gate_v = gate_v / jnp.sum(gate_v, axis=-1, keepdims=True)
+
+    onehot = jax.nn.one_hot(gate_i, e, dtype=jnp.float32)   # [T, k, E]
+    # slot index of each (token, choice) inside its expert's buffer:
+    # cumulative count of prior assignments to the same expert
+    flat = onehot.reshape(t * k, e)
+    pos = jnp.cumsum(flat, axis=0).reshape(t, k, e) - onehot
+    pos = jnp.sum(pos * onehot, axis=-1)                    # [T, k]
+    keep = (pos < cap).astype(jnp.float32)
+    slot = jax.nn.one_hot(pos, cap, dtype=jnp.float32)      # [T, k, C]
+
+    dispatch = jnp.einsum("tke,tkc->tec", onehot * keep[..., None], slot)
+    combine = jnp.einsum("tk,tke,tkc->tec", gate_v * keep, onehot, slot)
+
+    xin = jnp.einsum("tec,td->ecd", dispatch.astype(x2.dtype), x2)
+    h = jnp.einsum("ecd,edf->ecf", xin, params["w_in"].astype(x2.dtype))
+    h = h + params["b_in"][:, None, :].astype(x2.dtype)
+    h = cnn.ACT[act](h)
+    h = jnp.einsum("ecf,efd->ecd", h, params["w_out"].astype(x2.dtype))
+    h = h + params["b_out"][:, None, :].astype(x2.dtype)
+    out = jnp.einsum("tec,ecd->td", combine.astype(x2.dtype), h)
+
+    # Switch load-balancing loss: E * sum_e(frac_tokens_e * mean_prob_e)
+    frac = jnp.sum(onehot[:, 0, :], axis=0) / t             # top-1 load [E]
+    aux = jnp.asarray(e, jnp.float32) * jnp.sum(
+        frac * jnp.mean(probs, axis=0))
+
+    return out.reshape(orig_shape), aux
+
+
+def expert_pspec(params):
+    """PartitionSpecs sharding the expert dim over the ``ep`` mesh axis
+    (router replicated)."""
+    return {
+        "router": {"kernel": P()},
+        "w_in": P("ep"), "b_in": P("ep"),
+        "w_out": P("ep"), "b_out": P("ep"),
+    }
+
+
+def shard_experts(params, mesh: Mesh):
+    """Place MoE params expert-parallel on ``mesh`` (axis ``ep``)."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, expert_pspec(params))
