@@ -70,18 +70,22 @@ def supported(q, k, mask) -> bool:
 
 
 def supported_shapes(q, k, mask) -> bool:
-    """Whether the Pallas kernel handles these shapes/dtypes.
+    """Whether the AUTO dispatcher should pick the Pallas kernel for these
+    shapes (the kernel itself handles any length >= 1 via the pad-and-mask
+    shim — force with ``set_sdpa_impl("flash")``).
 
-    Conservative: flash engages only for MXU-sized problems (head_dim >= 64,
-    seq >= 128) where it wins; small/odd shapes (unit tests, decode steps)
-    stay on the XLA einsum path."""
+    Threshold from a v5e sweep (B=32, H=12, D=64, bf16, fwd and fwd+bwd,
+    causal and bidirectional): XLA's fused attention wins below L~512
+    (flash pays block padding + kernel overhead there), flash wins >= 512
+    (1.2-1.6x fwd, 1.6x fwd+bwd, growing with L). Short shapes (ViT's 197,
+    decode steps) therefore stay on the XLA einsum path."""
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if d not in (64, 128, 256):
         return False
-    min_l = 8 if _INTERPRET else 128
+    min_l = 8 if _INTERPRET else 512
     if lq < min_l or lk < min_l:
         return False
     # no divisibility requirement: flash_attention_bias pads lq/lk up to
