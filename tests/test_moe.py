@@ -20,9 +20,12 @@ def test_single_expert_equals_plain_ffn():
     """E=1, top-1, ample capacity: MoE reduces to one dense FFN."""
     params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=1)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
-    out, aux = moe.moe_apply(params, x, top_k=1, capacity_factor=2.0)
-    ref = cnn.gelu(x @ params["w_in"][0] + params["b_in"][0]) @ \
-        params["w_out"][0] + params["b_out"][0]
+    # highest precision: on TPU the bf16 MXU rounds the dispatch einsums
+    # and the plain matmul differently (~1e-2)
+    with jax.default_matmul_precision("highest"):
+        out, aux = moe.moe_apply(params, x, top_k=1, capacity_factor=2.0)
+        ref = cnn.gelu(x @ params["w_in"][0] + params["b_in"][0]) @ \
+            params["w_out"][0] + params["b_out"][0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(float(aux), 1.0, atol=1e-6)  # E * 1 * 1
 
