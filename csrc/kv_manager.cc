@@ -149,6 +149,10 @@ struct Manager {
   bool allocate(Sequence& s, int num_tokens) {
     int need = blocks_needed(num_tokens) -
                static_cast<int>(s.block_table.size());
+    // Pre-check before touching the radix cache: the eviction loop
+    // destroys cached entries as it reclaims them, so a doomed allocation
+    // must not run it (mirrors kv_manager.py).
+    if (need > num_free()) return false;
     std::vector<int> got;
     for (int i = 0; i < need; ++i) {
       int b = allocate_block();
@@ -165,7 +169,12 @@ struct Manager {
   void free_seq(Sequence& s, bool cache_prefix) {
     int n_cached = static_cast<int>(s.cached_nodes.size());
     for (Node* n : s.cached_nodes) release(n);
-    int n_full = static_cast<int>(s.tokens.size()) / block_size;
+    // Only tokens with WRITTEN KV may be promoted: the engine appends each
+    // sampled token before the step that writes its KV, so the final token
+    // of a finished sequence has no pool entry (mirrors kv_manager.py).
+    int n_written = static_cast<int>(s.tokens.size());
+    if (n_written > 0) n_written -= 1;
+    int n_full = n_written / block_size;
     int owned_full_count = n_full - n_cached;
     if (owned_full_count < 0) owned_full_count = 0;
     std::vector<int> owned(s.block_table.begin() + n_cached,
@@ -177,15 +186,22 @@ struct Manager {
 
     if (cache_prefix && !owned_full.empty()) {
       Node* node = &root;
+      bool walk_ok = true;
       for (int i = 0; i < n_cached; ++i) {
         Chunk chunk(s.tokens.begin() + i * block_size,
                     s.tokens.begin() + (i + 1) * block_size);
         auto it = node->children.find(chunk);
         if (it == node->children.end()) {
-          node = &root;
+          // broken walk: skip caching (re-rooting would key mid-sequence
+          // chunks at depth 0 — wrong-position KV for future matches)
+          walk_ok = false;
           break;
         }
         node = it->second.get();
+      }
+      if (!walk_ok) {
+        for (int b : owned_full) free_blocks.push_back(b);
+        owned_full.clear();
       }
       for (size_t j = 0; j < owned_full.size(); ++j) {
         int i = n_cached + static_cast<int>(j);

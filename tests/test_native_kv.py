@@ -82,3 +82,28 @@ def test_native_matches_python_on_random_workload():
             py.free(s1)
             cc.free(s2)
         assert py.num_free() == cc.num_free() == 16
+
+
+def test_native_free_never_promotes_unwritten_final_token_block():
+    """Mirror of the Python-manager regression: the final token of a
+    finished sequence has no written KV, so a block-boundary finish must
+    not promote its block into the radix cache."""
+    kv = native.NativeKVManager(8, 4)
+    s = SequenceState(0, list(range(8)))  # exactly 2 blocks
+    kv.match_prefix(s)
+    kv.allocate(s, 8)
+    kv.free(s)
+    probe = SequenceState(1, list(range(8)) + [99])
+    assert kv.match_prefix(probe) == 4  # only the fully-written block
+
+
+def test_native_failed_allocate_preserves_radix_cache():
+    kv = native.NativeKVManager(4, 4)
+    s = SequenceState(0, list(range(9)))
+    kv.match_prefix(s)
+    kv.allocate(s, 9)
+    kv.free(s)
+    big = SequenceState(1, [50 + i for i in range(99)])
+    assert not kv.allocate(big, 99)
+    probe = SequenceState(2, list(range(8)) + [77])
+    assert kv.match_prefix(probe) == 8

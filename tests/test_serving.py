@@ -235,3 +235,96 @@ def test_engine_rejects_oversized_prompt(qwen):
     eng.submit(list(range(3, 20)))  # 17 tokens > 2 blocks x 8
     with pytest.raises(ValueError, match="block table"):
         eng.run()
+
+
+def test_free_never_promotes_unwritten_final_token_block():
+    """The engine appends each sampled token BEFORE the step that writes
+    its KV, so a finished sequence's final token has no pool entry. When
+    the sequence length lands exactly on a block boundary, that last block
+    must NOT enter the radix cache (code-review r2: promoting it served
+    zero/stale KV to future prefix matches)."""
+    kv = PagedKVManager(num_blocks=8, block_size=4)
+    s = SequenceState(0, list(range(8)))  # exactly 2 blocks
+    kv.allocate(s, 8)
+    kv.free(s)
+    probe = SequenceState(1, list(range(8)) + [99])
+    # only the first block (tokens 0..3, all KV written) is reusable
+    assert kv.match_prefix(probe) == 4
+
+
+def test_failed_allocate_preserves_radix_cache():
+    """A doomed allocation must not evict cached prefixes on its way to
+    failure (code-review r2: one failed admission wiped the whole cache)."""
+    kv = PagedKVManager(num_blocks=4, block_size=4)
+    s = SequenceState(0, list(range(9)))
+    kv.allocate(s, 9)  # 3 blocks
+    kv.free(s)         # 2 full written blocks cached
+    big = SequenceState(1, [50 + i for i in range(99)])
+    assert not kv.allocate(big, 99)  # needs 25 blocks > pool
+    probe = SequenceState(2, list(range(8)) + [77])
+    assert kv.match_prefix(probe) == 8  # cache intact
+
+
+def test_engine_run_drains_finished(qwen):
+    model, params = qwen
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=3, dtype=jnp.float32,
+                                prefill_buckets=(8,))
+    sid1 = eng.submit([3, 17, 42])
+    out1 = eng.run()
+    sid2 = eng.submit([5, 9, 11])
+    out2 = eng.run()
+    assert set(out1) == {sid1}
+    assert set(out2) == {sid2}  # results are consumed, not re-returned
+
+
+def test_engine_submit_validation(qwen):
+    model, params = qwen
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=4, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="empty prompt"):
+        eng.submit([])
+    max_pos = model.config.max_position_embeddings
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        eng.submit(list(range(3, max_pos + 3)))
+
+
+def test_engine_block_boundary_greedy_invariant(qwen):
+    """Engine greedy == dense greedy must hold when the finished length
+    lands exactly on a block boundary AND the prompt is re-served through
+    the radix cache (the poisoned-promotion regression scenario)."""
+    model, params = qwen
+    from vyomai_tpu.generation import generate
+
+    prompt = [3, 17, 42, 9, 21, 33, 40, 2, 7, 1, 12, 14]  # 12 tokens
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=4, dtype=jnp.float32,
+                                prefill_buckets=(16,))
+    sid1 = eng.submit(list(prompt))
+    out1 = eng.run()[sid1]          # 12 + 4 = 16 tokens: 2 full blocks
+    sid2 = eng.submit(list(prompt))  # radix-matches the cached prefix
+    out2 = eng.run()[sid2]
+    dense = generate(model, params, jnp.asarray([prompt]), max_new_tokens=4,
+                     use_cache=True)
+    ref = np.asarray(dense[0, len(prompt):]).tolist()
+    assert out1 == ref
+    assert out2 == ref
+
+    # continuation prompt = prompt + generation + 1 more token: its prefix
+    # fully CONTAINS the block that ends at the unwritten final token —
+    # exactly the block a buggy promotion would have poisoned (one token
+    # longer than the sequence so the whole-prompt holdback doesn't mask it)
+    cont = prompt + out1 + [5]  # 17 tokens: blocks 0 and 1 both matchable
+    # deterministic check: the radix cache must NOT cover the block ending
+    # at the unwritten final token (coverage stops at the first block)
+    probe = SequenceState(999, list(cont))
+    assert eng.kv.match_prefix(probe) <= 8
+    eng.kv.release_sequence(probe)
+    sid3 = eng.submit(list(cont))
+    out3 = eng.run()[sid3]
+    dense3 = generate(model, params, jnp.asarray([cont]), max_new_tokens=4,
+                      use_cache=True)
+    assert out3 == np.asarray(dense3[0, len(cont):]).tolist()

@@ -86,17 +86,32 @@ class ContinuousBatchEngine:
 
     # -- API ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int]) -> int:
+        if not len(prompt):
+            raise ValueError("empty prompt (prefill would attend nothing "
+                             "and emit an arbitrary first token)")
+        max_pos = getattr(self.cfg, "max_position_embeddings", None)
+        if max_pos and len(prompt) + self.max_new_tokens > max_pos:
+            # positions past the RoPE table would silently clamp to its
+            # last row (jnp.take mode=clip) — wrong rotations, not an error
+            raise ValueError(
+                f"prompt of {len(prompt)} + max_new_tokens "
+                f"{self.max_new_tokens} exceeds max_position_embeddings "
+                f"{max_pos}")
         sid = self._next_id
         self._next_id += 1
         self.waiting.append(SequenceState(sid, prompt))
         return sid
 
     def run(self) -> Dict[int, List[int]]:
-        """Drain all requests; returns {seq_id: generated tokens}."""
+        """Drain all requests; returns {seq_id: generated tokens} for the
+        sequences that finished since the last ``run`` (results are
+        consumed — a long-lived engine does not accumulate them)."""
         while self.waiting or self.active or self.needs_prefill:
             self.step()
-        return {sid: s.tokens[s.prompt_len:]
+        done = {sid: s.tokens[s.prompt_len:]
                 for sid, s in self.finished.items()}
+        self.finished.clear()
+        return done
 
     # -- scheduling -------------------------------------------------------------
     def _try_admit(self):

@@ -145,6 +145,12 @@ class PagedKVManager:
         """Grow ``state.block_table`` to cover ``num_tokens`` tokens.
         All-or-nothing; returns False if the pool is exhausted."""
         need = self.blocks_needed(num_tokens) - len(state.block_table)
+        if need > self.num_free():
+            # Pre-check before touching the radix cache: the eviction loop
+            # below destroys cached entries as it reclaims them, so a
+            # doomed allocation must not run it — one failed admission
+            # would wipe the whole reusable prefix cache (code-review r2).
+            return False
         got = []
         for _ in range(max(need, 0)):
             b = self.allocate_block()
@@ -171,7 +177,13 @@ class PagedKVManager:
         for node in state.cached_nodes:
             self._release(node)
         owned = state.block_table[n_cached:]
-        n_full = len(state.tokens) // self.block_size
+        # Only tokens whose KV was actually WRITTEN may be cached: the
+        # engine appends each sampled token before the step that writes its
+        # KV, so a finished sequence's final token has no pool entry —
+        # promoting its block would poison the radix cache and break
+        # engine-greedy == dense-greedy (code-review r2).
+        n_written = max(len(state.tokens) - 1, 0)
+        n_full = n_written // self.block_size
         owned_full = owned[:max(n_full - n_cached, 0)]
         tail = owned[max(n_full - n_cached, 0):]
 
@@ -179,12 +191,21 @@ class PagedKVManager:
             node = self.radix_root
             chunks = list(_chunks(state.tokens, self.block_size))
             # walk through the cached part
+            walk_ok = True
             for chunk in chunks[:n_cached]:
                 child = node.children.get(chunk)
                 if child is None:
-                    node = self.radix_root
+                    walk_ok = False
                     break
                 node = child
+            if not walk_ok:
+                # defensive (unreachable while cached nodes are
+                # ref-protected): a broken walk must NOT re-root the
+                # insertion — mid-sequence chunks keyed at depth 0 would
+                # match future prompts' first blocks with wrong-position
+                # KV. Skip caching instead.
+                self.free_blocks.extend(owned_full)
+                owned_full = []
             # insert owned full blocks
             for chunk, block in zip(chunks[n_cached:], owned_full):
                 child = node.children.get(chunk)

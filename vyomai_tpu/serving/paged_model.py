@@ -204,19 +204,15 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
 
 def sample_tokens(logits, rng, temperature, top_p):
     """Temperature + nucleus (top-p) sampling on device. logits: [B, V];
-    temperature/top_p: f32 scalars. Returns [B] int32."""
+    temperature/top_p: f32 scalars. Returns [B] int32.
+
+    Reuses ``generation.sampling._top_p_mask`` so serving and the decode
+    loops share one nucleus implementation (same boundary semantics)."""
+    from ..generation.sampling import _top_p_mask
+
     logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
-    order = jnp.argsort(logits, axis=-1)[:, ::-1]          # descending
-    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens while the cumulative mass *before* them is < top_p
-    keep = (cum - probs) < top_p
-    keep = keep.at[:, 0].set(True)                         # never empty
-    sorted_logits = jnp.where(keep, sorted_logits, NEG_INF)
-    idx = jax.random.categorical(rng, sorted_logits, axis=-1)
-    return jnp.take_along_axis(order, idx[:, None], axis=-1)[:, 0].astype(
-        jnp.int32)
+    masked = _top_p_mask(logits, top_p)
+    return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,))
