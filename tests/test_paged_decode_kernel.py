@@ -1,0 +1,75 @@
+"""Pallas paged-decode kernel correctness (code-review r2: the serving
+path's TPU kernel previously had zero tests — only the XLA fallback was
+exercised off-TPU).
+
+On a TPU backend the real Mosaic kernel runs; anywhere else the SAME
+kernel logic executes in Pallas interpret mode, compared against the XLA
+gather fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vyomai_tpu.ops import paged_decode_pallas as pdp
+from vyomai_tpu.ops.paged_attention import paged_attention_decode
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_off_tpu():
+    if not ON_TPU:
+        pdp.set_interpret(True)
+    yield
+    pdp.set_interpret(False)
+
+
+B, H, H_KV, D, BS, MAXB, NB = 3, 8, 2, 64, 8, 6, 32
+
+
+def _setup(seed=0, ctx=(17, 33, 48)):
+    rng = jax.random.PRNGKey(seed)
+    kq, kp = jax.random.split(rng)
+    q = jax.random.normal(kq, (B, H, D), dtype=jnp.float32)
+    pool = jax.random.normal(kp, (NB, 2, BS, H_KV * D), dtype=jnp.float32)
+    bt = jnp.asarray(
+        np.random.default_rng(seed).permutation(NB)[:B * MAXB].reshape(
+            B, MAXB).astype(np.int32))
+    seq_lens = jnp.asarray(ctx, dtype=jnp.int32)
+    return q, pool, bt, seq_lens
+
+
+def test_kernel_matches_xla_fallback():
+    """Block-table gather kernel == XLA gather fallback across uneven
+    context lengths (incl. partial final blocks)."""
+    q, pool, bt, seq_lens = _setup()
+    out = pdp.paged_attention_decode_pallas(q, pool, bt, seq_lens, H_KV)
+    ref = paged_attention_decode(q, pool, bt, seq_lens, H_KV)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)
+
+
+def test_kernel_mha_no_grouping():
+    """H == H_KV: the block-diagonal expansion degenerates to identity."""
+    q, pool, bt, seq_lens = _setup(seed=1)
+    pool_mha = jax.random.normal(jax.random.PRNGKey(9),
+                                 (NB, 2, BS, 2 * D), dtype=jnp.float32)
+    q2 = q[:, :2]                                    # H = H_KV = 2
+    out = pdp.paged_attention_decode_pallas(q2, pool_mha, bt, seq_lens, 2)
+    ref = paged_attention_decode(q2, pool_mha, bt, seq_lens, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)
+
+
+def test_kernel_clamps_oversized_seq_len():
+    """seq_len beyond the block table must not index past it (the XLA
+    fallback masks to the table window; the kernel clamps its block loop).
+    Oversized lengths attend exactly the table-covered window."""
+    q, pool, bt, _ = _setup(seed=2)
+    over = jnp.asarray([MAXB * BS + 13, 9, MAXB * BS], dtype=jnp.int32)
+    capped = jnp.minimum(over, MAXB * BS)
+    out = pdp.paged_attention_decode_pallas(q, pool, bt, over, H_KV)
+    ref = paged_attention_decode(q, pool, bt, capped, H_KV)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)

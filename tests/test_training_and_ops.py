@@ -278,3 +278,32 @@ def test_timing_tpu_and_model_utils():
     assert stats["mean_ms"] > 0
     assert stats["latency_per_token_ms"] == pytest.approx(
         stats["mean_ms"] / 4)
+
+
+def test_fused_block_entry_points():
+    """linear_residual_layernorm / ffn_gelu (reference LinearRms / FFNGeLU
+    fusion boundaries) match the unfused composition and differentiate."""
+    from vyomai_tpu.core import nn as cnn
+    from vyomai_tpu.ops.fused import ffn_gelu, linear_residual_layernorm
+
+    k1, k2, k3, kx = jax.random.split(jax.random.PRNGKey(0), 4)
+    d, f = 16, 32
+    p_lin = cnn.linear_init(k1, d, d)
+    p_ln = cnn.layer_norm_init(d)
+    p_in = cnn.linear_init(k2, d, f)
+    p_out = cnn.linear_init(k3, f, d)
+    x = jax.random.normal(kx, (2, 8, d))
+    res = jax.random.normal(jax.random.PRNGKey(9), (2, 8, d))
+
+    out = linear_residual_layernorm(p_lin, p_ln, x, res)
+    ref = cnn.layer_norm(p_ln, cnn.linear(p_lin, x) + res, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    out2 = ffn_gelu(p_in, p_out, x)
+    ref2 = cnn.linear(p_out, cnn.gelu(cnn.linear(p_in, x)))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-6)
+
+    g = jax.grad(lambda x: jnp.sum(
+        linear_residual_layernorm(p_lin, p_ln, x, res) ** 2) +
+        jnp.sum(ffn_gelu(p_in, p_out, x) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()

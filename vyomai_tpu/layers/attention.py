@@ -30,7 +30,7 @@ from .positional import apply_rotary_pos_emb
 # Global switch for the fused attention backend ("xla" | "flash").
 _SDPA_IMPL = "auto"
 
-NEG_INF_F = float(jnp.finfo(jnp.float32).min)
+from ..core.masks import NEG_INF as NEG_INF_F  # canonical sentinel
 
 
 def set_sdpa_impl(impl: str) -> None:

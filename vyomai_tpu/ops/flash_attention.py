@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ..core.masks import NEG_INF  # canonical masking sentinel
 
 _INTERPRET = False  # set True to debug on CPU
 

@@ -61,13 +61,7 @@ def lm_head_ce_loss(hidden, kernel, bias, targets, *,
         logits = xc @ kernel
         if bias is not None:
             logits = logits + bias
-        logits = logits.astype(jnp.float32)
-        lse = jax.nn.logsumexp(logits, axis=-1)
-        tc_safe = jnp.clip(tc, 0, logits.shape[-1] - 1)
-        tgt_logit = jnp.take_along_axis(logits, tc_safe[:, None], axis=1)[:, 0]
-        valid = (tc != ignore_index)
-        losses = jnp.where(valid, lse - tgt_logit, 0.0)
-        return jnp.sum(losses), jnp.sum(valid.astype(jnp.float32))
+        return _masked_ce_sum(logits, tc, ignore_index)
 
     def body(carry, args):
         s, c = carry
@@ -79,16 +73,22 @@ def lm_head_ce_loss(hidden, kernel, bias, targets, *,
     return total / jnp.maximum(count, 1.0)
 
 
-def cross_entropy(logits, targets, *, ignore_index: int = -100):
-    """Plain masked CE (fp32 softmax), mean over valid positions."""
+def _masked_ce_sum(logits, targets, ignore_index: int):
+    """Shared masked-CE core: fp32 logsumexp CE summed over positions where
+    ``targets != ignore_index``. Returns ``(loss_sum, valid_count)``."""
     logits = logits.astype(jnp.float32)
     lse = jax.nn.logsumexp(logits, axis=-1)
     t_safe = jnp.clip(targets, 0, logits.shape[-1] - 1)
     tgt = jnp.take_along_axis(logits, t_safe[..., None], axis=-1)[..., 0]
     valid = (targets != ignore_index)
     losses = jnp.where(valid, lse - tgt, 0.0)
-    return jnp.sum(losses) / jnp.maximum(
-        jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(losses), jnp.sum(valid.astype(jnp.float32))
+
+
+def cross_entropy(logits, targets, *, ignore_index: int = -100):
+    """Plain masked CE (fp32 softmax), mean over valid positions."""
+    total, count = _masked_ce_sum(logits, targets, ignore_index)
+    return total / jnp.maximum(count, 1.0)
 
 
 def linear_residual_layernorm(p_linear, p_ln, x, residual, *,

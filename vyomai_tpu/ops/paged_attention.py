@@ -18,7 +18,7 @@ attention); ``ops.paged_decode_pallas`` streams blocks HBM->VMEM directly.
 import jax
 import jax.numpy as jnp
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ..core.masks import NEG_INF  # canonical masking sentinel
 
 
 def write_kv(pool, k_new, v_new, slot_block, slot_offset):

@@ -26,15 +26,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ..core.masks import NEG_INF  # canonical masking sentinel
+
+_INTERPRET = False  # set True to run the kernel on CPU (tests/debugging)
+
+
+def set_interpret(flag: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = flag
 
 
 def _kernel(bt_ref, len_ref, qexp_ref, pool_ref, o_ref,
-            kv_sc, sem, *, bs, group, h, width):
+            kv_sc, sem, *, bs, h, width):
     """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D)."""
     b = pl.program_id(0)
     seq_len = len_ref[b]
-    nblocks = pl.cdiv(seq_len, bs)
+    # clamp to the block-table width: an oversized seq_len must not index
+    # past the table (the XLA fallback masks the same way) — without this
+    # the DMA would fetch from a garbage block index
+    nblocks = jnp.minimum(pl.cdiv(seq_len, bs), bt_ref.shape[1])
 
     def dma(slot, j):
         blk = bt_ref[b, j]
@@ -96,7 +106,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     q_exp = (q_scaled[:, :, None, :] * sel[None, :, :, None]
              ).reshape(b, h, width)
 
-    kern = functools.partial(_kernel, bs=bs, group=group, h=h, width=width)
+    kern = functools.partial(_kernel, bs=bs, h=h, width=width)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
@@ -118,6 +128,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
         out_shape=jax.ShapeDtypeStruct((b, h, width), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
     )(jnp.where(block_tables < 0, 0, block_tables).astype(jnp.int32),
       seq_lens.astype(jnp.int32), q_exp.astype(q.dtype), pool)
 
@@ -150,7 +161,7 @@ def supported(q, pool, h_kv: int) -> bool:
         return False
     if _PAGED_IMPL == "pallas":
         return True
-    if jax.default_backend() != "tpu":
+    if not _INTERPRET and jax.default_backend() != "tpu":
         return False
     b, h, d = q.shape
     nb, two, bs, width = pool.shape

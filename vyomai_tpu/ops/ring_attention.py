@@ -16,36 +16,46 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-NEG_INF = float(jnp.finfo(jnp.float32).min)
+from ..core.masks import NEG_INF  # canonical masking sentinel
 
 
 def _ring_body(q, k, v, *, axis: str, n: int, causal: bool, scale: float):
-    """Per-shard body (runs under shard_map). q/k/v: [B, H, Lc, D] local."""
+    """Per-shard body (runs under shard_map). q/k/v: [B, H, Lc, D] local.
+
+    The local shard is folded first, then the loop rotates n-1 times —
+    no wasted final exchange. Under ``causal``, a visiting shard that sits
+    entirely in this shard's future (``src > idx``) is skipped via
+    ``lax.cond`` (its probabilities are exactly zero), saving ~half the
+    attention FLOPs across the ring; the predicate is device-local and the
+    ppermutes stay outside the cond, so every device still participates in
+    every collective."""
     idx = jax.lax.axis_index(axis)
     b, h, lc, d = q.shape
     q32 = q.astype(jnp.float32) * scale
     q_pos = idx * lc + jnp.arange(lc)                     # [Lc] global
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def step(i, carry):
-        m, l, acc, kc, vc = carry
-        src = (idx - i) % n                               # owner of kc/vc
-        s = jnp.einsum("bhqd,bhkd->bhqk", q32, kc.astype(jnp.float32))
-        if causal:
-            k_pos = src * lc + jnp.arange(lc)             # [Lc] global
-            mask = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0, NEG_INF)
-            s = s + mask[None, None]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(jnp.maximum(m, m_cur), -1e30)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32))
-        # rotate kv to the next device (receive the previous one's)
-        kc = jax.lax.ppermute(kc, axis, perm)
-        vc = jax.lax.ppermute(vc, axis, perm)
-        return m_new, l_new, acc_new, kc, vc
+    def fold(carry, kc, vc, src):
+        def compute(carry):
+            m, l, acc = carry
+            s = jnp.einsum("bhqd,bhkd->bhqk", q32, kc.astype(jnp.float32))
+            if causal:
+                k_pos = src * lc + jnp.arange(lc)         # [Lc] global
+                mask = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0,
+                                 NEG_INF)
+                s = s + mask[None, None]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(jnp.maximum(m, m_cur), -1e30)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32))
+            return m_new, l_new, acc_new
+        if not causal:
+            return compute(carry)
+        # fully-future shard: p would be exactly 0 — skip the matmuls
+        return jax.lax.cond(src > idx, lambda c: c, compute, carry)
 
     m0 = jnp.full((b, h, lc, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, lc, 1), jnp.float32)
@@ -54,7 +64,17 @@ def _ring_body(q, k, v, *, axis: str, n: int, causal: bool, scale: float):
     # under shard_map's varying-manual-axes tracking
     m0, l0, a0 = jax.tree_util.tree_map(
         lambda x: jax.lax.pcast(x, (axis,), to="varying"), (m0, l0, a0))
-    m, l, acc, _, _ = jax.lax.fori_loop(0, n, step, (m0, l0, a0, k, v))
+    carry = fold((m0, l0, a0), k, v, idx)                 # own shard first
+
+    def step(i, state):
+        m, l, acc, kc, vc = state
+        kc = jax.lax.ppermute(kc, axis, perm)
+        vc = jax.lax.ppermute(vc, axis, perm)
+        src = (idx - i) % n                               # owner of kc/vc
+        m, l, acc = fold((m, l, acc), kc, vc, src)
+        return m, l, acc, kc, vc
+
+    m, l, acc, _, _ = jax.lax.fori_loop(1, n, step, (*carry, k, v))
     l_safe = jnp.where(l == 0.0, 1.0, l)
     return (acc / l_safe).astype(q.dtype)
 
