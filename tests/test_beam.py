@@ -87,3 +87,18 @@ def test_beam_on_decoder_model_protocol():
     # prompt preserved on every returned beam
     np.testing.assert_array_equal(np.asarray(seqs[:, :4]),
                                   np.broadcast_to(np.asarray(ids), (4, 4)))
+
+
+def test_num_return_sequences_validated():
+    import pytest
+    import vyomai_tpu as vt
+    cfg = vt.EncoderConfig(vocab_size=64, hidden_size=32,
+                           num_attention_heads=4, num_hidden_layers=1,
+                           intermediate_size=64, max_position_embeddings=32,
+                           hidden_dropout_prob=0.0)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="num_return_sequences"):
+        vt.beam_search_generate(model, params, jnp.ones((1, 3), jnp.int32),
+                                num_beams=2, num_return_sequences=4,
+                                max_new_tokens=2)

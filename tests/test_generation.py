@@ -168,3 +168,23 @@ def test_generate_until_stops_on_keyword():
     stopped = generate_until(model, params, ids, max_new_tokens=8,
                              stopping_criteria=crit)
     assert stopped.shape[1] == 4 and int(stopped[0, -1]) == first
+
+
+def test_greedy_temperature_zero():
+    """Greedy decoding is temperature-invariant — T=0.0 must work (the
+    reference's logits/T-then-argmax breaks there; documented deviation)."""
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    params = model.init(jax.random.PRNGKey(0))
+    idx = jnp.array([[3, 17, 42]], dtype=jnp.int32)
+    t0 = generate(model, params, idx, max_new_tokens=4, temperature=0.0,
+                  use_cache=True)
+    t1 = generate(model, params, idx, max_new_tokens=4, temperature=1.0,
+                  use_cache=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_multimodel_requires_decoder_start():
+    import pytest
+    from vyomai_tpu.generation import generate_multimodel
+    with pytest.raises(ValueError, match="decoder_start"):
+        generate_multimodel(None, None, jnp.zeros((1, 8)))

@@ -74,14 +74,20 @@ def _beam_search_jit(model, params, input_ids, num_beams: int,
     running_beam_indices = jnp.full((bsz, k, max_new_tokens), -1, jnp.int32)
     beam_indices = running_beam_indices
 
-    # prefill: all beams share the prompt — run it once per lane
+    # prefill: all beams share the prompt — run it ONCE per batch row and
+    # broadcast the resulting KV into the k beam lanes (k-fold less prompt
+    # compute than prefillng every lane; identical results since the lanes
+    # are byte-identical). Flat lane order is [b0k0..b0k(k-1), b1k0, ...],
+    # which jnp.repeat on the batch axis reproduces.
     param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
-    cache = model.init_cache(batch_size=bsz * k, max_len=max_length,
-                             dtype=param_dtype)
-    flat_prompt = jnp.broadcast_to(
-        input_ids[:, None, :], (bsz, k, prompt_len)).reshape(bsz * k, -1)
-    out = model.apply(params, flat_prompt, cache=cache, start_pos=0)
-    logits0, cache = out.logits[:, -1], out.kv_cache
+    cache1 = model.init_cache(batch_size=bsz, max_len=max_length,
+                              dtype=param_dtype)
+    out = model.apply(params, input_ids, cache=cache1, start_pos=0)
+    logits0 = jnp.repeat(out.logits[:, -1], k, axis=0)     # [B*K, V]
+    c = out.kv_cache
+    cache = {"k": jnp.repeat(c["k"], k, axis=1),
+             "v": jnp.repeat(c["v"], k, axis=1),
+             "length": c["length"]}
 
     def step(logits, carry):
         (running_seq, running_scores, sequences, beam_scores,
@@ -198,6 +204,10 @@ def beam_search_generate(model, params, input_ids, *, num_beams: int = 4,
     length-penalized sequence scores. Token-exact vs HF ``generate``
     (``num_beams=N, do_sample=False``) for the same weights.
     """
+    if num_return_sequences > num_beams:
+        raise ValueError(
+            f"num_return_sequences ({num_return_sequences}) has to be "
+            f"smaller or equal to num_beams ({num_beams})")  # HF's error
     if eos_token_id is None:
         eos_token_id = getattr(model.config, "eos_token_id", None)
         if eos_token_id is None:

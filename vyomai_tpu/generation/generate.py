@@ -22,10 +22,11 @@ import jax.numpy as jnp
 
 
 def _sample(logits, temperature, do_sample, rng):
-    probs_logits = logits / temperature
-    if do_sample:
-        return jax.random.categorical(rng, probs_logits, axis=-1)
-    return jnp.argmax(probs_logits, axis=-1)
+    if not do_sample:
+        # argmax is temperature-invariant; dividing first (as the reference
+        # does) breaks at temperature=0.0 — documented deviation
+        return jnp.argmax(logits, axis=-1)
+    return jax.random.categorical(rng, logits / temperature, axis=-1)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
@@ -157,7 +158,12 @@ def generate_seq2seq(model, params, encoder_output, encoder_attention_mask,
                      temperature: float = 1.0, do_sample: bool = False,
                      top_k: Optional[int] = 10, use_cache: bool = False,
                      rng=None):
-    """Seq2seq generation with encode-once cross K/V."""
+    """Seq2seq generation with encode-once cross K/V.
+
+    ``top_k`` is accepted for API parity and IGNORED — the reference
+    declares it and never reads it (``generation_utils.py:62``); sampling
+    is always full-vocabulary multinomial, as there. Use
+    ``TopKProcessor`` + a custom loop for real top-k sampling."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     return _generate_seq2seq(model, params, encoder_output,
@@ -235,7 +241,16 @@ def generate_multimodel(model, params, encoder_output,
                         max_new_tokens: int = 24, temperature: float = 1.0,
                         do_sample: bool = False, top_k: Optional[int] = 10,
                         use_cache: bool = False, rng=None):
-    """VLM caption generation. ``encoder_output``: image CLS embedding [B, D]."""
+    """VLM caption generation. ``encoder_output``: image CLS embedding [B, D].
+
+    ``encoder_attention_mask`` and ``top_k`` are accepted for API parity
+    and IGNORED — the reference declares both and never reads either
+    (``generation_utils.py:128-197``; the CLS-fusion design needs no
+    encoder mask)."""
+    if decoder_start is None:
+        raise ValueError(
+            "decoder_start is required (a [B, L] int token matrix — the "
+            "reference passes the BOS/prompt tokens here)")
     if rng is None:
         rng = jax.random.PRNGKey(0)
     return _generate_multimodel(model, params, encoder_output,

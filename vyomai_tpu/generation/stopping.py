@@ -76,6 +76,10 @@ def generate_until(model, params, input_ids, *,
     multimodal wrappers (GOT-OCR2: image embeds spliced into the prompt)
     supply their own prefill; text-only models use the model protocol.
     """
+    if eos_token_id is None:
+        # same config fallback as beam_search_generate: a model that
+        # declares eos_token_id should stop on it by default
+        eos_token_id = getattr(model.config, "eos_token_id", None)
     input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
     assert input_ids.shape[0] == 1, "generate_until is a batch-1 driver"
     prompt_len = input_ids.shape[1]

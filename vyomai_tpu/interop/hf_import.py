@@ -135,6 +135,13 @@ def import_qwen(sd, config, prefix: str = "model") -> dict:
         "layers": _stack(layers),
         "norm": _rms(sd, f"{prefix}.norm"),
     }
-    if not config.tie_word_embeddings and "lm_head.weight" in sd:
+    if not config.tie_word_embeddings:
+        if "lm_head.weight" not in sd:
+            # fail at import time with a hint, not as a KeyError deep in
+            # the first jitted forward
+            raise ValueError(
+                "config says tie_word_embeddings=False but the checkpoint "
+                "has no lm_head.weight — the weights are tied; set "
+                "tie_word_embeddings=True on the config")
         params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
     return params

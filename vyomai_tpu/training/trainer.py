@@ -32,6 +32,10 @@ def make_optimizer(learning_rate=1e-4, *, clip_norm: Optional[float] = 1.0,
                    schedule: str = "constant"):
     """AdamW + global-norm clipping + optional warmup-cosine schedule
     (the reference recipes' cosine LR + clip_grad_norm(1.0))."""
+    if schedule == "cosine" and not total_steps:
+        raise ValueError(
+            "schedule='cosine' requires total_steps (silently running at "
+            "constant LR is the surprise this error prevents)")
     if schedule == "cosine" and total_steps:
         warmup_steps = min(warmup_steps, max(total_steps - 1, 0))
         lr = optax.warmup_cosine_decay_schedule(
@@ -166,7 +170,10 @@ class Trainer:
             batch = next(data_iter)
             rng, r = jax.random.split(rng)
             state, metrics = self.step(state, batch, r)
-            if i % log_every == 0:
+            # log on multiples of log_every in STEP numbering (state.step is
+            # i+1), plus the first step — so MetricLogger's print_every
+            # (also step-numbered) actually fires
+            if i == 0 or (i + 1) % log_every == 0:
                 self.logger.log(int(state.step), metrics)
         return state
 
