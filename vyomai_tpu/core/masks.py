@@ -57,24 +57,6 @@ def causal_mask(seq_len: int, attention_mask=None, start_pos: int = 0,
     return additive(m, dtype)
 
 
-def decode_step_mask(kv_capacity: int, cache_len, batch_size: int = 1,
-                     dtype=jnp.float32):
-    """Validity mask for single-token decode over a full static KV buffer.
-
-    The reference slices the cache to ``[:, :, :start_pos + 1]`` and attends
-    with ``mask=None`` (``models/decoder.py:356-362`` + ``kv_cache.py:358``).
-    With a static ``[B, H, kv_capacity, D]`` buffer we keep shapes fixed and
-    instead mask key positions ``>= cache_len`` — numerically identical.
-
-    ``cache_len`` may be a traced scalar (or [B] array). Returns additive
-    [B, 1, 1, kv_capacity].
-    """
-    k_pos = jnp.arange(kv_capacity)[None, :]              # [1, K]
-    valid = k_pos < jnp.reshape(jnp.asarray(cache_len), (-1, 1))
-    valid = jnp.broadcast_to(valid, (batch_size, kv_capacity))
-    return additive(valid[:, None, None, :], dtype)
-
-
 def causal_mask_static_kv(seq_len: int, kv_capacity: int, start_pos,
                           attention_mask=None, batch_size: int = 1,
                           dtype=jnp.float32):
@@ -85,6 +67,13 @@ def causal_mask_static_kv(seq_len: int, kv_capacity: int, start_pos,
     key j is attendable iff ``j <= start_pos + i`` (prefix + causal) and j is
     not padding. ``start_pos`` may be traced. Returns additive
     [B, 1, seq_len, kv_capacity].
+
+    CONTRACT: ``attention_mask`` covers key positions FROM 0 — i.e. the
+    whole context ``[0, start_pos + seq_len)`` — not just the current
+    chunk. A shorter mask marks the remaining key positions INVALID (that
+    is what prefill wants: keys past the prompt hold no data yet); passing
+    a chunk-length mask during chunked cached decode would therefore mask
+    out all cached history. Pass None to attend the full valid prefix.
     """
     q_pos = start_pos + jnp.arange(seq_len)[:, None]      # [Lq, 1]
     k_pos = jnp.arange(kv_capacity)[None, :]              # [1, K]

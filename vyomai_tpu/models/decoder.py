@@ -153,9 +153,9 @@ class DecoderModel:
             return out, new_kv
         hidden, (new_k, new_v) = jax.lax.scan(
             body, hidden, (params["layers"], layer_rngs, cache["k"], cache["v"]))
-        seqlen_new = start_pos + (hidden.shape[1] if hidden.ndim == 3 else 1)
         new_cache = {"k": new_k, "v": new_v,
-                     "length": jnp.asarray(seqlen_new, dtype=jnp.int32)}
+                     "length": jnp.asarray(start_pos + hidden.shape[1],
+                                           dtype=jnp.int32)}
         return hidden, new_cache
 
     def apply(self, params, input_ids, attention_mask=None,
@@ -166,10 +166,7 @@ class DecoderModel:
         hidden, new_cache = self.run_layers(
             params, hidden, mask, freqs, cache, start_pos, causal=causal,
             deterministic=deterministic, rng=rng)
-        # start_pos + seqlen for correct cache length bookkeeping
-        if new_cache is not None:
-            new_cache["length"] = jnp.asarray(
-                start_pos + input_ids.shape[1], dtype=jnp.int32)
+        # cache length (start_pos + seqlen) is set in run_layers — one site
         logits = lm_head_apply(params["lm_head"], hidden, self.config)
         return CLMOutput(hidden_state=hidden, logits=logits, kv_cache=new_cache)
 
@@ -191,30 +188,52 @@ class DecoderModel:
         filled token matrix.
 
         ``use_static_cache`` is accepted for API parity; the static cache is
-        the only device cache."""
+        the only device cache.
+
+        Parity quirks replicated exactly: (a) the llama-style
+        ``input_text_mask`` replay machinery is structurally inert for
+        rectangular inputs — the reference's ``all_prompt_size`` over a 2-D
+        tensor makes ``min_prompt_len == max_prompt_len`` always
+        (``decoder.py:444-447``); (b) cached decode steps attend the full
+        prefix with no pad masking (``decoder.py:355-362``: mask only when
+        ``seqlen > 1``) while the no-cache path masks pads — so the two
+        paths can diverge for batches whose ``attention_mask`` contains
+        zeros, in the reference as here. The token-exact cache-parity
+        invariant therefore holds for all-valid masks."""
         cfg = self.config
         input_ids = jnp.asarray(input_ids)
         bsz, prompt_len = input_ids.shape
         total_len = prompt_len + max_len
+        if total_len > cfg.max_position_embeddings:
+            raise ValueError(
+                f"prompt ({prompt_len}) + max_len ({max_len}) exceeds "
+                f"max_position_embeddings ({cfg.max_position_embeddings}) — "
+                "positions past the table would silently clamp to its last "
+                "row")
         if attention_mask is None:
             attention_mask = jnp.ones((bsz, prompt_len), dtype=jnp.int32)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         return _generate_jit(self, params, input_ids, attention_mask,
-                             total_len, prompt_len, float(temperature),
+                             total_len, prompt_len,
+                             jnp.asarray(temperature, jnp.float32),
                              bool(use_cache), bool(do_sample), rng)
 
 
 def _sample_token(logits, temperature, do_sample, rng):
     if do_sample:
         return jax.random.categorical(rng, logits / temperature, axis=-1)
-    return jnp.argmax(logits / temperature, axis=-1)
+    # argmax is temperature-invariant; dividing first (as the reference
+    # does) breaks at temperature=0.0 — documented deviation
+    return jnp.argmax(logits, axis=-1)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(0, 4, 5, 7, 8))
 def _generate_jit(model: DecoderModel, params, input_ids, attention_mask,
-                  total_len: int, prompt_len: int, temperature: float,
+                  total_len: int, prompt_len: int, temperature,
                   use_cache: bool, do_sample: bool, rng):
+    # temperature is a TRACED operand (it's only used arithmetically) — a
+    # temperature sweep reuses one compiled program instead of recompiling
     cfg = model.config
     bsz = input_ids.shape[0]
     pad_id = getattr(cfg, "pad_token_id", 1)

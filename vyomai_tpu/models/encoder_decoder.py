@@ -143,6 +143,11 @@ class Seq2SeqDecoderModel:
 
         use_cache = cache is not None
         use_cross_kv = cross_kv is not None
+        if use_cache and not use_cross_kv:
+            raise ValueError(
+                "cache requires cross_kv: cached decode reads the "
+                "encode-once cross K/V — build both with "
+                "EncoderDecoderModel.setup_cache (or precompute_cross_kv)")
 
         def body(h, xs):
             if use_cache:
