@@ -323,9 +323,10 @@ def _prefill(model, params, prompt, pixels, cache):
                        start_pos=0)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _spec_decode_jit(drafter_model, target_model, gamma: int, processor,
                      skip_adjustment: bool, prompt_len: int, total_len: int,
+                     clip_len: int,
                      drafter_params, target_params, buf, d_cache, t_cache,
                      stop_tokens, pad_id, rng, target_pixels, drafter_pixels):
     prompt = buf[:, :prompt_len]
@@ -346,19 +347,24 @@ def _spec_decode_jit(drafter_model, target_model, gamma: int, processor,
         return (current < total_len) & ~done
 
     def body(carry):
-        buf, current, d_cache, t_cache, rng, acc, rounds, done = carry
+        buf, current, d_cache, t_cache, rng, acc, spec, done = carry
+        # Acceptance-rate accounting matches the host-loop variant's
+        # corrected_gamma: a round speculating past ``clip_len`` (whose
+        # tokens are clipped from the output) only credits the in-bounds
+        # part to both numerator and denominator (ADVICE r2).
+        creditable = jnp.clip(clip_len - current, 0, gamma)
         buf, current, d_cache, t_cache, n, done, rng = _round_body(
             drafter_model, target_model, gamma, processor, skip_adjustment,
             drafter_params, target_params, buf, current, d_cache, t_cache,
             stop_tokens, pad_id, rng)
-        return (buf, current, d_cache, t_cache, rng, acc + n, rounds + 1,
-                done)
+        return (buf, current, d_cache, t_cache, rng,
+                acc + jnp.minimum(n, creditable), spec + creditable, done)
 
     carry = (buf, jnp.asarray(prompt_len + 1, jnp.int32), d_cache,
              t_out.kv_cache, rng, zero, zero, done0)
-    buf, current, _, t_cache, _, acc, rounds, done = jax.lax.while_loop(
+    buf, current, _, t_cache, _, acc, spec, done = jax.lax.while_loop(
         cond, body, carry)
-    return buf, current, acc, rounds, done, t_cache
+    return buf, current, acc, spec, done, t_cache
 
 
 def speculative_generate_onchip(
@@ -428,9 +434,9 @@ def speculative_generate_onchip(
     t_cache = target_model.init_cache(batch_size=1, max_len=buf_len,
                                       dtype=cache_dtype)
 
-    buf, current, acc, rounds, done, t_cache = _spec_decode_jit(
+    buf, current, acc, spec, done, t_cache = _spec_decode_jit(
         drafter_model, target_model, gamma, logits_processor,
-        skip_sample_adjustment, prompt_len, round_limit,
+        skip_sample_adjustment, prompt_len, round_limit, total_len,
         drafter_params, target_params, buf, d_cache, t_cache, stop_tokens,
         jnp.asarray(pad_token_id, jnp.int32), rng,
         None if target_pixels is None else jnp.asarray(target_pixels),
@@ -452,7 +458,7 @@ def speculative_generate_onchip(
 
     current = min(current, total_len)
     tokens = np.asarray(buf[0, prompt_len:current]).tolist()
-    return tokens, _rate(float(acc), float(rounds) * gamma)
+    return tokens, _rate(float(acc), float(spec))
 
 
 def speculative_generate_multimodel(

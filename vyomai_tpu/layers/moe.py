@@ -71,12 +71,16 @@ def moe_apply(params, x, *, top_k: int = 2, capacity_factor: float = 1.25,
 
     onehot = jax.nn.one_hot(gate_i, e, dtype=jnp.float32)   # [T, k, E]
     # slot index of each (token, choice) inside its expert's buffer:
-    # cumulative count of prior assignments to the same expert
-    flat = onehot.reshape(t * k, e)
-    pos = jnp.cumsum(flat, axis=0).reshape(t, k, e) - onehot
-    pos = jnp.sum(pos * onehot, axis=-1)                    # [T, k]
+    # cumulative count of prior assignments to the same expert, counted
+    # CHOICE-MAJOR (GShard): all top-1 routes claim capacity before any
+    # top-2 route, so congestion drops secondary choices first
+    oh_cm = onehot.transpose(1, 0, 2)                       # [k, T, E]
+    pos_cm = jnp.cumsum(oh_cm.reshape(k * t, e), axis=0
+                        ).reshape(k, t, e) - oh_cm
+    pos = jnp.sum(pos_cm.transpose(1, 0, 2) * onehot, axis=-1)  # [T, k]
     keep = (pos < cap).astype(jnp.float32)
-    slot = jax.nn.one_hot(pos, cap, dtype=jnp.float32)      # [T, k, C]
+    slot = jax.nn.one_hot(pos.astype(jnp.int32), cap,
+                          dtype=jnp.float32)                # [T, k, C]
 
     dispatch = jnp.einsum("tke,tkc->tec", onehot * keep[..., None], slot)
     combine = jnp.einsum("tk,tke,tkc->tec", gate_v * keep, onehot, slot)
