@@ -310,3 +310,62 @@ def test_ring_attention_matches_full(causal):
         out = ring_attention(q, k, v, mesh=mesh, causal=causal)
     set_sdpa_impl("auto")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "zigzag"])
+def test_ring_attention_gqa_layouts(layout):
+    """Ring attention v2: GQA (H_kv < H) under both shard layouts equals
+    single-device full attention. Zigzag inputs are pre-permuted with
+    zigzag_shard and the output unpermuted."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.ops.ring_attention import (ring_attention, zigzag_shard,
+                                               zigzag_unshard)
+    from vyomai_tpu.layers.attention import repeat_kv, sdpa, set_sdpa_impl
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    n = 4
+    mesh = Mesh(np.array(cpus[:n]), ("sp",))
+    B, H, HKV, L, D = 2, 8, 2, 64, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, L, D))
+    set_sdpa_impl("xla")
+    with jax.default_device(cpus[0]):
+        ref = sdpa(q, repeat_kv(k, H // HKV), repeat_kv(v, H // HKV),
+                   None, causal=True)
+        if layout == "zigzag":
+            qs, ks, vs = (zigzag_shard(x, n) for x in (q, k, v))
+            out = ring_attention(qs, ks, vs, mesh=mesh, causal=True,
+                                 layout="zigzag", block_k=8)
+            out = zigzag_unshard(out, n)
+        else:
+            out = ring_attention(q, k, v, mesh=mesh, causal=True, block_k=8)
+    set_sdpa_impl("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attention_long_context_32k():
+    """32k-token causal ring attention runs on the 8-device CPU mesh with
+    blockwise (O(Lc*block)) memory. Correctness probe: with v == 1 any
+    correctly normalized attention returns exactly 1 everywhere, and every
+    row must have at least one visible key (masking/skip reachability)."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.ops.ring_attention import ring_attention, zigzag_shard
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    n = 8
+    mesh = Mesh(np.array(cpus[:n]), ("sp",))
+    B, H, HKV, L, D = 1, 2, 1, 32768, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D),
+                          dtype=jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, L, D),
+                          dtype=jnp.float32)
+    v = jnp.ones((B, HKV, L, D), dtype=jnp.float32)
+    qs, ks, vs = (zigzag_shard(x, n) for x in (q, k, v))
+    out = ring_attention(qs, ks, vs, mesh=mesh, causal=True,
+                         layout="zigzag", block_k=512)
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, np.ones_like(out), atol=1e-5)

@@ -293,11 +293,17 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q_blocks,
-                    bq, bk, q_offset, causal):
+                    group, bq, bk, q_offset, causal):
+    """Grid (B, H_kv, nk, nq*group): for each kv block, the innermost sweep
+    visits every (q head in the GQA group, q block) pair and accumulates
+    dk/dv for the group in VMEM scratch — one [B, H_kv, Lk, D] HBM write
+    instead of a [B, H, Lk, D] intermediate + outside reduction (group x
+    less dkv HBM traffic, the expensive half of training at GQA group 4)."""
     ik = pl.program_id(2)
-    iq = pl.program_id(3)
+    t = pl.program_id(3)
+    iq = t % num_q_blocks                 # q block (fast-varying)
 
-    @pl.when(iq == 0)
+    @pl.when(t == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
@@ -320,7 +326,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
-    @pl.when(iq == num_q_blocks - 1)
+    @pl.when(t == num_q_blocks * group - 1)
     def _emit():
         dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
@@ -341,22 +347,44 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, :, None, :]                     # [B, H, 1, Lq]
 
-    def specs(order):
-        if order == "q":
-            qi = lambda b_, h_, iq, ik: (b_, h_, iq, 0)
-            ki = lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0)
-            li = lambda b_, h_, iq, ik: (b_, h_, 0, iq)
-        else:
-            qi = lambda b_, h_, ik, iq: (b_, h_, iq, 0)
-            ki = lambda b_, h_, ik, iq: (b_, h_ // group, ik, 0)
-            li = lambda b_, h_, ik, iq: (b_, h_, 0, iq)
+    def specs_q():
+        """dq pass: grid (B, H, nq, nk)."""
+        qi = lambda b_, h_, iq, ik: (b_, h_, iq, 0)
+        ki = lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0)
+        li = lambda b_, h_, iq, ik: (b_, h_, 0, iq)
         sp = [
             pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
         ]
         if bias is not None:
-            sp.append(_bias_spec(bias, bq, bk, order))
+            sp.append(_bias_spec(bias, bq, bk, "q"))
+        sp += [
+            pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),   # do
+            pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # lse
+            pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # delta
+        ]
+        return sp
+
+    def specs_kv():
+        """dkv pass: grid (B, H_kv, nk, nq*group); the innermost index t
+        enumerates (q head in group: t // nq, q block: t % nq)."""
+        qi = lambda b_, hk, ik, t: (b_, hk * group + t // nq, t % nq, 0)
+        ki = lambda b_, hk, ik, t: (b_, hk, ik, 0)
+        li = lambda b_, hk, ik, t: (b_, hk * group + t // nq, 0, t % nq)
+        sp = [
+            pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
+        ]
+        if bias is not None:
+            bh, brow = bias.shape[1], bias.shape[2]
+            bi = lambda b_, hk, ik, t: (
+                b_, 0 if bh == 1 else hk * group + t // nq,
+                0 if brow == 1 else t % nq, ik)
+            rows = 1 if brow == 1 else bq
+            sp.append(pl.BlockSpec((1, 1, rows, bk), bi,
+                                   memory_space=pltpu.VMEM))
         sp += [
             pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),   # do
             pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # lse
@@ -369,7 +397,8 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
 
     if bias is not None:
         dq_kern = functools.partial(_bwd_dq_kernel, num_kv_blocks=nk, **kw)
-        dkv_kern = functools.partial(_bwd_dkv_kernel, num_q_blocks=nq, **kw)
+        dkv_kern = functools.partial(_bwd_dkv_kernel, num_q_blocks=nq,
+                                     group=group, **kw)
     else:
         dq_kern = functools.partial(
             lambda qr, kr, vr, dor, lr, der, dqr, acc, **kw2:
@@ -379,12 +408,12 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
             lambda qr, kr, vr, dor, lr, der, dkr, dvr, ka, va, **kw2:
             _bwd_dkv_kernel(qr, kr, vr, None, dor, lr, der, dkr, dvr,
                             ka, va, **kw2),
-            num_q_blocks=nq, **kw)
+            num_q_blocks=nq, group=group, **kw)
 
     dq = pl.pallas_call(
         dq_kern,
         grid=(b, h, nq, nk),
-        in_specs=specs("q"),
+        in_specs=specs_q(),
         out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda b_, h_, iq, ik: (b_, h_, iq, 0),
                                memory_space=pltpu.VMEM),
@@ -396,22 +425,22 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
         interpret=_INTERPRET,
     )(*args)
 
-    # dk/dv computed per q-head, reduced over the GQA group outside.
-    dk_full, dv_full = pl.pallas_call(
+    # dk/dv accumulated over the GQA group IN-KERNEL: written [B, H_kv, ...]
+    dk, dv = pl.pallas_call(
         dkv_kern,
-        grid=(b, h, nk, nq),
-        in_specs=specs("k"),
+        grid=(b, h_kv, nk, nq * group),
+        in_specs=specs_kv(),
         out_specs=[
             pl.BlockSpec((1, 1, bk, d),
-                         lambda b_, h_, ik, iq: (b_, h_, ik, 0),
+                         lambda b_, hk, ik, t: (b_, hk, ik, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, d),
-                         lambda b_, h_, ik, iq: (b_, h_, ik, 0),
+                         lambda b_, hk, ik, t: (b_, hk, ik, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, lk, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, lk, d), v.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
                         pltpu.VMEM((bk, d), jnp.float32)],
@@ -420,13 +449,7 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
                                  "arbitrary")),
         interpret=_INTERPRET,
     )(*args)
-
-    if group > 1:
-        dk = dk_full.reshape(b, h_kv, group, lk, d).sum(axis=2)
-        dv = dv_full.reshape(b, h_kv, group, lk, d).sum(axis=2)
-    else:
-        dk, dv = dk_full, dv_full
-    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------

@@ -2,12 +2,35 @@
 (SURVEY.md §5.7 names this as the long-context extension point beyond the
 reference's capabilities).
 
-Each device holds a sequence shard of q/k/v ``[B, H, L/n, D]``. KV shards
-rotate around the ring with ``lax.ppermute`` (ICI neighbor exchange) while
-each device folds the visiting block into an online-softmax accumulator —
+Each device holds a sequence shard of ``q [B, H, L/n, D]`` and
+``k/v [B, H_kv, L/n, D]`` (GQA: H_kv may divide H). KV shards rotate
+around the ring with ``lax.ppermute`` (ICI neighbor exchange) while each
+device folds the visiting shard into an online-softmax accumulator —
 attention over sequences n x longer than one chip's memory, with
-communication overlapped across ring steps. Causality is enforced from
-global positions (shard index x shard length + offset).
+communication overlapped across ring steps.
+
+v2 (long context for real):
+- **Blockwise within-shard fold**: the visiting KV is consumed in
+  ``block_k``-sized chunks with the online-softmax update per chunk, so
+  peak live memory is O(Lc * block_k) scores — never the O(Lc^2) block the
+  flash decomposition exists to avoid. 32k-token causal attention runs on
+  an 8-device mesh in a few hundred MB per device.
+- **GQA**: scores are computed group-blocked (``[B, H_kv, G, Lc, bk]``)
+  straight from the un-repeated KV shard — no head replication in memory
+  or on the wire (the ring moves H_kv-head shards only).
+- **Zigzag layout** (``layout="zigzag"``): device i holds global chunks
+  ``[i, 2n-1-i]`` (use :func:`zigzag_shard` to permute the sequence before
+  sharding). Under ``causal`` every device then skips the same number of
+  fully-future chunks per rotation, so the ring is load-balanced — with
+  the contiguous layout shard 0 computes 1 block while shard n-1 computes
+  n and the ring is wall-clock-bound by the fullest device.
+
+Chunk skipping is device-local (``lax.cond`` around the chunk matmuls);
+the ppermutes stay outside all conds so every device participates in every
+collective. Forward-only: gradients through the fori_loops are
+mathematically correct but save per-step residuals — for sequence-parallel
+*training* pair the ring exchange with a flash-attention VJP per shard
+pair (future work), or checkpoint the layer.
 """
 
 from functools import partial
@@ -19,43 +42,121 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.masks import NEG_INF  # canonical masking sentinel
 
 
-def _ring_body(q, k, v, *, axis: str, n: int, causal: bool, scale: float):
-    """Per-shard body (runs under shard_map). q/k/v: [B, H, Lc, D] local.
+def _pick_block(n: int, prefer: int) -> int:
+    for c in (prefer, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if c <= n and n % c == 0:
+            return c
+    return n
 
-    The local shard is folded first, then the loop rotates n-1 times —
-    no wasted final exchange. Under ``causal``, a visiting shard that sits
-    entirely in this shard's future (``src > idx``) is skipped via
-    ``lax.cond`` (its probabilities are exactly zero), saving ~half the
-    attention FLOPs across the ring; the predicate is device-local and the
-    ppermutes stay outside the cond, so every device still participates in
-    every collective."""
+
+def zigzag_shard(x, n: int, seq_axis: int = 2):
+    """Permute a GLOBAL sequence so contiguous sharding over ``n`` devices
+    gives each device global chunks ``[i, 2n-1-i]`` (balanced causal work).
+    Apply to q/k/v (and undo on the output with :func:`zigzag_unshard`)
+    before placing them sequence-sharded on the mesh."""
+    l = x.shape[seq_axis]
+    assert l % (2 * n) == 0, f"seq len {l} not divisible by 2n={2 * n}"
+    c = l // (2 * n)
+    order = []
+    for i in range(n):
+        order.extend(range(i * c, (i + 1) * c))
+        order.extend(range((2 * n - 1 - i) * c, (2 * n - i) * c))
+    return jnp.take(x, jnp.asarray(order), axis=seq_axis)
+
+
+def zigzag_unshard(x, n: int, seq_axis: int = 2):
+    """Inverse permutation of :func:`zigzag_shard`."""
+    l = x.shape[seq_axis]
+    c = l // (2 * n)
+    order = []
+    for i in range(n):
+        order.extend(range(i * c, (i + 1) * c))
+        order.extend(range((2 * n - 1 - i) * c, (2 * n - i) * c))
+    inv = [0] * l
+    for new, old in enumerate(order):
+        inv[old] = new
+    return jnp.take(x, jnp.asarray(inv), axis=seq_axis)
+
+
+def _shard_positions(shard, lc: int, n: int, layout: str):
+    """Global positions of a shard's local rows ([Lc] int32; ``shard`` may
+    be traced)."""
+    if layout == "zigzag":
+        half = lc // 2
+        a = shard * half + jnp.arange(half, dtype=jnp.int32)
+        b = (2 * n - 1 - shard) * half + jnp.arange(half, dtype=jnp.int32)
+        return jnp.concatenate([a, b])
+    return shard * lc + jnp.arange(lc, dtype=jnp.int32)
+
+
+def _ring_body(q, k, v, *, axis: str, n: int, causal: bool, scale: float,
+               layout: str, block_k: int):
+    """Per-shard body (runs under shard_map). q: [B, H, Lc, D] local;
+    k/v: [B, H_kv, Lc, D] local."""
     idx = jax.lax.axis_index(axis)
     b, h, lc, d = q.shape
-    q32 = q.astype(jnp.float32) * scale
-    q_pos = idx * lc + jnp.arange(lc)                     # [Lc] global
+    h_kv = k.shape[1]
+    g = h // h_kv
+    q32 = (q.astype(jnp.float32) * scale).reshape(b, h_kv, g, lc, d)
+    q_pos = _shard_positions(idx, lc, n, layout)              # [Lc] global
+    q_max = jnp.max(q_pos)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    def fold(carry, kc, vc, src):
-        def compute(carry):
-            m, l, acc = carry
-            s = jnp.einsum("bhqd,bhkd->bhqk", q32, kc.astype(jnp.float32))
-            if causal:
-                k_pos = src * lc + jnp.arange(lc)         # [Lc] global
-                mask = jnp.where(k_pos[None, :] <= q_pos[:, None], 0.0,
-                                 NEG_INF)
-                s = s + mask[None, None]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(jnp.maximum(m, m_cur), -1e30)
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = acc * alpha + jnp.einsum(
-                "bhqk,bhkd->bhqd", p, vc.astype(jnp.float32))
-            return m_new, l_new, acc_new
-        if not causal:
-            return compute(carry)
-        # fully-future shard: p would be exactly 0 — skip the matmuls
-        return jax.lax.cond(src > idx, lambda c: c, compute, carry)
+    # contiguous position runs inside one shard (zigzag shards hold two)
+    if layout == "zigzag":
+        runs = [(0, lc // 2), (lc // 2, lc // 2)]
+    else:
+        runs = [(0, lc)]
+    bk = _pick_block(runs[0][1], block_k)
+
+    def fold_run(carry, kc, vc, run_pos):
+        """Online-softmax fold of one contiguous kv run ([B, H_kv, R, D])
+        in bk-sized chunks. run_pos: [R] global key positions."""
+        r = kc.shape[2]
+        nb = r // bk
+
+        def chunk(j, carry):
+            def compute(carry):
+                m, l, acc = carry
+                kb = jax.lax.dynamic_slice_in_dim(kc, j * bk, bk, axis=2)
+                vb = jax.lax.dynamic_slice_in_dim(vc, j * bk, bk, axis=2)
+                k_pos = jax.lax.dynamic_slice_in_dim(run_pos, j * bk, bk)
+                # [B, H_kv, G, Lc, bk] — GQA without repeating kv heads
+                s = jnp.einsum("bhgqd,bhkd->bhgqk", q32,
+                               kb.astype(jnp.float32))
+                if causal:
+                    mask = jnp.where(k_pos[None, :] <= q_pos[:, None],
+                                     0.0, NEG_INF)
+                    s = s + mask[None, None, None]
+                s = s.reshape(b, h, lc, bk)
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(jnp.maximum(carry[0], m_cur), -1e30)
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(carry[0] - m_new)
+                l_new = alpha * carry[1] + jnp.sum(p, axis=-1, keepdims=True)
+                pv = jnp.einsum(
+                    "bhgqk,bhkd->bhgqd", p.reshape(b, h_kv, g, lc, bk),
+                    vb.astype(jnp.float32)).reshape(b, h, lc, d)
+                return m_new, l_new, carry[2] * alpha + pv
+            if not causal:
+                return compute(carry)
+            # chunk entirely in this shard's causal future: probabilities
+            # are exactly zero — skip the matmuls
+            first = jax.lax.dynamic_index_in_dim(run_pos, j * bk,
+                                                 keepdims=False)
+            return jax.lax.cond(first > q_max, lambda c: c, compute, carry)
+
+        return jax.lax.fori_loop(0, nb, chunk, carry)
+
+    def fold_shard(carry, kc, vc, src):
+        pos = _shard_positions(src, lc, n, layout)
+        for start, length in runs:
+            carry = fold_run(
+                carry,
+                jax.lax.slice_in_dim(kc, start, start + length, axis=2),
+                jax.lax.slice_in_dim(vc, start, start + length, axis=2),
+                jax.lax.dynamic_slice_in_dim(pos, start, length))
+        return carry
 
     m0 = jnp.full((b, h, lc, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, h, lc, 1), jnp.float32)
@@ -64,14 +165,14 @@ def _ring_body(q, k, v, *, axis: str, n: int, causal: bool, scale: float):
     # under shard_map's varying-manual-axes tracking
     m0, l0, a0 = jax.tree_util.tree_map(
         lambda x: jax.lax.pcast(x, (axis,), to="varying"), (m0, l0, a0))
-    carry = fold((m0, l0, a0), k, v, idx)                 # own shard first
+    carry = fold_shard((m0, l0, a0), k, v, idx)               # own shard first
 
     def step(i, state):
         m, l, acc, kc, vc = state
         kc = jax.lax.ppermute(kc, axis, perm)
         vc = jax.lax.ppermute(vc, axis, perm)
-        src = (idx - i) % n                               # owner of kc/vc
-        m, l, acc = fold((m, l, acc), kc, vc, src)
+        src = (idx - i) % n                                   # owner of kc/vc
+        m, l, acc = fold_shard((m, l, acc), kc, vc, src)
         return m, l, acc, kc, vc
 
     m, l, acc, _, _ = jax.lax.fori_loop(1, n, step, (*carry, k, v))
@@ -80,13 +181,24 @@ def _ring_body(q, k, v, *, axis: str, n: int, causal: bool, scale: float):
 
 
 def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
-                   causal: bool = False):
-    """q, k, v: [B, H, L, D] with L divisible by the ``axis`` size.
-    Returns [B, H, L, D]; inputs/outputs sequence-sharded over ``axis``."""
+                   causal: bool = False, layout: str = "contiguous",
+                   block_k: int = 512):
+    """q: [B, H, L, D]; k/v: [B, H_kv, L, D] (H divisible by H_kv) with L
+    divisible by the ``axis`` size (and by 2x it for ``layout="zigzag"``).
+    Returns [B, H, L, D]; inputs/outputs sequence-sharded over ``axis``.
+
+    ``layout="zigzag"``: inputs must be pre-permuted with
+    :func:`zigzag_shard` (and the output unpermuted with
+    :func:`zigzag_unshard`); balances causal work across the ring."""
     n = mesh.shape[axis]
+    assert q.shape[1] % k.shape[1] == 0, "H must be divisible by H_kv"
+    if layout == "zigzag":
+        assert q.shape[2] % (2 * n) == 0, \
+            f"zigzag needs L divisible by 2n={2 * n}"
     scale = 1.0 / (q.shape[-1] ** 0.5)
     spec = P(None, None, axis, None)
     fn = jax.shard_map(
-        partial(_ring_body, axis=axis, n=n, causal=causal, scale=scale),
+        partial(_ring_body, axis=axis, n=n, causal=causal, scale=scale,
+                layout=layout, block_k=block_k),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
     return fn(q, k, v)
