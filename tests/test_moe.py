@@ -68,3 +68,104 @@ def test_moe_grads_and_aux_loss():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     # router receives gradient (through combine weights and aux loss)
     assert float(jnp.abs(g["router"]["kernel"]).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# MoE as a model capability: config-driven MoE MLP in the modern decoder
+# (ModelForCausalLM), aux-loss threading, EP-sharded training
+# ---------------------------------------------------------------------------
+
+MOE_QCFG = vt.QwenConfig(vocab_size=256, hidden_size=64, intermediate_size=96,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=16,
+                         max_position_embeddings=64, qk_norm=False,
+                         num_experts=4, num_experts_per_tok=2)
+
+
+def test_gated_single_expert_equals_swiglu():
+    """E=1 gated MoE reduces to one dense SwiGLU MLP."""
+    params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=1,
+                          gated=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
+    with jax.default_matmul_precision("highest"):
+        out, _ = moe.moe_apply(params, x, top_k=1, capacity_factor=None,
+                               act="silu")
+        ref = (jax.nn.silu(x @ params["w_gate"][0]) *
+               (x @ params["w_in"][0])) @ params["w_out"][0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_dropless_routing_never_drops():
+    """capacity_factor=None equals an over-provisioned capacity factor."""
+    params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 32))
+    a, _ = moe.moe_apply(params, x, top_k=2, capacity_factor=None)
+    b, _ = moe.moe_apply(params, x, top_k=2, capacity_factor=100.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_moe_model_forward_aux_and_train_mode():
+    model = vt.ModelForCausalLM(MOE_QCFG)
+    params = model.init(jax.random.PRNGKey(0))
+    assert "router" in params["layers"]["mlp"]
+    assert "w_gate" in params["layers"]["mlp"]
+    ids = jnp.arange(8, dtype=jnp.int32)[None] + 1
+    out = model.apply(params, ids)
+    assert out.logits.shape == (1, 8, 256)
+    assert out.aux_loss is not None and np.isfinite(float(out.aux_loss))
+    out_t = model.apply(params, ids, train=True)  # capacity dropping on
+    assert np.isfinite(float(out_t.aux_loss))
+
+
+def test_moe_model_cached_decode_parity():
+    """Cached single-token decode is token-exact vs the full forward —
+    inference routing is dropless, so capacity does not depend on the
+    number of tokens in the call."""
+    model = vt.ModelForCausalLM(MOE_QCFG)
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jnp.arange(8, dtype=jnp.int32)[None] + 1
+    full = model.apply(params, ids).logits
+    cache = model.init_cache(batch_size=1, max_len=16)
+    out = model.apply(params, ids[:, :4], cache=cache, start_pos=0)
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(full[:, :4]), atol=1e-3)
+    cache = out.kv_cache
+    for t in range(4, 8):
+        out = model.apply(params, ids[:, t:t + 1], cache=cache, start_pos=t)
+        cache = out.kv_cache
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(out.logits[:, 0], -1)),
+            np.asarray(jnp.argmax(full[:, t], -1)))
+
+
+def test_moe_model_ep_train_step_parity():
+    """One jitted train step on a (data, ep) mesh — experts sharded by the
+    mesh rules, aux_loss in the metrics — matches the unsharded step."""
+    from vyomai_tpu.ops.fused import cross_entropy
+    from vyomai_tpu.parallel import shard_params
+    from vyomai_tpu.training import (create_train_state, make_optimizer,
+                                     make_train_step)
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("need 8 cpu devices")
+    mesh = Mesh(np.asarray(cpus[:8]).reshape(2, 4), ("data", "ep"))
+    model = vt.ModelForCausalLM(MOE_QCFG)
+    ids = jnp.tile(jnp.arange(8, dtype=jnp.int32)[None] + 1, (4, 1))
+
+    def loss_fn(p, batch, rng):
+        o = model.apply(p, batch["ids"], train=True)
+        ce = cross_entropy(o.logits[:, :-1], batch["ids"][:, 1:])
+        return (ce + MOE_QCFG.router_aux_loss_coef * o.aux_loss,
+                {"aux_loss": o.aux_loss})
+
+    opt = make_optimizer(1e-3)
+    step = make_train_step(loss_fn, opt)
+    batch = {"ids": ids}
+    _, m0 = step(create_train_state(model.init(jax.random.PRNGKey(0)), opt),
+                 batch, jax.random.PRNGKey(1))
+    sharded = shard_params(model.init(jax.random.PRNGKey(0)), mesh)
+    assert sharded["layers"]["mlp"]["w_in"].sharding.spec == \
+        jax.sharding.PartitionSpec(None, "ep", None, None)
+    _, m1 = step(create_train_state(sharded, opt), batch, jax.random.PRNGKey(1))
+    assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-4
+    assert "aux_loss" in m1 and np.isfinite(float(m1["aux_loss"]))

@@ -175,3 +175,16 @@ class QwenConfig:
     tie_word_embeddings: bool = True
     pad_token_id: int = 151643
     eos_token_id: int = 151645
+    # Mixture-of-Experts MLP (TPU-native scaling extension; the reference
+    # has no MoE — SURVEY.md §2.4 EP row). num_experts=0 keeps the dense
+    # SwiGLU MLP. With experts, each layer's MLP becomes a top-k-routed
+    # GShard dispatch over SwiGLU experts (layers/moe.py); capacity-based
+    # token dropping applies only under ``apply(..., train=True)`` —
+    # inference is dropless so cached decode stays token-exact.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_capacity_factor: float = 1.25
+    router_aux_loss_coef: float = 0.01
+
+    def replace(self, **kw) -> "QwenConfig":
+        return replace(self, **kw)

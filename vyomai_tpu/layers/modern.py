@@ -96,20 +96,33 @@ def swiglu_apply(p, x, act="silu"):
 
 def modern_layer_init(key, config, dtype=jnp.float32):
     k1, k2 = jax.random.split(key)
+    num_experts = getattr(config, "num_experts", 0)
+    if num_experts:
+        from .moe import moe_init
+        mlp = moe_init(k2, config, num_experts=num_experts, gated=True,
+                       dtype=dtype)
+    else:
+        mlp = swiglu_init(k2, config, dtype=dtype)
     return {
         "input_layernorm": cnn.rms_norm_init(config.hidden_size, dtype=dtype),
         "self_attn": modern_attention_init(k1, config, dtype=dtype),
         "post_attention_layernorm": cnn.rms_norm_init(config.hidden_size,
                                                       dtype=dtype),
-        "mlp": swiglu_init(k2, config, dtype=dtype),
+        "mlp": mlp,
     }
 
 
 def modern_layer_apply(p, hidden, config, *, freqs=None, mask=None,
                        causal=False, cache_kv=None, start_pos=0,
                        rms_eps: float = 1e-6, rms_plus_one: bool = False,
-                       mlp_act: str = "silu"):
-    """x -> x + attn(norm(x)); h -> h + mlp(norm(h)). Returns (out, kv)."""
+                       mlp_act: str = "silu", moe_train: bool = False):
+    """x -> x + attn(norm(x)); h -> h + mlp(norm(h)).
+
+    Returns ``(out, kv)`` for a dense MLP, ``(out, kv, aux_loss)`` when the
+    layer's MLP is MoE (``config.num_experts > 0`` — detected from the
+    params so stacked-layer vmaps stay uniform). ``moe_train=True`` enables
+    capacity-based token dropping (GShard training regime); the default is
+    dropless routing so cached decode is token-exact."""
     normed = cnn.rms_norm(p["input_layernorm"], hidden, eps=rms_eps,
                           plus_one=rms_plus_one)
     attn_out, new_kv = modern_attention_apply(
@@ -118,5 +131,14 @@ def modern_layer_apply(p, hidden, config, *, freqs=None, mask=None,
     hidden = hidden + attn_out
     normed = cnn.rms_norm(p["post_attention_layernorm"], hidden, eps=rms_eps,
                           plus_one=rms_plus_one)
+    if "router" in p["mlp"]:                       # MoE MLP
+        from .moe import moe_apply
+        cf = getattr(config, "moe_capacity_factor", 1.25) if moe_train \
+            else None
+        mlp_out, aux = moe_apply(
+            p["mlp"], normed,
+            top_k=getattr(config, "num_experts_per_tok", 2),
+            capacity_factor=cf, act=mlp_act)
+        return hidden + mlp_out, new_kv, aux
     hidden = hidden + swiglu_apply(p["mlp"], normed, act=mlp_act)
     return hidden, new_kv

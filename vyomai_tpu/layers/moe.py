@@ -21,7 +21,7 @@ load-balancing auxiliary loss is the Switch formulation
 ``E * sum_e(frac_tokens_e * mean_prob_e)``.
 """
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,24 +30,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import nn as cnn
 
 
-def moe_init(key, config, *, num_experts: int, dtype=jnp.float32):
-    """Router + stacked expert FFN weights ([E, ...] leading expert dim)."""
+def moe_init(key, config, *, num_experts: int, gated: bool = False,
+             dtype=jnp.float32):
+    """Router + stacked expert FFN weights ([E, ...] leading expert dim).
+
+    ``gated=True`` builds SwiGLU-style experts (gate/in/out, no biases —
+    the modern-decoder MLP shape); default is the classic 2-layer FFN with
+    biases."""
     d, f = config.hidden_size, config.intermediate_size
-    kr, k1, k2 = jax.random.split(key, 3)
+    kr, k1, k2, k3 = jax.random.split(key, 4)
     std = getattr(config, "initializer_range", 0.02)
-    return {
+    p = {
         "router": {"kernel": (jax.random.normal(kr, (d, num_experts))
                               * std).astype(dtype)},
         "w_in": (jax.random.normal(k1, (num_experts, d, f)) * std
                  ).astype(dtype),
-        "b_in": jnp.zeros((num_experts, f), dtype=dtype),
         "w_out": (jax.random.normal(k2, (num_experts, f, d)) * std
                   ).astype(dtype),
-        "b_out": jnp.zeros((num_experts, d), dtype=dtype),
     }
+    if gated:
+        p["w_gate"] = (jax.random.normal(k3, (num_experts, d, f)) * std
+                       ).astype(dtype)
+    else:
+        p["b_in"] = jnp.zeros((num_experts, f), dtype=dtype)
+        p["b_out"] = jnp.zeros((num_experts, d), dtype=dtype)
+    return p
 
 
-def moe_apply(params, x, *, top_k: int = 2, capacity_factor: float = 1.25,
+def moe_apply(params, x, *, top_k: int = 2,
+              capacity_factor: Optional[float] = 1.25,
               act: str = "gelu") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Route ``x [..., T, D]`` through the experts.
 
@@ -55,6 +66,12 @@ def moe_apply(params, x, *, top_k: int = 2, capacity_factor: float = 1.25,
     ``aux_weight * aux_loss`` (typical 0.01) to the training objective to
     balance expert load. Tokens over an expert's capacity pass through the
     residual unchanged (their combine weights are zero).
+
+    ``capacity_factor=None`` = DROPLESS (capacity = T, enough for any
+    routing): use at inference so cached single-token decode is token-exact
+    vs a full-prefix forward — capacity dropping depends on the number of
+    tokens in the call, so any dropping regime would make the two paths
+    diverge. Gated (SwiGLU) experts are detected from the params.
     """
     orig_shape = x.shape
     d = orig_shape[-1]
@@ -62,7 +79,8 @@ def moe_apply(params, x, *, top_k: int = 2, capacity_factor: float = 1.25,
     t = x2.shape[0]
     e = params["w_in"].shape[0]
     k = min(top_k, e)
-    cap = max(1, int(capacity_factor * k * t / e))
+    cap = (t if capacity_factor is None
+           else max(1, min(t, int(capacity_factor * k * t / e))))
 
     logits = x2 @ params["router"]["kernel"].astype(x2.dtype)   # [T, E]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -86,11 +104,16 @@ def moe_apply(params, x, *, top_k: int = 2, capacity_factor: float = 1.25,
     combine = jnp.einsum("tk,tke,tkc->tec", gate_v * keep, onehot, slot)
 
     xin = jnp.einsum("tec,td->ecd", dispatch.astype(x2.dtype), x2)
-    h = jnp.einsum("ecd,edf->ecf", xin, params["w_in"].astype(x2.dtype))
-    h = h + params["b_in"][:, None, :].astype(x2.dtype)
-    h = cnn.ACT[act](h)
+    up = jnp.einsum("ecd,edf->ecf", xin, params["w_in"].astype(x2.dtype))
+    if "w_gate" in params:                                  # SwiGLU experts
+        gate = jnp.einsum("ecd,edf->ecf", xin,
+                          params["w_gate"].astype(x2.dtype))
+        h = cnn.ACT[act](gate) * up
+    else:
+        h = cnn.ACT[act](up + params["b_in"][:, None, :].astype(x2.dtype))
     h = jnp.einsum("ecf,efd->ecd", h, params["w_out"].astype(x2.dtype))
-    h = h + params["b_out"][:, None, :].astype(x2.dtype)
+    if "b_out" in params:
+        h = h + params["b_out"][:, None, :].astype(x2.dtype)
     out = jnp.einsum("tec,ecd->td", combine.astype(x2.dtype), h)
 
     # Switch load-balancing loss: E * sum_e(frac_tokens_e * mean_prob_e)
@@ -104,11 +127,8 @@ def moe_apply(params, x, *, top_k: int = 2, capacity_factor: float = 1.25,
 def expert_pspec(params):
     """PartitionSpecs sharding the expert dim over the ``ep`` mesh axis
     (router replicated)."""
-    return {
-        "router": {"kernel": P()},
-        "w_in": P("ep"), "b_in": P("ep"),
-        "w_out": P("ep"), "b_out": P("ep"),
-    }
+    return {k: ({"kernel": P()} if k == "router" else P("ep"))
+            for k in params}
 
 
 def shard_experts(params, mesh: Mesh):

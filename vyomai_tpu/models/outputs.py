@@ -25,6 +25,9 @@ class CLMOutput(NamedTuple):
     hidden_state: jnp.ndarray
     logits: jnp.ndarray
     kv_cache: Optional[Any] = None
+    # mean router load-balancing loss over MoE layers (None for dense
+    # models); add config.router_aux_loss_coef * aux_loss to the objective
+    aux_loss: Optional[jnp.ndarray] = None
 
 
 class Seq2SeqOutput(NamedTuple):

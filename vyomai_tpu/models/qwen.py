@@ -57,8 +57,14 @@ class ModelForCausalLM:
                           head_dim=cfg.head_dim)
 
     def apply(self, params, input_ids, attention_mask=None,
-              cache: Optional[Any] = None, start_pos=0) -> CLMOutput:
+              cache: Optional[Any] = None, start_pos=0,
+              train: bool = False) -> CLMOutput:
+        """``train=True`` enables MoE capacity dropping (GShard training
+        regime); inference routing is dropless so cached decode is
+        token-exact vs full-prefix forwards. For MoE configs the output
+        carries ``aux_loss`` (mean Switch load-balance loss over layers)."""
         cfg = self.config
+        moe = cfg.num_experts > 0
         hidden = cnn.embedding(params["embed_tokens"], input_ids)
         bsz, seqlen = input_ids.shape
         freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
@@ -78,24 +84,38 @@ class ModelForCausalLM:
 
         def body(h, xs):
             lp, ck, cv = xs
-            return modern_layer_apply(
+            out = modern_layer_apply(
                 lp, h, cfg, freqs=freqs, mask=mask, causal=causal,
                 cache_kv=(ck, cv), start_pos=start_pos,
-                rms_eps=cfg.rms_norm_eps)
+                rms_eps=cfg.rms_norm_eps, moe_train=train)
+            if moe:
+                h, kv, aux = out
+                return h, (*kv, aux)
+            return out
 
         def body_nocache(h, lp):
-            out, _ = modern_layer_apply(
+            out = modern_layer_apply(
                 lp, h, cfg, freqs=freqs, mask=mask, causal=causal,
-                rms_eps=cfg.rms_norm_eps)
-            return out, None
+                rms_eps=cfg.rms_norm_eps, moe_train=train)
+            if moe:
+                return out[0], out[2]
+            return out[0], None
 
+        aux_loss = None
         if cache is not None:
-            hidden, (nk, nv) = jax.lax.scan(
+            hidden, ys = jax.lax.scan(
                 body, hidden, (params["layers"], cache["k"], cache["v"]))
+            if moe:
+                nk, nv, aux = ys
+                aux_loss = jnp.mean(aux)
+            else:
+                nk, nv = ys
             new_cache = {"k": nk, "v": nv,
                          "length": jnp.asarray(start_pos + seqlen, jnp.int32)}
         else:
-            hidden, _ = jax.lax.scan(body_nocache, hidden, params["layers"])
+            hidden, aux = jax.lax.scan(body_nocache, hidden, params["layers"])
+            if moe:
+                aux_loss = jnp.mean(aux)
             new_cache = None
 
         hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps)
@@ -105,6 +125,6 @@ class ModelForCausalLM:
         else:
             logits = cnn.linear(params["lm_head"], hidden)
         return CLMOutput(hidden_state=hidden, logits=logits,
-                         kv_cache=new_cache)
+                         kv_cache=new_cache, aux_loss=aux_loss)
 
     __call__ = apply

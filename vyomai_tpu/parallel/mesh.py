@@ -53,6 +53,7 @@ def create_mesh(shape: Optional[Tuple[int, int]] = None,
 # (regex over "/".join(path), PartitionSpec-maker taking ndim)
 # Kernels may carry a leading stacked-layer axis: specs are right-aligned.
 _RULES = [
+    # classic (post-LN) stack
     (r"(query|key|value|qkv)/kernel$",       lambda: P(None, "model")),
     (r"(query|key|value|qkv)/bias$",         lambda: P("model")),
     (r"out/dense/kernel$",                   lambda: P("model", None)),
@@ -62,7 +63,26 @@ _RULES = [
     (r"word_embeddings/weight$",             lambda: P(None, "model")),
     (r"lm_head/decoder/kernel$",             lambda: P(None, "model")),
     (r"lm_head/decoder/bias$",               lambda: P("model")),
+    # modern (pre-LN RMSNorm/SwiGLU) stack: qkv/FFN-in column-parallel,
+    # o_proj/FFN-out row-parallel, embeddings + tied/untied lm_head
+    # vocab-sharded
+    (r"(q_proj|k_proj|v_proj)/kernel$",      lambda: P(None, "model")),
+    (r"(q_proj|k_proj|v_proj)/bias$",        lambda: P("model")),
+    (r"o_proj/kernel$",                      lambda: P("model", None)),
+    (r"(gate_proj|up_proj)/kernel$",         lambda: P(None, "model")),
+    (r"down_proj/kernel$",                   lambda: P("model", None)),
+    (r"embed_tokens/weight$",                lambda: P("model", None)),
+    (r"lm_head/kernel$",                     lambda: P(None, "model")),
+    # MoE expert stacks: expert dim over the ``ep`` axis, router replicated
+    (r"mlp/(w_gate|w_in|w_out)$",            lambda: P("ep", None, None)),
+    (r"mlp/(b_in|b_out)$",                   lambda: P("ep", None)),
 ]
+
+
+def _prune_axes(spec: P, mesh: Mesh) -> P:
+    """Drop axis names the mesh doesn't have (e.g. ``ep`` rules under a
+    (data, model) mesh) so one rule table serves every mesh shape."""
+    return P(*(a if a in mesh.shape else None for a in tuple(spec)))
 
 
 def _right_align(spec: P, ndim: int) -> P:
@@ -87,10 +107,12 @@ def param_pspec(params):
 
 
 def shard_params(params, mesh: Mesh):
-    """Place params on the mesh according to the partition rules."""
+    """Place params on the mesh according to the partition rules (rules
+    naming axes the mesh lacks degrade to replicated on those dims)."""
     specs = param_pspec(params)
     return jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _prune_axes(s, mesh))), params, specs)
 
 
 def fsdp_pspec(params, mesh: Mesh, *, axis: str = "data",
@@ -103,7 +125,9 @@ def fsdp_pspec(params, mesh: Mesh, *, axis: str = "data",
     (below ``min_weight_size`` elements: norms, biases) stay replicated,
     the usual FSDP wrapping granularity trade-off."""
     n = mesh.shape[axis]
-    base = param_pspec(params)
+    base = jax.tree_util.tree_map(
+        lambda s: _prune_axes(s, mesh), param_pspec(params),
+        is_leaf=lambda s: isinstance(s, P))
 
     def walk(x, spec):
         parts = list(tuple(spec))
