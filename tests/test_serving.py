@@ -328,3 +328,61 @@ def test_engine_block_boundary_greedy_invariant(qwen):
     dense3 = generate(model, params, jnp.asarray([cont]), max_new_tokens=4,
                       use_cache=True)
     assert out3 == np.asarray(dense3[0, len(cont):]).tolist()
+
+
+def test_engine_tp_matches_single_chip(qwen):
+    """Tensor-parallel serving (VERDICT r2 #1): the engine on a (1, 2)
+    virtual CPU mesh — weights Megatron-sharded, pool split on kv-head
+    width, XLA attention path — emits exactly the single-chip engine's
+    greedy tokens."""
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11], [3, 17, 42, 9, 21, 33]]
+
+    def run(mesh):
+        eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                    block_size=8, max_batch=4,
+                                    max_blocks_per_seq=8, max_new_tokens=6,
+                                    dtype=jnp.float32,
+                                    prefill_buckets=(8, 16), mesh=mesh)
+        sids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        return [out[s] for s in sids]
+
+    with jax.default_device(cpus[0]):
+        single = run(None)
+        mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+        assert run(mesh) == single
+
+
+def test_engine_tp_requires_divisible_kv_heads(qwen):
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    model, params = qwen  # num_key_value_heads=2
+    mesh = Mesh(np.asarray(cpus[:4]).reshape(1, 4), ("data", "model"))
+    with pytest.raises(ValueError, match="num_key_value_heads"):
+        ContinuousBatchEngine(model, params, num_blocks=8, block_size=8,
+                              mesh=mesh)
+
+
+def test_generate_tp_sharded_params_match(qwen):
+    """Free-function generate with Megatron-sharded params on a (1, 2)
+    mesh is token-exact vs unsharded params."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.parallel import shard_params
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    model, params = qwen
+    ids = jnp.asarray([[3, 17, 42, 9]], jnp.int32)
+    with jax.default_device(cpus[0]):
+        ref = generate(model, params, ids, max_new_tokens=6, use_cache=True)
+        mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+        tp = generate(model, shard_params(params, mesh), ids,
+                      max_new_tokens=6, use_cache=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(tp))

@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from . import paged_model
 from .kv_manager import PagedKVManager, SequenceState
@@ -43,7 +44,15 @@ class ContinuousBatchEngine:
                  kv_backend: str = "auto", decode_horizon: int = 8,
                  prefill_group: int = 4, do_sample: bool = False,
                  temperature: float = 1.0, top_p: float = 1.0,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
+        tensor-parallel serving — weights sharded by the Megatron
+        column/row rules, the paged pool split on its kv-head width, decode
+        and prefill running SPMD with GSPMD-inserted activation all-reduces
+        (one per layer o_proj + down_proj). Greedy output is identical to
+        the single-chip engine. The Pallas paged-decode kernel is bypassed
+        under tp > 1 (opaque to GSPMD); the XLA attention path partitions
+        cleanly."""
         self.model = model
         self.params = params
         self.cfg = model.config
@@ -82,11 +91,30 @@ class ContinuousBatchEngine:
         self._rng = jax.random.PRNGKey(seed)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
+        self.mesh = mesh
+        self._allow_pallas = True
+        if mesh is not None:
+            tp = mesh.shape.get("model", 1)
+            if self.cfg.num_key_value_heads % tp:
+                raise ValueError(
+                    f"num_key_value_heads={self.cfg.num_key_value_heads} "
+                    f"not divisible by the model axis ({tp})")
+            self.params, self.pool = paged_model.shard_serving_state(
+                self.params, self.pool, mesh)
+            self._allow_pallas = tp == 1
+            self._replicated = NamedSharding(mesh, PartitionSpec())
         self.waiting: deque = deque()
         self.active: Dict[int, SequenceState] = {}
         self.needs_prefill: deque = deque()
         self.finished: Dict[int, SequenceState] = {}
         self._next_id = 0
+
+    def _put(self, x):
+        """Host array -> device. Under a mesh, commit replicated so every
+        device step input lives with the sharded params/pool."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._replicated)
 
     # -- API ------------------------------------------------------------------
     def submit(self, prompt: Sequence[int]) -> int:
@@ -201,9 +229,9 @@ class ContinuousBatchEngine:
 
         logits, self.pool = paged_model.prefill(
             self.model, self.plus_one, self.params, self.pool,
-            jnp.asarray(ids), jnp.asarray(positions),
-            jnp.asarray(slot_blocks), jnp.asarray(slot_offsets),
-            jnp.asarray(tables), jnp.asarray(ctx_len), jnp.asarray(true_len))
+            self._put(ids), self._put(positions),
+            self._put(slot_blocks), self._put(slot_offsets),
+            self._put(tables), self._put(ctx_len), self._put(true_len))
         next_tokens = np.asarray(self._pick_tokens(logits))
         for i, state in enumerate(states):
             if is_final[i]:
@@ -218,7 +246,8 @@ class ContinuousBatchEngine:
         if not self.do_sample:
             return jnp.argmax(logits, axis=-1)
         self._rng, sub = jax.random.split(self._rng)
-        return _sample_jit(logits, sub, self.temperature, self.top_p)
+        return _sample_jit(logits, self._put(sub), self.temperature,
+                           self.top_p)
 
     def _decode_batch(self):
         states = [s for s in self.active.values() if not s.finished]
@@ -261,11 +290,12 @@ class ContinuousBatchEngine:
         self._rng, sub = jax.random.split(self._rng)
         gen, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(tables),
-            jnp.asarray(live_mask), horizon, self.do_sample,
+            self._put(tokens), self._put(positions), self._put(tables),
+            self._put(live_mask), horizon, self.do_sample,
             eos=(-1 if self.eos_token_id is None else self.eos_token_id),
-            rng=sub, temperature=self.temperature, top_p=self.top_p,
-            budget=jnp.asarray(budget))
+            rng=self._put(sub), temperature=self.temperature,
+            top_p=self.top_p, budget=self._put(budget),
+            allow_pallas=self._allow_pallas)
         gen = np.asarray(gen)
         for i, state, h in live:
             # only the granted steps are backed by allocated blocks

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import nn as cnn
 from ..layers.modern import swiglu_apply
@@ -28,6 +29,29 @@ def init_pool(config, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
     width = config.num_key_value_heads * config.head_dim
     shape = (config.num_hidden_layers, num_blocks, 2, block_size, width)
     return {"kv": jnp.zeros(shape, dtype=dtype)}
+
+
+def pool_pspec():
+    """Tensor-parallel pool sharding: split the flattened H_kv*D minor dim
+    over the ``model`` axis (each shard holds its own kv heads' pool)."""
+    return P(None, None, None, None, "model")
+
+
+def shard_serving_state(params, pool, mesh: Mesh):
+    """Place model params (Megatron column/row rules from
+    ``parallel.mesh``) and the paged KV pool tensor-parallel on ``mesh``.
+
+    Requires ``num_key_value_heads`` divisible by the ``model`` axis size.
+    Returns (params, pool) with committed shardings — the jitted
+    prefill/decode steps then run SPMD over the mesh, GSPMD inserting the
+    per-layer o_proj/down_proj all-reduces (activation-sized, riding ICI);
+    the pool, weights, and KV writes all stay fully sharded.
+    """
+    from ..parallel.mesh import shard_params
+    params = shard_params(params, mesh)
+    pool = {"kv": jax.device_put(
+        pool["kv"], NamedSharding(mesh, pool_pspec()))}
+    return params, pool
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
@@ -127,8 +151,14 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
 
 
 def _decode_core(model, plus_one, params, pool, tokens, positions,
-                 block_tables, seq_lens, slot_blocks, slot_offsets):
-    """One decode step over the paged pool. Returns (logits [B, V], pool)."""
+                 block_tables, seq_lens, slot_blocks, slot_offsets,
+                 allow_pallas: bool = True):
+    """One decode step over the paged pool. Returns (logits [B, V], pool).
+
+    ``allow_pallas=False`` forces the XLA attention path — required under a
+    tensor-parallel mesh, where the Pallas kernel is opaque to GSPMD (XLA
+    would all-gather the pool around it) while the XLA gather+einsum path
+    partitions cleanly over the kv-head/width sharding."""
     cfg = model.config
     emb_freq = model.emb_freq
     b = tokens.shape[0]
@@ -136,7 +166,7 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
     if plus_one:
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
 
-    use_pallas = paged_decode_pallas.supported(
+    use_pallas = allow_pallas and paged_decode_pallas.supported(
         jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
         pool["kv"][0], cfg.num_key_value_heads)
 
@@ -188,9 +218,11 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
     return logits, pool
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,),
+         static_argnames=("allow_pallas",))
 def decode(model, plus_one: bool, params, pool, tokens, positions,
-           block_tables, seq_lens, slot_blocks, slot_offsets):
+           block_tables, seq_lens, slot_blocks, slot_offsets,
+           allow_pallas: bool = True):
     """Batched single-token decode.
 
     tokens: [B] int32; positions: [B] absolute positions; block_tables:
@@ -199,7 +231,8 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
     Returns (logits [B, V], pool).
     """
     return _decode_core(model, plus_one, params, pool, tokens, positions,
-                        block_tables, seq_lens, slot_blocks, slot_offsets)
+                        block_tables, seq_lens, slot_blocks, slot_offsets,
+                        allow_pallas=allow_pallas)
 
 
 def sample_tokens(logits, rng, temperature, top_p):
@@ -215,11 +248,12 @@ def sample_tokens(logits, rng, temperature, top_p):
     return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,))
+@partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,),
+         static_argnames=("allow_pallas",))
 def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    block_tables, live, horizon: int, do_sample: bool = False,
                    eos=-1, rng=None, temperature=1.0, top_p=1.0,
-                   budget=None):
+                   budget=None, allow_pallas: bool = True):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -257,7 +291,7 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         seq_lens = jnp.where(alive, pos + 1, 0)
         logits, pl_ = _decode_core(model, plus_one, params, pl_, toks, pos,
                                    block_tables, seq_lens, slot_blocks,
-                                   slot_offsets)
+                                   slot_offsets, allow_pallas=allow_pallas)
         if do_sample:
             key, sub = jax.random.split(key)
             nxt = sample_tokens(logits, sub, temperature, top_p)
