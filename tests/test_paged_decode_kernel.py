@@ -73,3 +73,22 @@ def test_kernel_clamps_oversized_seq_len():
     ref = paged_attention_decode(q, pool, bt, capped, H_KV)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5 if not ON_TPU else 2e-2)
+
+
+def test_kernel_int8_matches_xla_fallback():
+    """Int8 pool + per-row scales: the kernel's score/probability column
+    dequantization equals the XLA fallback's explicit dequantized gather."""
+    from vyomai_tpu.ops.paged_attention import quantize_rows
+    q, pool_f, bt, seq_lens = _setup(seed=3)
+    flat = pool_f.reshape(NB * 2 * BS, H_KV * D)
+    qrows, srows = quantize_rows(flat)
+    pool_q = qrows.reshape(NB, 2, BS, H_KV * D)
+    scales = srows.reshape(NB, 2, BS)
+    out = pdp.paged_attention_decode_pallas(q, pool_q, bt, seq_lens, H_KV,
+                                            scales)
+    ref = paged_attention_decode(q, pool_q, bt, seq_lens, H_KV, scales)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)
+    # and both sit close to the unquantized attention (int8 noise bounded)
+    full = paged_attention_decode(q, pool_f, bt, seq_lens, H_KV)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=0.05)

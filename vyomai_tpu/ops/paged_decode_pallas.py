@@ -36,9 +36,16 @@ def set_interpret(flag: bool) -> None:
     _INTERPRET = flag
 
 
-def _kernel(bt_ref, len_ref, qexp_ref, pool_ref, o_ref,
+def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
             kv_sc, sem, *, bs, h, width):
-    """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D)."""
+    """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D).
+
+    Int8 pools (``scale_ref`` not None, [NB, 2, BS] f32 resident in VMEM —
+    a few hundred KB even for large pools) dequantize via the score matrix:
+    a key row's scalar scale multiplies its scores COLUMN (s *= ks[None,:])
+    and a value row's scale folds into the probabilities (p *= vs[None,:])
+    before the p@v dot — no [BS, width] rescaling, the DMA'd block feeds
+    the MXU straight from int8, and HBM traffic halves vs bf16."""
     b = pl.program_id(0)
     seq_len = len_ref[b]
     # clamp to the block-table width: an oversized seq_len must not index
@@ -70,6 +77,9 @@ def _kernel(bt_ref, len_ref, qexp_ref, pool_ref, o_ref,
         v = kv_sc[slot, 1].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [H, BS]
+        if scale_ref is not None:
+            sc = scale_ref[bt_ref[b, j]]               # [2, BS]
+            s = s * sc[0:1, :]
         pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         s = jnp.where(pos < seq_len, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -77,6 +87,8 @@ def _kernel(bt_ref, len_ref, qexp_ref, pool_ref, o_ref,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        if scale_ref is not None:
+            p = p * sc[1:2, :]
         acc_new = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [H, width]
@@ -91,9 +103,11 @@ def _kernel(bt_ref, len_ref, qexp_ref, pool_ref, o_ref,
 
 
 def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
-                                  h_kv: int):
+                                  h_kv: int, scales=None):
     """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout);
-    block_tables: [B, MAXB] int32; seq_lens: [B] int32. Returns [B, H, D]."""
+    block_tables: [B, MAXB] int32; seq_lens: [B] int32; scales:
+    [NB, 2, BS] f32 per-row dequant scales, required for int8 pools (see
+    ``ops.paged_attention.write_kv``). Returns [B, H, D]."""
     b, h, d = q.shape
     nb, _, bs, width = pool.shape
     group = h // h_kv
@@ -106,15 +120,29 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     q_exp = (q_scaled[:, :, None, :] * sel[None, :, :, None]
              ).reshape(b, h, width)
 
-    kern = functools.partial(_kernel, bs=bs, h=h, width=width)
+    quant = pool.dtype == jnp.int8
+    if quant:
+        assert scales is not None, "int8 pool needs its scales sidecar"
+        kern = functools.partial(_kernel, bs=bs, h=h, width=width)
+    else:
+        kern = functools.partial(
+            lambda bt, ln, qe, pr, o, sc_, sm, **kw:
+            _kernel(bt, ln, qe, None, pr, o, sc_, sm, **kw),
+            bs=bs, h=h, width=width)
+
+    in_specs = [
+        pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if quant:
+        # whole scales array resident in VMEM: NB*2*BS f32 is a few
+        # hundred KB even for thousands-of-blocks pools
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # pool in HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # pool stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -122,6 +150,11 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    args = [jnp.where(block_tables < 0, 0, block_tables).astype(jnp.int32),
+            seq_lens.astype(jnp.int32), q_exp.astype(q.dtype)]
+    if quant:
+        args.append(scales.astype(jnp.float32))
+    args.append(pool)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -129,8 +162,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_INTERPRET,
-    )(jnp.where(block_tables < 0, 0, block_tables).astype(jnp.int32),
-      seq_lens.astype(jnp.int32), q_exp.astype(q.dtype), pool)
+    )(*args)
 
     # each head's output lives in its kv-head's column slice
     out = out.reshape(b, h, h_kv, d)

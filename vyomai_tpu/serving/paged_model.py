@@ -25,10 +25,19 @@ from ..ops import paged_decode_pallas
 
 
 def init_pool(config, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
-    """Combined K/V pool: [L, NB, 2, BS, H_kv * D] (k row 0, v row 1)."""
+    """Combined K/V pool: [L, NB, 2, BS, H_kv * D] (k row 0, v row 1).
+
+    ``dtype=jnp.int8`` stores the pool quantized (2x the block capacity at
+    equal HBM): rows are quantized symmetrically at write time with one f32
+    scale per (layer, block, k/v, slot) kept in the small ``scale`` sidecar
+    and dequantized inside the decode kernel's block sweep — fp32 scores/
+    accumulation throughout, so greedy decode stays argmax-stable."""
     width = config.num_key_value_heads * config.head_dim
     shape = (config.num_hidden_layers, num_blocks, 2, block_size, width)
-    return {"kv": jnp.zeros(shape, dtype=dtype)}
+    pool = {"kv": jnp.zeros(shape, dtype=dtype)}
+    if dtype == jnp.int8:
+        pool["scale"] = jnp.ones(shape[:4], dtype=jnp.float32)
+    return pool
 
 
 def pool_pspec():
@@ -49,9 +58,12 @@ def shard_serving_state(params, pool, mesh: Mesh):
     """
     from ..parallel.mesh import shard_params
     params = shard_params(params, mesh)
-    pool = {"kv": jax.device_put(
+    sharded = {"kv": jax.device_put(
         pool["kv"], NamedSharding(mesh, pool_pspec()))}
-    return params, pool
+    if "scale" in pool:  # int8 sidecar: tiny, replicated
+        sharded["scale"] = jax.device_put(
+            pool["scale"], NamedSharding(mesh, P()))
+    return params, sharded
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
@@ -93,8 +105,13 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
     cos = jnp.cos(emb)
     sin = jnp.sin(emb)
 
+    quant = pool["kv"].dtype == jnp.int8
+
     def body(h, xs):
-        lp, pkv = xs
+        if quant:
+            lp, pkv, psc = xs
+        else:
+            (lp, pkv), psc = xs, None
         normed = cnn.rms_norm(lp["input_layernorm"], h, eps=cfg.rms_norm_eps,
                               plus_one=plus_one)
         q = cnn.linear(lp["self_attn"]["q_proj"], normed).reshape(
@@ -112,10 +129,11 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
         si = sin.astype(q.dtype)
         q = q * c + rotate_half(q) * si                      # [N, Tp, H, D]
         k = k * c + rotate_half(k) * si
-        pkv = write_kv(pkv, k.reshape(n * t_pad, nkv_h, hd),
-                       v.reshape(n * t_pad, nkv_h, hd),
-                       flat_blocks, flat_offsets)
-        kk, vv = jax.vmap(lambda t: gather_kv(pkv, t, nkv_h))(tables)
+        written = write_kv(pkv, k.reshape(n * t_pad, nkv_h, hd),
+                           v.reshape(n * t_pad, nkv_h, hd),
+                           flat_blocks, flat_offsets, scales=psc)
+        pkv, psc = written if quant else (written, None)
+        kk, vv = jax.vmap(lambda t: gather_kv(pkv, t, nkv_h, psc))(tables)
         group = nh // nkv_h
         kk = jnp.repeat(kk, group, axis=1)                   # [N, H, Tctx, D]
         vv = jnp.repeat(vv, group, axis=1)
@@ -133,11 +151,16 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
         h = h + swiglu_apply(lp["mlp"], normed,
                              act="gelu_pytorch_tanh" if plus_one else "silu")
-        return h, pkv
+        return h, ((pkv, psc) if quant else pkv)
 
-    hidden, nkv = jax.lax.scan(
-        body, hidden, (params["layers"], pool["kv"]))
-    pool = {"kv": nkv}
+    if quant:
+        hidden, (nkv, nsc) = jax.lax.scan(
+            body, hidden, (params["layers"], pool["kv"], pool["scale"]))
+        pool = {"kv": nkv, "scale": nsc}
+    else:
+        hidden, nkv = jax.lax.scan(
+            body, hidden, (params["layers"], pool["kv"]))
+        pool = {"kv": nkv}
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
     last = jnp.take_along_axis(
@@ -169,9 +192,13 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
     use_pallas = allow_pallas and paged_decode_pallas.supported(
         jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
         pool["kv"][0], cfg.num_key_value_heads)
+    quant = pool["kv"].dtype == jnp.int8
 
     def body(h, xs):
-        lp, pkv = xs
+        if quant:
+            lp, pkv, psc = xs
+        else:
+            (lp, pkv), psc = xs, None
         normed = cnn.rms_norm(lp["input_layernorm"], h, eps=cfg.rms_norm_eps,
                               plus_one=plus_one)
         nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -190,24 +217,30 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         sin = jnp.sin(emb).astype(q.dtype)
         q = q * cos + rotate_half(q) * sin
         k = k * cos + rotate_half(k) * sin
-        pkv = write_kv(pkv, k, v, slot_blocks, slot_offsets)
+        written = write_kv(pkv, k, v, slot_blocks, slot_offsets, scales=psc)
+        pkv, psc = written if quant else (written, None)
         if use_pallas:
             attn = paged_decode_pallas.paged_attention_decode_pallas(
-                q, pkv, block_tables, seq_lens, nkv)             # [B, H, D]
+                q, pkv, block_tables, seq_lens, nkv, psc)        # [B, H, D]
         else:
             attn = paged_attention_decode(q, pkv, block_tables, seq_lens,
-                                          nkv)
+                                          nkv, psc)
         attn = attn.reshape(b, -1)
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
         h = h + swiglu_apply(lp["mlp"], normed,
                              act="gelu_pytorch_tanh" if plus_one else "silu")
-        return h, pkv
+        return h, ((pkv, psc) if quant else pkv)
 
-    hidden, nkv_pool = jax.lax.scan(
-        body, hidden, (params["layers"], pool["kv"]))
-    pool = {"kv": nkv_pool}
+    if quant:
+        hidden, (nkv_pool, nsc_pool) = jax.lax.scan(
+            body, hidden, (params["layers"], pool["kv"], pool["scale"]))
+        pool = {"kv": nkv_pool, "scale": nsc_pool}
+    else:
+        hidden, nkv_pool = jax.lax.scan(
+            body, hidden, (params["layers"], pool["kv"]))
+        pool = {"kv": nkv_pool}
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
     if "lm_head" in params:
