@@ -124,6 +124,73 @@ def import_paligemma(sd, config) -> dict:
     }
 
 
+def _conv(sd, name):
+    p = {"kernel": jnp.asarray(sd[f"{name}.weight"])}   # OIHW, direct
+    if f"{name}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def import_sam(sd, config, prefix: str = "") -> dict:
+    """SAM ``ImageEncoderViT`` state dict -> ``models.sam_vit`` params.
+
+    Key layout follows the reference notebook's from-scratch encoder
+    (``ciphar-gocr2-0.ipynb`` cell 2: ``ImageEncoderViT``/
+    ``build_GOT_vit_b``), which matches both the original SAM release and
+    the GOT-OCR2 checkpoint's ``model.vision_tower_high.*`` subtree
+    (pass that as ``prefix``). The ``net_2``/``net_3`` GOT downsampling
+    convs live OUTSIDE this mapping (see :func:`import_got_ocr2`)."""
+    p = f"{prefix}." if prefix else ""
+    params = {
+        "patch_embed": _conv(sd, f"{p}patch_embed.proj"),
+        "pos_embed": jnp.asarray(sd[f"{p}pos_embed"]),
+        "neck": {
+            "conv1": _conv(sd, f"{p}neck.0"),
+            "ln1": _ln(sd, f"{p}neck.1"),
+            "conv2": _conv(sd, f"{p}neck.2"),
+            "ln2": _ln(sd, f"{p}neck.3"),
+        },
+    }
+    blocks = []
+    for i in range(config.depth):
+        pre = f"{p}blocks.{i}"
+        blk = {
+            "norm1": _ln(sd, f"{pre}.norm1"),
+            "attn": {"qkv": _lin(sd, f"{pre}.attn.qkv"),
+                     "proj": _lin(sd, f"{pre}.attn.proj")},
+            "norm2": _ln(sd, f"{pre}.norm2"),
+            "mlp": {"lin1": _lin(sd, f"{pre}.mlp.lin1"),
+                    "lin2": _lin(sd, f"{pre}.mlp.lin2")},
+        }
+        if config.use_rel_pos:
+            blk["attn"]["rel_pos_h"] = jnp.asarray(
+                sd[f"{pre}.attn.rel_pos_h"])
+            blk["attn"]["rel_pos_w"] = jnp.asarray(
+                sd[f"{pre}.attn.rel_pos_w"])
+        blocks.append(blk)
+    params["blocks"] = blocks
+    return params
+
+
+def import_got_ocr2(sd, config) -> dict:
+    """GOT-OCR2 (``GOTQwenForCausalLM``) state dict ->
+    ``models.got_ocr2.GOTOCR2Model`` params.
+
+    Reference ``ciphar-gocr2-0.ipynb`` cells 2/4/5: the checkpoint nests
+    the SAM tower (incl. its ``net_2``/``net_3`` stride-2 convs) under
+    ``model.vision_tower_high``, the 1024->1024 projector under
+    ``model.mm_projector_vary``, and a Qwen2 LM under ``model.*``."""
+    return {
+        "vision": import_sam(sd, config.vision_config,
+                             prefix="model.vision_tower_high"),
+        "net_2": _conv(sd, "model.vision_tower_high.net_2"),
+        "net_3": _conv(sd, "model.vision_tower_high.net_3"),
+        "mm_projector": _lin(sd, "model.mm_projector_vary"),
+        "language_model": import_qwen(sd, config.text_config,
+                                      prefix="model"),
+    }
+
+
 def import_qwen(sd, config, prefix: str = "model") -> dict:
     layers = [_modern_layer(sd, f"{prefix}.layers.{i}",
                             qk_norm=getattr(config, "qk_norm", False)

@@ -57,10 +57,14 @@ class GOTOCR2Model:
         return self.language_model.init_cache(**kw)
 
     def encode_image(self, params, pixel_values):
-        """[B, 3, S, S] -> [B, num_image_tokens, text_hidden]."""
+        """[B, 3, S, S] -> [B, num_image_tokens, text_hidden].
+
+        The stride-2 convs use explicit symmetric (1, 1) padding — the
+        reference's ``Conv2d(k=3, stride=2, padding=1)``. XLA "SAME" would
+        pad (0, 1) at even sizes and shift the grid by one pixel."""
         x = self.vision.apply(params["vision"], pixel_values)
-        x = _conv(params["net_2"], x, stride=2, padding="SAME")
-        x = _conv(params["net_3"], x, stride=2, padding="SAME")
+        x = _conv(params["net_2"], x, stride=2, padding=((1, 1), (1, 1)))
+        x = _conv(params["net_3"], x, stride=2, padding=((1, 1), (1, 1)))
         b, c, h, w = x.shape
         x = x.reshape(b, c, h * w).transpose(0, 2, 1)    # [B, T_img, C]
         return cnn.linear(params["mm_projector"], x)
