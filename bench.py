@@ -93,15 +93,30 @@ def measure(fused: bool) -> float:
     return BATCH * SEQ / dt
 
 
+V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s per chip
+
+
+def model_flops_per_token() -> float:
+    """6N per token (fwd+bwd matmuls) + attention score/value FLOPs
+    (12 * layers * seq * hidden for the causal fwd+bwd)."""
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope",
+                            attention_type="gqa")
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    n = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    return 6 * n + 12 * CFG.num_hidden_layers * SEQ * CFG.hidden_size
+
+
 def main():
     naive = measure(fused=False)
     fused = measure(fused=True)
     set_sdpa_impl("auto")
+    mfu = model_flops_per_token() * fused / V5E_PEAK_BF16
     print(json.dumps({
         "metric": "clm_train_tokens_per_sec_per_chip",
         "value": round(fused, 1),
         "unit": "tokens/s",
         "vs_baseline": round(fused / naive, 3),
+        "mfu": round(mfu, 4),
     }))
 
 

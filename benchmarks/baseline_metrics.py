@@ -52,10 +52,12 @@ def bench_caption(new_tokens: int = 64, repeats: int = 3):
         out = model.generate(params, prompt, pix, max_new_tokens=new_tokens)
     np.asarray(out)
     tps = new_tokens * repeats / (time.perf_counter() - t0)
-    print(json.dumps({"metric": "paligemma_caption_tokens_per_sec_per_chip",
-                      "value": round(tps, 1), "unit": "tokens/s",
-                      "prompt_tokens": int(prompt.shape[1]),
-                      "new_tokens": new_tokens}))
+    rec = {"metric": "paligemma_caption_tokens_per_sec_per_chip",
+           "value": round(tps, 1), "unit": "tokens/s",
+           "prompt_tokens": int(prompt.shape[1]),
+           "new_tokens": new_tokens}
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_vit(batch: int = 32, repeats: int = 10):
@@ -79,8 +81,10 @@ def bench_vit(batch: int = 32, repeats: int = 10):
         out = fwd(params, images)
     float(out)
     ips = batch * repeats / (time.perf_counter() - t0)
-    print(json.dumps({"metric": "vit_images_per_sec", "value": round(ips, 1),
-                      "unit": "images/s", "batch": batch}))
+    rec = {"metric": "vit_images_per_sec", "value": round(ips, 1),
+           "unit": "images/s", "batch": batch}
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_mfu():
@@ -98,10 +102,12 @@ def bench_mfu():
     flops_per_token = 6 * n_params + \
         12 * cfg.num_hidden_layers * seq * cfg.hidden_size
     mfu = flops_per_token * tps / V5E_PEAK_BF16
-    print(json.dumps({"metric": "train_mfu_vs_v5e_peak_bf16",
-                      "value": round(mfu, 4), "unit": "fraction",
-                      "tokens_per_sec": round(tps, 1),
-                      "params": n_params}))
+    rec = {"metric": "train_mfu_vs_v5e_peak_bf16",
+           "value": round(mfu, 4), "unit": "fraction",
+           "tokens_per_sec": round(tps, 1),
+           "params": n_params}
+    print(json.dumps(rec))
+    return rec
 
 
 if __name__ == "__main__":

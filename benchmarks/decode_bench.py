@@ -99,9 +99,11 @@ def bench_decode_ratio(batch: int = 32, context: int = 1920,
     paged_model.decode.clear_cache()
     print(f"[decode ratio] B={batch} ctx={context}: fused {fused:.0f} tok/s, "
           f"naive {naive:.0f} tok/s")
-    print(json.dumps({"metric": "decode_tokens_per_sec_fused_vs_naive",
-                      "fused": round(fused, 1), "naive": round(naive, 1),
-                      "ratio": round(fused / naive, 3)}))
+    rec = {"metric": "decode_tokens_per_sec_fused_vs_naive",
+           "fused": round(fused, 1), "naive": round(naive, 1),
+           "ratio": round(fused / naive, 3)}
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_serving(requests: int = 64, new: int = 128):
@@ -133,6 +135,8 @@ def bench_serving(requests: int = 64, new: int = 128):
     run()  # warm up compiles
     tps = run()
     print(f"[serving] {requests} reqs x {new} new tokens: {tps:.0f} tokens/s")
+    return {"metric": "serving_tokens_per_sec", "value": round(tps, 1),
+            "unit": "tokens/s", "requests": requests, "new_tokens": new}
 
 
 if __name__ == "__main__":

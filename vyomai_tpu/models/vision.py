@@ -94,9 +94,11 @@ class Vit:
             # — the net effect is 2 * (patches+cls+pos). Replicated exactly.
             hidden = 2.0 * pos.vit_absolute_add(
                 params["position_embeddings"], hidden)
-        if attention_mask is None:
-            attention_mask = jnp.ones(hidden.shape[:2], dtype=jnp.float32)
-        mask = bidirectional_mask(attention_mask)
+        # no pad mask -> no additive bias at all (images are never padded;
+        # skipping the [B,1,1,L] broadcast-add keeps the attention fusion
+        # clean instead of streaming a zero mask through every layer)
+        mask = None if attention_mask is None \
+            else bidirectional_mask(attention_mask)
 
         n_layers = cfg.num_hidden_layers
         if not deterministic:
