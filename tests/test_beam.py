@@ -102,3 +102,36 @@ def test_num_return_sequences_validated():
         vt.beam_search_generate(model, params, jnp.ones((1, 3), jnp.int32),
                                 num_beams=2, num_return_sequences=4,
                                 max_new_tokens=2)
+
+
+def test_beam_sample_low_temperature_is_deterministic():
+    """At near-zero temperature the sharpened log-probs dominate the Gumbel
+    noise, so beam sampling becomes deterministic: different seeds give the
+    same output. (Temperature warps the ACCUMULATED scores too — the HF
+    semantics — so equality with plain beam search is not expected.)"""
+    _, model, params = _tiny_pair(seed=3)
+    from vyomai_tpu.generation import beam_sample_generate
+    ids = jnp.array([[5, 9, 23]], dtype=jnp.int32)
+    with jax.enable_x64(True):
+        a, _ = beam_sample_generate(
+            model, params, ids, num_beams=3, max_new_tokens=10,
+            temperature=1e-4, rng=jax.random.PRNGKey(0))
+        b, _ = beam_sample_generate(
+            model, params, ids, num_beams=3, max_new_tokens=10,
+            temperature=1e-4, rng=jax.random.PRNGKey(123))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_beam_sample_is_stochastic_and_valid():
+    _, model, params = _tiny_pair(seed=4)
+    from vyomai_tpu.generation import beam_sample_generate
+    ids = jnp.array([[5, 9, 23]], dtype=jnp.int32)
+    with jax.enable_x64(True):
+        outs = [np.asarray(beam_sample_generate(
+            model, params, ids, num_beams=3, max_new_tokens=12,
+            temperature=5.0, rng=jax.random.PRNGKey(s))[0])
+            for s in range(4)]
+    assert all(o.shape[1] <= 15 for o in outs)
+    # at a hot temperature, some pair of seeds must differ
+    assert any(not (outs[0].shape == o.shape and (outs[0] == o).all())
+               for o in outs[1:])

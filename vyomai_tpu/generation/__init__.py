@@ -1,10 +1,13 @@
-from .generate import generate, generate_seq2seq, generate_multimodel  # noqa: F401
+from .generate import (  # noqa: F401
+    generate, generate_hf, generate_seq2seq, generate_multimodel)
 from .sampling import (  # noqa: F401
     LogitsProcessor, GreedyProcessor, MultinomialProcessor, TopKProcessor,
-    NucleusProcessor, TopKNucleusProcessor)
+    NucleusProcessor, TopKNucleusProcessor, apply_repetition_penalty,
+    apply_no_repeat_ngram, apply_min_new_tokens)
 from .speculative import (  # noqa: F401
     speculative_generate, speculative_generate_onchip,
     speculative_generate_multimodel, norm_fn)
-from .beam import beam_search_generate, reorder_cache  # noqa: F401
+from .beam import (  # noqa: F401
+    beam_search_generate, beam_sample_generate, reorder_cache)
 from .stopping import (  # noqa: F401
     KeywordsStoppingCriteria, generate_until)
