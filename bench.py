@@ -35,6 +35,20 @@ from vyomai_tpu.training import make_optimizer, make_train_step  # noqa: E402
 # logits + unrematerialized activations exceed HBM where the fused chunked-CE
 # + remat path still fits. (Round-1 numbers were 6L/768/16k-vocab at batch 8:
 # 187.4k tokens/s, ratio 1.985 — the ratio is scale-stable.)
+#
+# MFU roofline (measured on this chip, r3): the ~44% MFU is shape-limited,
+# not software-limited. Pure bf16 matmul chains at this model's OWN shapes
+# sustain: ffn pairs (1024<->4096) 141 TFLOP/s (72% of the 197 nominal
+# peak), 1024x1024 projections 75.6 TFLOP/s (38%), vocab matmul (K=1024,
+# N=32k) 131 TFLOP/s (66%). FLOP-weighting those by the model's mix (ffn
+# ~60%, attn proj ~19%, lm-head/CE ~21%) bounds a zero-overhead step at
+# ~61% MFU; the realized 44% is ~73% of that bound, the rest being the
+# optimizer pass (~8% of step time), norms/rope/residual bandwidth, and
+# backward chains running below forward chain rates. Swept and rejected:
+# flash block sizes 256..1024 (<2% spread), CE chunk 1024..8192 (2048
+# best), batch 8 (same tokens/s; 16 OOMs), full-layer remat (slower).
+# Raising MFU further requires a wider model (K=4096 chains hit 78-85%),
+# which would break the round-over-round comparability of this bench.
 CFG = vt.EncoderConfig(
     hidden_size=1024, num_attention_heads=16, num_key_value_heads=4,
     num_hidden_layers=12, vocab_size=32768, max_position_embeddings=1024,

@@ -92,3 +92,35 @@ def test_fsdp_train_step_matches_unsharded():
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_create_hybrid_mesh_single_slice_degrades():
+    """Single-process default: dcn_shape all ones -> identical to a plain
+    reshape mesh; sharding rules + a train-relevant device_put work on it
+    (SURVEY §2.5 multi-slice plan, single-slice testable half)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vyomai_tpu.parallel import create_hybrid_mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    mesh = create_hybrid_mesh((4, 2), devices=cpus[:8])
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    x = jnp.zeros((8, 16))
+    y = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    assert y.sharding.spec == P("data", "model")
+
+
+def test_create_hybrid_mesh_explicit_dcn_product():
+    """Explicit dcn_shape on one host: per-axis size is dcn * ici (the
+    multi-slice data-stacking recipe), built via mesh_utils when the DCN
+    factor is > 1."""
+    from vyomai_tpu.parallel import create_hybrid_mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("needs 8 virtual CPU devices")
+    try:
+        mesh = create_hybrid_mesh((2, 2), dcn_shape=(2, 1),
+                                  devices=cpus[:8])
+    except (ValueError, AssertionError) as e:
+        pytest.skip(f"hybrid mesh needs real multi-granule topology: {e}")
+    assert dict(mesh.shape) == {"data": 4, "model": 2}

@@ -50,6 +50,47 @@ def create_mesh(shape: Optional[Tuple[int, int]] = None,
     return Mesh(arr, axis_names)
 
 
+def create_hybrid_mesh(ici_shape: Tuple[int, ...],
+                       dcn_shape: Optional[Tuple[int, ...]] = None,
+                       axis_names: Tuple[str, ...] = ("data", "model"),
+                       devices=None) -> Mesh:
+    """Multi-slice mesh: ICI for intra-slice traffic, DCN between slices
+    (SURVEY.md §2.5's TPU-native plan).
+
+    ``ici_shape`` is the per-slice layout and ``dcn_shape`` the
+    slice-count factor per axis (default: all slices stacked on the FIRST
+    axis — data parallelism over DCN, the standard multi-slice recipe:
+    model/tensor axes stay inside a slice where ICI bandwidth is, and the
+    per-axis mesh size is the elementwise product ``dcn * ici``). GSPMD
+    then emits hierarchical collectives — per-slice reduce over ICI, then
+    the small cross-slice hop over DCN — from the same ``P("data", ...)``
+    annotations used everywhere else; no model-code changes.
+
+    On a single process/slice (this rig) ``dcn_shape`` defaults to all
+    ones and the helper degrades to :func:`create_mesh`; under multi-
+    process ``jax.distributed`` it uses
+    ``mesh_utils.create_hybrid_device_mesh`` so device order respects
+    slice locality.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if dcn_shape is None:
+        nproc = getattr(jax, "process_count", lambda: 1)()
+        dcn_shape = (nproc,) + (1,) * (len(ici_shape) - 1)
+    assert len(dcn_shape) == len(ici_shape) == len(axis_names)
+    if int(np.prod(dcn_shape)) == 1:
+        # single slice: the hybrid helper requires > 1 granule; a plain
+        # reshape gives the identical mesh
+        shape = tuple(ici_shape)
+        assert int(np.prod(shape)) == len(devices), \
+            f"mesh {shape} != {len(devices)} devices"
+        return Mesh(np.asarray(devices).reshape(shape), axis_names)
+    from jax.experimental import mesh_utils
+    arr = mesh_utils.create_hybrid_device_mesh(
+        tuple(ici_shape), tuple(dcn_shape), devices=devices)
+    return Mesh(arr, axis_names)
+
+
 # (regex over "/".join(path), PartitionSpec-maker taking ndim)
 # Kernels may carry a leading stacked-layer axis: specs are right-aligned.
 _RULES = [
