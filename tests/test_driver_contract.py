@@ -17,7 +17,7 @@ def test_bench_json_contract(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     rec = json.loads(out[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(rec) == {"metric", "value", "unit", "vs_baseline", "mfu"}
     assert rec["vs_baseline"] == 2.0
 
 

@@ -369,3 +369,35 @@ def test_ring_attention_long_context_32k():
     out = np.asarray(out)
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, np.ones_like(out), atol=1e-5)
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "zigzag"])
+def test_ring_attention_flash_impl_matches_xla(layout):
+    """The flash-kernel ring body (per-shard-pair Pallas calls merged via
+    logsumexp) equals the blockwise XLA fold — GQA, causal, both layouts.
+    Runs the kernel in interpret mode off-TPU."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.ops import flash_attention as fa
+    from vyomai_tpu.ops.ring_attention import (ring_attention, zigzag_shard,
+                                               zigzag_unshard)
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    n = 4
+    mesh = Mesh(np.array(cpus[:n]), ("sp",))
+    B, H, HKV, L, D = 1, 4, 2, 64, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, L, D))
+    if layout == "zigzag":
+        q, k, v = (zigzag_shard(x, n) for x in (q, k, v))
+    with jax.default_device(cpus[0]):
+        ref = ring_attention(q, k, v, mesh=mesh, causal=True, layout=layout,
+                             impl="xla", block_k=8)
+        fa.set_interpret(True)
+        try:
+            out = ring_attention(q, k, v, mesh=mesh, causal=True,
+                                 layout=layout, impl="flash")
+        finally:
+            fa.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

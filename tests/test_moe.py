@@ -161,8 +161,11 @@ def test_moe_model_ep_train_step_parity():
     opt = make_optimizer(1e-3)
     step = make_train_step(loss_fn, opt)
     batch = {"ids": ids}
-    _, m0 = step(create_train_state(model.init(jax.random.PRNGKey(0)), opt),
-                 batch, jax.random.PRNGKey(1))
+    # pin the unsharded reference to the SAME (CPU) backend as the mesh —
+    # cross-backend fp32 matmuls differ ~1e-3 (TPU MXU bf16 multiplies)
+    with jax.default_device(cpus[0]):
+        _, m0 = step(create_train_state(model.init(jax.random.PRNGKey(0)),
+                                        opt), batch, jax.random.PRNGKey(1))
     sharded = shard_params(model.init(jax.random.PRNGKey(0)), mesh)
     assert sharded["layers"]["mlp"]["w_in"].sharding.spec == \
         jax.sharding.PartitionSpec(None, "ep", None, None)

@@ -138,7 +138,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
         # whole scales array resident in VMEM: NB*2*BS f32 is a few
         # hundred KB even for thousands-of-blocks pools
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # pool in HBM
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # pool in HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),

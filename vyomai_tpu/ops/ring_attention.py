@@ -180,16 +180,103 @@ def _ring_body(q, k, v, *, axis: str, n: int, causal: bool, scale: float,
     return (acc / l_safe).astype(q.dtype)
 
 
+def _ring_body_flash(q, k, v, *, axis: str, n: int, causal: bool,
+                     layout: str):
+    """Flash-kernel ring body: each (local q run, visiting kv run) pair is
+    ONE Pallas flash-attention call (full, diagonal-causal, or skipped,
+    classified from the pair's global chunk indices), and the per-pair
+    partial outputs are merged exactly through their logsumexps. Within-
+    shard compute therefore runs at single-chip flash-kernel speed instead
+    of the XLA blockwise fold."""
+    from .flash_attention import _fwd
+
+    idx = jax.lax.axis_index(axis)
+    b, h, lc, d = q.shape
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    if layout == "zigzag":
+        runs = [(0, lc // 2), (lc // 2, lc // 2)]
+        chunk_of = lambda shard, r: jnp.where(
+            r == 0, shard, 2 * n - 1 - shard)
+    else:
+        runs = [(0, lc)]
+        chunk_of = lambda shard, r: shard
+
+    def attend(qr, kr, vr, diag: bool):
+        out, lse = _fwd(qr, kr, vr, None, diag, 0)
+        return out.astype(jnp.float32), lse            # lse [B,H,1,len]
+
+    def fold_shard(carries, kc, vc, src):
+        """carries: per-q-run (acc [B,H,len,D] f32, lse [B,H,1,len] f32)."""
+        new = []
+        for qi, (qs, qlen) in enumerate(runs):
+            acc, lse = carries[qi]
+            qr = jax.lax.slice_in_dim(q, qs, qs + qlen, axis=2)
+            cq = chunk_of(idx, qi)
+            for ki, (ks, klen) in enumerate(runs):
+                kr = jax.lax.slice_in_dim(kc, ks, ks + klen, axis=2)
+                vr = jax.lax.slice_in_dim(vc, ks, ks + klen, axis=2)
+                ck = chunk_of(src, ki)
+
+                def merge(part):
+                    o_i, lse_i = part
+                    lse_new = jnp.logaddexp(lse, lse_i)
+                    w_old = jnp.exp(lse - lse_new)      # [B, H, 1, len]
+                    w_new = jnp.exp(lse_i - lse_new)
+                    a = (acc * w_old.transpose(0, 1, 3, 2)
+                         + o_i * w_new.transpose(0, 1, 3, 2))
+                    return a, lse_new
+
+                if not causal:
+                    acc, lse = merge(attend(qr, kr, vr, False))
+                    continue
+                branch = jnp.where(ck < cq, 2, jnp.where(ck == cq, 1, 0))
+                acc, lse = jax.lax.switch(
+                    branch,
+                    [lambda _qr, _kr, _vr, a=acc, s=lse: (a, s),   # future
+                     lambda _qr, _kr, _vr: merge(attend(_qr, _kr, _vr, True)),
+                     lambda _qr, _kr, _vr: merge(attend(_qr, _kr, _vr,
+                                                        False))],
+                    qr, kr, vr)
+            new.append((acc, lse))
+        return new
+
+    init = []
+    for qs, qlen in runs:
+        # no pcast here: this body runs under check_vma=False (see caller)
+        acc0 = jnp.zeros((b, h, qlen, d), jnp.float32)
+        lse0 = jnp.full((b, h, 1, qlen), NEG_INF, jnp.float32)
+        init.append((acc0, lse0))
+    carries = fold_shard(init, k, v, idx)               # own shard first
+
+    def step(i, state):
+        carries, kc, vc = state
+        kc = jax.lax.ppermute(kc, axis, perm)
+        vc = jax.lax.ppermute(vc, axis, perm)
+        src = (idx - i) % n
+        return fold_shard(carries, kc, vc, src), kc, vc
+
+    carries, _, _ = jax.lax.fori_loop(
+        1, n, step, (carries, k, v))
+    outs = [acc for acc, _ in carries]
+    return jnp.concatenate(outs, axis=2).astype(q.dtype)
+
+
 def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
                    causal: bool = False, layout: str = "contiguous",
-                   block_k: int = 512):
+                   block_k: int = 512, impl: str = "auto"):
     """q: [B, H, L, D]; k/v: [B, H_kv, L, D] (H divisible by H_kv) with L
     divisible by the ``axis`` size (and by 2x it for ``layout="zigzag"``).
     Returns [B, H, L, D]; inputs/outputs sequence-sharded over ``axis``.
 
     ``layout="zigzag"``: inputs must be pre-permuted with
     :func:`zigzag_shard` (and the output unpermuted with
-    :func:`zigzag_unshard`); balances causal work across the ring."""
+    :func:`zigzag_unshard`); balances causal work across the ring.
+
+    ``impl``: ``"flash"`` computes each within-shard block with the Pallas
+    flash kernel and merges partials via logsumexp (TPU); ``"xla"`` uses
+    the blockwise jnp fold (any backend); ``"auto"`` picks flash on a TPU
+    process default backend."""
     n = mesh.shape[axis]
     assert q.shape[1] % k.shape[1] == 0, "H must be divisible by H_kv"
     if layout == "zigzag":
@@ -197,8 +284,19 @@ def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
             f"zigzag needs L divisible by 2n={2 * n}"
     scale = 1.0 / (q.shape[-1] ** 0.5)
     spec = P(None, None, axis, None)
-    fn = jax.shard_map(
-        partial(_ring_body, axis=axis, n=n, causal=causal, scale=scale,
-                layout=layout, block_k=block_k),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "flash":
+        body = partial(_ring_body_flash, axis=axis, n=n, causal=causal,
+                       layout=layout)
+        # pallas_call outputs carry no varying-mesh-axes annotation, so the
+        # vma checker cannot type them — disable it for this body (the
+        # collectives are the same ppermutes the checked path uses)
+        fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec, check_vma=False)
+    else:
+        body = partial(_ring_body, axis=axis, n=n, causal=causal,
+                       scale=scale, layout=layout, block_k=block_k)
+        fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec)
     return fn(q, k, v)
