@@ -411,3 +411,28 @@ def test_engine_int8_pool_matches_fp_greedy(qwen):
         ref = generate(model, params, jnp.asarray([p], dtype=jnp.int32),
                        max_new_tokens=6, use_cache=True)
         assert toks == ref[0, len(p):].tolist()
+
+
+def test_engine_serves_moe_decoder():
+    """The paged engine serves MoE decoders: dropless routing in
+    prefill/decode makes engine greedy identical to the dense
+    static-cache greedy path on the same MoE params."""
+    cfg = vt.QwenConfig(vocab_size=512, hidden_size=64, intermediate_size=96,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        num_key_value_heads=2, head_dim=32,
+                        max_position_embeddings=256, qk_norm=False,
+                        eos_token_id=9999, num_experts=4,
+                        num_experts_per_tok=2)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(5), dtype=jnp.float32)
+    prompts = [[3, 17, 42, 9], [5, 11]]
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=5, dtype=jnp.float32,
+                                prefill_buckets=(8, 16))
+    sids = [eng.submit(p) for p in prompts]
+    out = eng.run()
+    for sid, p in zip(sids, prompts):
+        ref = generate(model, params, jnp.asarray([p], dtype=jnp.int32),
+                       max_new_tokens=5, use_cache=True)
+        assert out[sid] == ref[0, len(p):].tolist()

@@ -56,10 +56,6 @@ class ContinuousBatchEngine:
         self.model = model
         self.params = params
         self.cfg = model.config
-        if getattr(self.cfg, "num_experts", 0):
-            raise ValueError(
-                "the paged serving path runs dense SwiGLU MLPs; MoE decoders "
-                "(num_experts > 0) are served via generate()/decode loops")
         self.plus_one = plus_one  # gemma-style (1+w) RMSNorm towers
         # host scheduler: native C++ radix/allocator when available
         self.kv = None

@@ -24,6 +24,20 @@ from ..ops.paged_attention import (gather_kv, paged_attention_decode,
 from ..ops import paged_decode_pallas
 
 
+def _mlp(lp_mlp, x, config, act: str):
+    """Dense SwiGLU or (for MoE configs) dropless top-k expert routing —
+    serving never drops tokens, so paged decode matches the dense
+    static-cache decode token-for-token (same rule as
+    ``layers.modern.modern_layer_apply`` at inference)."""
+    if "router" in lp_mlp:
+        from ..layers.moe import moe_apply
+        out, _ = moe_apply(lp_mlp, x,
+                           top_k=getattr(config, "num_experts_per_tok", 2),
+                           capacity_factor=None, act=act)
+        return out
+    return swiglu_apply(lp_mlp, x, act=act)
+
+
 def init_pool(config, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
     """Combined K/V pool: [L, NB, 2, BS, H_kv * D] (k row 0, v row 1).
 
@@ -149,8 +163,8 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
-        h = h + swiglu_apply(lp["mlp"], normed,
-                             act="gelu_pytorch_tanh" if plus_one else "silu")
+        h = h + _mlp(lp["mlp"], normed, cfg,
+                     act="gelu_pytorch_tanh" if plus_one else "silu")
         return h, ((pkv, psc) if quant else pkv)
 
     if quant:
@@ -229,8 +243,8 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
-        h = h + swiglu_apply(lp["mlp"], normed,
-                             act="gelu_pytorch_tanh" if plus_one else "silu")
+        h = h + _mlp(lp["mlp"], normed, cfg,
+                     act="gelu_pytorch_tanh" if plus_one else "silu")
         return h, ((pkv, psc) if quant else pkv)
 
     if quant:
