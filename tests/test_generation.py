@@ -286,3 +286,16 @@ def test_generate_hf_sampling_runs(small_decoder):
                       rng=jax.random.PRNGKey(7))
     assert out.shape == (1, 12)
     assert int(jnp.max(out)) < CFG.vocab_size
+
+
+def test_suppress_and_forced_token_processors():
+    from vyomai_tpu.generation import apply_forced_token, apply_suppress_tokens
+    logits = jnp.zeros((2, 8))
+    out = apply_suppress_tokens(logits, [1, 5])
+    assert float(out[0, 1]) < -1e19 and float(out[1, 5]) < -1e19
+    assert float(out[0, 0]) == 0.0
+    forced = apply_forced_token(logits, 3, jnp.asarray(True))
+    assert float(forced[0, 3]) == 0.0
+    assert all(float(forced[0, i]) < -1e19 for i in range(8) if i != 3)
+    off = apply_forced_token(logits, 3, jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(off), np.asarray(logits))

@@ -401,3 +401,54 @@ def test_ring_attention_flash_impl_matches_xla(layout):
         finally:
             fa.set_interpret(False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "zigzag"])
+def test_ring_attention_flash_gradients(layout):
+    """Sequence-parallel TRAINING: the flash ring's custom VJP (backward
+    ring of per-pair flash-backward kernels, dk/dv rotating home) matches
+    autodiff through single-device attention for q, k, and v grads."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.ops import flash_attention as fa
+    from vyomai_tpu.ops.ring_attention import (ring_attention, zigzag_shard,
+                                               zigzag_unshard)
+    from vyomai_tpu.layers.attention import repeat_kv, sdpa, set_sdpa_impl
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    n = 4
+    mesh = Mesh(np.array(cpus[:n]), ("sp",))
+    B, H, HKV, L, D = 1, 4, 2, 64, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, L, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, L, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, L, D))
+    g_out = jax.random.normal(jax.random.PRNGKey(3), (B, H, L, D))
+
+    set_sdpa_impl("xla")
+    with jax.default_device(cpus[0]):
+        def ref_loss(q_, k_, v_):
+            o = sdpa(q_, repeat_kv(k_, H // HKV), repeat_kv(v_, H // HKV),
+                     None, causal=True)
+            return jnp.sum(o * g_out)
+        ref_grads = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+        if layout == "zigzag":
+            qs, ks, vs, gs = (zigzag_shard(x, n) for x in (q, k, v, g_out))
+        else:
+            qs, ks, vs, gs = q, k, v, g_out
+
+        def ring_loss(q_, k_, v_):
+            o = ring_attention(q_, k_, v_, mesh=mesh, causal=True,
+                               layout=layout, impl="flash")
+            return jnp.sum(o * gs)
+        fa.set_interpret(True)
+        try:
+            grads = jax.grad(ring_loss, argnums=(0, 1, 2))(qs, ks, vs)
+        finally:
+            fa.set_interpret(False)
+        if layout == "zigzag":
+            grads = tuple(zigzag_unshard(g, n) for g in grads)
+    set_sdpa_impl("auto")
+    for g, r, name in zip(grads, ref_grads, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-5,
+                                   err_msg=f"d{name}")

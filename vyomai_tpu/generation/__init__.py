@@ -3,7 +3,8 @@ from .generate import (  # noqa: F401
 from .sampling import (  # noqa: F401
     LogitsProcessor, GreedyProcessor, MultinomialProcessor, TopKProcessor,
     NucleusProcessor, TopKNucleusProcessor, apply_repetition_penalty,
-    apply_no_repeat_ngram, apply_min_new_tokens)
+    apply_no_repeat_ngram, apply_min_new_tokens,
+    apply_suppress_tokens, apply_forced_token)
 from .speculative import (  # noqa: F401
     speculative_generate, speculative_generate_onchip,
     speculative_generate_multimodel, norm_fn)

@@ -153,6 +153,24 @@ def apply_no_repeat_ngram(logits, token_buf, cur_len, ngram_size: int):
     return jnp.where(cur_len >= n - 1, banned, logits)
 
 
+def apply_suppress_tokens(logits, token_ids):
+    """Mask a fixed set of token ids everywhere (HF
+    ``SuppressTokensLogitsProcessor``). token_ids: int sequence/array."""
+    ids = jnp.atleast_1d(jnp.asarray(token_ids, jnp.int32))
+    sup = jnp.zeros((logits.shape[-1],), bool).at[ids].set(True)
+    return jnp.where(sup[None, :], _MASKED, logits)
+
+
+def apply_forced_token(logits, forced_id, fire):
+    """Force a specific token (HF ``ForcedBOS/EOSTokenLogitsProcessor``):
+    when ``fire`` (traced bool ok) every other id is masked."""
+    v = logits.shape[-1]
+    onehot = jnp.zeros((v,), bool).at[jnp.asarray(forced_id, jnp.int32)
+                                      ].set(True)
+    forced = jnp.where(onehot[None, :], logits, _MASKED)
+    return jnp.where(fire, forced, logits)
+
+
 def apply_min_new_tokens(logits, eos_token_id, new_len, min_new_tokens: int):
     """Suppress EOS until ``min_new_tokens`` have been generated (HF
     ``MinNewTokensLengthLogitsProcessor``). ``new_len`` may be traced;
