@@ -135,3 +135,55 @@ def test_beam_sample_is_stochastic_and_valid():
     # at a hot temperature, some pair of seeds must differ
     assert any(not (outs[0].shape == o.shape and (outs[0] == o).all())
                for o in outs[1:])
+
+
+@pytest.mark.parametrize("groups", [2, 3])
+def test_group_beam_zero_penalty_reduces_to_plain_beam(groups):
+    """With diversity_penalty=0 every group runs the identical search, so
+    group beam must return plain beam search's hypotheses (the
+    HF-token-exact-validated path) duplicated once per group. (Direct HF
+    parity is untestable here: this transformers version moved group beam
+    to a remote-code hub repo — no egress on this rig.)"""
+    _, model, params = _tiny_pair(seed=5)
+    from vyomai_tpu.generation import group_beam_search_generate
+    ids = jnp.array([[5, 9, 23, 31]], dtype=jnp.int32)
+    kg = 3
+    with jax.enable_x64(True):
+        plain, plain_scores = beam_search_generate(
+            model, params, ids, num_beams=kg, max_new_tokens=10,
+            eos_token_id=1, pad_token_id=1, num_return_sequences=kg)
+        grp, grp_scores = group_beam_search_generate(
+            model, params, ids, num_beams=kg * groups,
+            num_beam_groups=groups, diversity_penalty=0.0,
+            max_new_tokens=10, eos_token_id=1, pad_token_id=1,
+            num_return_sequences=kg * groups)
+    plain, grp = np.asarray(plain), np.asarray(grp)
+    width = min(plain.shape[1], grp.shape[1])
+    for i in range(kg):
+        for g in range(groups):
+            np.testing.assert_array_equal(
+                grp[i * groups + g, :width], plain[i, :width],
+                err_msg=f"hypothesis {i}, copy {g}")
+    np.testing.assert_allclose(
+        np.asarray(grp_scores).reshape(kg, groups),
+        np.asarray(plain_scores)[:, None].repeat(groups, 1), atol=1e-9)
+
+
+def test_group_beam_diversity_changes_output():
+    """A positive diversity penalty must be able to change which
+    hypotheses the groups explore vs plain beam search with the same
+    total beam count."""
+    _, model, params = _tiny_pair(seed=6)
+    from vyomai_tpu.generation import group_beam_search_generate
+    ids = jnp.array([[5, 9, 23]], dtype=jnp.int32)
+    with jax.enable_x64(True):
+        a, _ = group_beam_search_generate(
+            model, params, ids, num_beams=4, num_beam_groups=2,
+            diversity_penalty=0.0, max_new_tokens=8,
+            num_return_sequences=4)
+        b, _ = group_beam_search_generate(
+            model, params, ids, num_beams=4, num_beam_groups=2,
+            diversity_penalty=5.0, max_new_tokens=8,
+            num_return_sequences=4)
+    assert a.shape[0] == b.shape[0] == 4
+    assert not (a.shape == b.shape and bool((a == b).all()))

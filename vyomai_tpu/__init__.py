@@ -20,7 +20,8 @@ from .layers.adapters import (  # noqa: F401
 from .generation import (  # noqa: F401
     generate, generate_seq2seq, generate_multimodel, speculative_generate,
     speculative_generate_onchip, speculative_generate_multimodel,
-    beam_search_generate, beam_sample_generate, generate_hf,
+    beam_search_generate, beam_sample_generate,
+    group_beam_search_generate, generate_hf,
     GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
     TopKNucleusProcessor)
 

@@ -9,6 +9,7 @@ from .speculative import (  # noqa: F401
     speculative_generate, speculative_generate_onchip,
     speculative_generate_multimodel, norm_fn)
 from .beam import (  # noqa: F401
-    beam_search_generate, beam_sample_generate, reorder_cache)
+    beam_search_generate, beam_sample_generate,
+    group_beam_search_generate, reorder_cache)
 from .stopping import (  # noqa: F401
     KeywordsStoppingCriteria, generate_until)

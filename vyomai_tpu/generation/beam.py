@@ -47,6 +47,85 @@ def _gather_beams(x, idx):
     return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
 
 
+def _beam_step_math(lp, running_seq, running_scores, sequences, beam_scores,
+                    is_sent_finished, early_unsat, running_beam_indices,
+                    beam_indices, cur_len, *, k, k2, vocab, prompt_len,
+                    max_length, eos, length_penalty, early_stopping,
+                    lane_base, step_rng=None):
+    """One beam selection/merge update on accumulated log-probs
+    ``lp [B, K*V]`` (steps c-f of the HF/Flax static beam algorithm; shared
+    by plain, sampled, and group beam search). ``lane_base [B, 1]``: flat
+    cache-lane index of each row's beam 0. Returns the updated state plus
+    ``(hits, src [B, K])`` for the caller's cache reorder."""
+    bsz = lp.shape[0]
+    top_k_mask = jnp.arange(k2) < k
+
+    if step_rng is not None:
+        # stochastic beams: 2K draws WITHOUT replacement via Gumbel-top-k
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(step_rng, lp.shape, minval=1e-20,
+                               maxval=1.0) + 1e-20))
+        _, topk_idx = jax.lax.top_k(lp + gumbel, k2)        # [B, K2]
+        topk_lp = jnp.take_along_axis(lp, topk_idx, axis=-1)
+    else:
+        topk_lp, topk_idx = jax.lax.top_k(lp, k2)           # [B, K2]
+    beam_src = topk_idx // vocab
+    tok = (topk_idx % vocab).astype(running_seq.dtype)
+    topk_seq = _gather_beams(running_seq, beam_src)
+    topk_seq = jax.lax.dynamic_update_slice_in_dim(
+        topk_seq, tok[:, :, None], cur_len, axis=2)
+    topk_bidx = _gather_beams(running_beam_indices, beam_src)
+    topk_bidx = jax.lax.dynamic_update_slice_in_dim(
+        topk_bidx, (beam_src + lane_base)[:, :, None].astype(jnp.int32),
+        cur_len - prompt_len, axis=2)
+
+    # d. stopping criteria on each candidate
+    hits = (tok.astype(jnp.int32) == eos) | (cur_len + 1 >= max_length)
+
+    # e. running beams for the next iteration (non-finished top K)
+    running_lp = topk_lp + hits.astype(jnp.float32) * NEG
+    _, next_idx = jax.lax.top_k(running_lp, k)
+    new_running_seq = _gather_beams(topk_seq, next_idx)
+    new_running_scores = _gather_beams(running_lp, next_idx)
+    new_running_bidx = _gather_beams(topk_bidx, next_idx)
+
+    # f. merge new finished hypotheses into the finished set
+    gen_len = (cur_len + 1 - prompt_len).astype(jnp.float32)
+    fin_lp = topk_lp / jnp.power(gen_len, length_penalty)
+    beams_full = jnp.all(is_sent_finished, axis=-1, keepdims=True) \
+        & early_stopping
+    fin_lp = fin_lp + beams_full.astype(jnp.float32) * NEG
+    fin_lp = fin_lp + (~early_unsat).astype(jnp.float32) * NEG
+    just_finished = hits & top_k_mask[None, :]
+    fin_lp = fin_lp + (~just_finished).astype(jnp.float32) * NEG
+    merged_seq = jnp.concatenate([sequences, topk_seq], axis=1)
+    merged_scores = jnp.concatenate([beam_scores, fin_lp], axis=1)
+    merged_bidx = jnp.concatenate([beam_indices, topk_bidx], axis=1)
+    merged_fin = jnp.concatenate([is_sent_finished, just_finished], axis=1)
+    _, merge_idx = jax.lax.top_k(merged_scores, k)
+    new_sequences = _gather_beams(merged_seq, merge_idx)
+    new_beam_scores = _gather_beams(merged_scores, merge_idx)
+    new_beam_indices = _gather_beams(merged_bidx, merge_idx)
+    new_is_finished = _gather_beams(merged_fin, merge_idx)
+
+    # cache-reorder source lane of each running beam
+    src = _gather_beams(beam_src, next_idx) + lane_base
+
+    # early-stop improvement heuristic (early_stopping=False flavor)
+    best_len = (cur_len + 1 - prompt_len).astype(jnp.float32)
+    best_running = new_running_scores[:, :1] / jnp.power(best_len,
+                                                         length_penalty)
+    worst_finished = jnp.where(
+        new_is_finished, jnp.min(new_beam_scores, axis=1, keepdims=True),
+        NEG)
+    new_early_unsat = early_unsat & jnp.any(
+        best_running > worst_finished, axis=-1, keepdims=True)
+
+    return (new_running_seq, new_running_scores, new_sequences,
+            new_beam_scores, new_is_finished, new_early_unsat, hits,
+            new_running_bidx, new_beam_indices, src)
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4, 7, 8, 9, 11))
 def _beam_search_jit(model, params, input_ids, num_beams: int,
                      max_new_tokens: int, eos_token_id, pad_token_id,
@@ -60,7 +139,6 @@ def _beam_search_jit(model, params, input_ids, num_beams: int,
     vocab = model.config.vocab_size
     eos = jnp.asarray(eos_token_id, dtype=jnp.int32)
     pad = jnp.asarray(pad_token_id, dtype=input_ids.dtype)
-    top_k_mask = jnp.arange(k2) < k  # only top-k candidates may finalize
 
     # running/finished state (HF _beam_search step 3)
     running_seq = jnp.full((bsz, k, max_length), pad, dtype=input_ids.dtype)
@@ -102,78 +180,22 @@ def _beam_search_jit(model, params, input_ids, num_beams: int,
         lp = lp.reshape(bsz, k, vocab) + running_scores[:, :, None]
         lp = lp.reshape(bsz, k * vocab)
 
-        if do_sample:
-            # beam-sample (HF ``do_sample=True, num_beams=N``): draw 2K
-            # continuations WITHOUT replacement via the Gumbel-top-k trick
-            # — selection is stochastic, accumulated scores stay exact
-            gumbel = -jnp.log(-jnp.log(
-                jax.random.uniform(step_rng, lp.shape, minval=1e-20,
-                                   maxval=1.0) + 1e-20))
-            _, topk_idx = jax.lax.top_k(lp + gumbel, k2)    # [B, K2]
-            topk_lp = jnp.take_along_axis(lp, topk_idx, axis=-1)
-        else:
-            # c. top 2K continuations
-            topk_lp, topk_idx = jax.lax.top_k(lp, k2)       # [B, K2]
-        beam_src = topk_idx // vocab
-        tok = (topk_idx % vocab).astype(running_seq.dtype)
-        topk_seq = _gather_beams(running_seq, beam_src)
-        topk_seq = jax.lax.dynamic_update_slice_in_dim(
-            topk_seq, tok[:, :, None], cur_len, axis=2)
-        topk_bidx = _gather_beams(running_beam_indices, beam_src)
-        batch_offset = (jnp.arange(bsz) * k)[:, None]
-        topk_bidx = jax.lax.dynamic_update_slice_in_dim(
-            topk_bidx, (beam_src + batch_offset)[:, :, None].astype(jnp.int32),
-            cur_len - prompt_len, axis=2)
-
-        # d. stopping criteria on each candidate
-        hits = (tok.astype(jnp.int32) == eos) | (cur_len + 1 >= max_length)
-
-        # e. running beams for the next iteration (non-finished top K)
-        running_lp = topk_lp + hits.astype(jnp.float32) * NEG
-        _, next_idx = jax.lax.top_k(running_lp, k)
-        new_running_seq = _gather_beams(topk_seq, next_idx)
-        new_running_scores = _gather_beams(running_lp, next_idx)
-        new_running_bidx = _gather_beams(topk_bidx, next_idx)
-
-        # f. merge new finished hypotheses into the finished set
-        gen_len = (cur_len + 1 - prompt_len).astype(jnp.float32)
-        fin_lp = topk_lp / jnp.power(gen_len, length_penalty)
-        beams_full = jnp.all(is_sent_finished, axis=-1, keepdims=True) \
-            & early_stopping
-        fin_lp = fin_lp + beams_full.astype(jnp.float32) * NEG
-        fin_lp = fin_lp + (~early_unsat).astype(jnp.float32) * NEG
-        just_finished = hits & top_k_mask[None, :]
-        fin_lp = fin_lp + (~just_finished).astype(jnp.float32) * NEG
-        merged_seq = jnp.concatenate([sequences, topk_seq], axis=1)
-        merged_scores = jnp.concatenate([beam_scores, fin_lp], axis=1)
-        merged_bidx = jnp.concatenate([beam_indices, topk_bidx], axis=1)
-        merged_fin = jnp.concatenate([is_sent_finished, just_finished],
-                                     axis=1)
-        _, merge_idx = jax.lax.top_k(merged_scores, k)
-        new_sequences = _gather_beams(merged_seq, merge_idx)
-        new_beam_scores = _gather_beams(merged_scores, merge_idx)
-        new_beam_indices = _gather_beams(merged_bidx, merge_idx)
-        new_is_finished = _gather_beams(merged_fin, merge_idx)
-
-        # g. cache reorder: source lane of each running beam
-        src_flat = (_gather_beams(beam_src, next_idx)
-                    + batch_offset).reshape(-1)
-        new_cache = reorder_cache(cache, src_flat)
-
-        cur_len = cur_len + 1
-        # early-stop improvement heuristic (early_stopping=False flavor)
-        best_len = (cur_len - prompt_len).astype(jnp.float32)
-        best_running = new_running_scores[:, :1] / jnp.power(best_len,
-                                                             length_penalty)
-        worst_finished = jnp.where(
-            new_is_finished, jnp.min(new_beam_scores, axis=1, keepdims=True),
-            NEG)
-        new_early_unsat = early_unsat & jnp.any(
-            best_running > worst_finished, axis=-1, keepdims=True)
+        lane_base = (jnp.arange(bsz) * k)[:, None]
+        (new_running_seq, new_running_scores, new_sequences,
+         new_beam_scores, new_is_finished, new_early_unsat, hits,
+         new_running_bidx, new_beam_indices, src) = _beam_step_math(
+            lp, running_seq, running_scores, sequences, beam_scores,
+            is_sent_finished, early_unsat, running_beam_indices,
+            beam_indices, cur_len, k=k, k2=k2, vocab=vocab,
+            prompt_len=prompt_len, max_length=max_length, eos=eos,
+            length_penalty=length_penalty, early_stopping=early_stopping,
+            lane_base=lane_base,
+            step_rng=step_rng if do_sample else None)
+        new_cache = reorder_cache(cache, src.reshape(-1))
 
         return (new_running_seq, new_running_scores, new_sequences,
                 new_beam_scores, new_is_finished, new_early_unsat, hits,
-                new_running_bidx, new_beam_indices, new_cache, cur_len)
+                new_running_bidx, new_beam_indices, new_cache, cur_len + 1)
 
     def cond(carry):
         is_sent_finished, early_unsat, hits_all = carry[4], carry[5], carry[6]
@@ -240,6 +262,167 @@ def beam_search_generate(model, params, input_ids, *, num_beams: int = 4,
     scores = scores[:, :n].reshape(-1)
     beam_indices = beam_indices[:, :n].reshape(-1, beam_indices.shape[-1])
     # crop static buffer to the longest generated hypothesis (HF behavior)
+    max_gen = int(jnp.max(jnp.sum(beam_indices >= 0, axis=1)))
+    return sequences[:, :prompt_len + max_gen], scores
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 8, 9, 10))
+def _group_beam_search_jit(model, params, input_ids, num_beams: int,
+                           num_beam_groups: int, max_new_tokens: int,
+                           eos_token_id, pad_token_id,
+                           length_penalty: float, early_stopping: bool,
+                           diversity_penalty: float):
+    """Diverse (group) beam search, HF ``_group_beam_search`` semantics:
+    ``num_beams = G * kg`` lanes; groups are selected SEQUENTIALLY each
+    step, group g's log-probs penalized by ``diversity_penalty *
+    count(token chosen by groups < g at this step)`` (Hamming diversity);
+    within a group the update is the shared ``_beam_step_math``."""
+    bsz, prompt_len = input_ids.shape
+    g_n = num_beam_groups
+    kg = num_beams // g_n
+    k2g = 2 * kg
+    max_length = prompt_len + max_new_tokens
+    vocab = model.config.vocab_size
+    eos = jnp.asarray(eos_token_id, dtype=jnp.int32)
+    pad = jnp.asarray(pad_token_id, dtype=input_ids.dtype)
+
+    # state: [B, G, kg, ...] (each group an independent beam set)
+    running_seq = jnp.full((bsz, g_n, kg, max_length), pad,
+                           dtype=input_ids.dtype)
+    running_seq = running_seq.at[:, :, :, :prompt_len].set(
+        input_ids[:, None, None, :])
+    sequences = running_seq
+    running_scores = jnp.full((bsz, g_n, kg), NEG, dtype=jnp.float32)
+    running_scores = running_scores.at[:, :, 0].set(0.0)
+    beam_scores = jnp.full((bsz, g_n, kg), NEG, dtype=jnp.float32)
+    is_sent_finished = jnp.zeros((bsz, g_n, kg), dtype=bool)
+    early_unsat = jnp.ones((bsz, g_n, 1), dtype=bool)
+    hits_all = jnp.zeros((bsz, g_n, k2g), dtype=bool)
+    running_beam_indices = jnp.full((bsz, g_n, kg, max_new_tokens), -1,
+                                    jnp.int32)
+    beam_indices = running_beam_indices
+
+    # prefill once per batch row, broadcast into all G*kg lanes
+    param_dtype = jax.tree_util.tree_leaves(params)[0].dtype
+    cache1 = model.init_cache(batch_size=bsz, max_len=max_length,
+                              dtype=param_dtype)
+    out = model.apply(params, input_ids, cache=cache1, start_pos=0)
+    logits0 = jnp.repeat(out.logits[:, -1], g_n * kg, axis=0)
+    c = out.kv_cache
+    cache = {"k": jnp.repeat(c["k"], g_n * kg, axis=1),
+             "v": jnp.repeat(c["v"], g_n * kg, axis=1),
+             "length": c["length"]}
+
+    def step(logits, carry):
+        (running_seq, running_scores, sequences, beam_scores,
+         is_sent_finished, early_unsat, hits_all, running_beam_indices,
+         beam_indices, cache, cur_len) = carry
+        logits = logits.astype(jnp.float32).reshape(bsz, g_n, kg, vocab)
+        counts = jnp.zeros((bsz, vocab), jnp.float32)
+        outs = []
+        srcs = []
+        hits_list = []
+        for g in range(g_n):                         # sequential: penalty
+            lp = jax.nn.log_softmax(logits[:, g], axis=-1)
+            lp = lp - diversity_penalty * counts[:, None, :]
+            lp = (lp + running_scores[:, g][:, :, None]).reshape(
+                bsz, kg * vocab)
+            lane_base = ((jnp.arange(bsz) * g_n + g) * kg)[:, None]
+            res = _beam_step_math(
+                lp, running_seq[:, g], running_scores[:, g],
+                sequences[:, g], beam_scores[:, g],
+                is_sent_finished[:, g], early_unsat[:, g],
+                running_beam_indices[:, g], beam_indices[:, g], cur_len,
+                k=kg, k2=k2g, vocab=vocab, prompt_len=prompt_len,
+                max_length=max_length, eos=eos,
+                length_penalty=length_penalty,
+                early_stopping=early_stopping, lane_base=lane_base)
+            outs.append(res[:6] + (res[7], res[8]))
+            hits_list.append(res[6])
+            srcs.append(res[9])
+            # this group's freshly appended running tokens join the penalty
+            new_toks = jax.lax.dynamic_slice_in_dim(
+                res[0], cur_len, 1, axis=2)[:, :, 0]         # [B, kg]
+            counts = counts + jnp.sum(
+                jax.nn.one_hot(new_toks, vocab, dtype=jnp.float32), axis=1)
+
+        stack = lambda i: jnp.stack([o[i] for o in outs], axis=1)
+        new_cache = reorder_cache(
+            cache, jnp.stack(srcs, axis=1).reshape(-1))
+        return (stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
+                jnp.stack(hits_list, axis=1), stack(6), stack(7),
+                new_cache, cur_len + 1)
+
+    def cond(carry):
+        is_sent_finished, early_unsat, hits_all = carry[4], carry[5], carry[6]
+        cur_len = carry[10]
+        improvement_possible = jnp.any(early_unsat)
+        exists_open_beam = ~(jnp.all(is_sent_finished) & early_stopping)
+        valid_continuations = ~jnp.all(hits_all)
+        return (improvement_possible & exists_open_beam
+                & valid_continuations & (cur_len < max_length))
+
+    def body(carry):
+        cur_len = carry[10]
+        toks = jax.lax.dynamic_slice_in_dim(
+            carry[0].reshape(bsz * g_n * kg, max_length), cur_len - 1, 1,
+            axis=1)
+        out = model.apply(params, toks, cache=carry[9],
+                          start_pos=cur_len - 1)
+        carry = carry[:9] + (out.kv_cache,) + carry[10:]
+        return step(out.logits[:, -1], carry)
+
+    carry = (running_seq, running_scores, sequences, beam_scores,
+             is_sent_finished, early_unsat, hits_all, running_beam_indices,
+             beam_indices, cache, jnp.asarray(prompt_len, jnp.int32))
+    carry = step(logits0, carry)
+    carry = jax.lax.while_loop(cond, body, carry)
+    (_, _, sequences, beam_scores, _, _, _, _, beam_indices, _, _) = carry
+    # finalize across groups: best hypotheses by score (HF finalize)
+    seq_flat = sequences.reshape(bsz, g_n * kg, max_length)
+    score_flat = beam_scores.reshape(bsz, g_n * kg)
+    bidx_flat = beam_indices.reshape(bsz, g_n * kg, max_new_tokens)
+    order = jnp.argsort(-score_flat, axis=1)
+    return (_gather_beams(seq_flat, order),
+            jnp.take_along_axis(score_flat, order, axis=1),
+            _gather_beams(bidx_flat, order))
+
+
+def group_beam_search_generate(model, params, input_ids, *,
+                               num_beams: int = 4, num_beam_groups: int = 2,
+                               diversity_penalty: float = 1.0,
+                               max_new_tokens: int = 32,
+                               eos_token_id: Union[int, None] = None,
+                               pad_token_id: int = 0,
+                               length_penalty: float = 1.0,
+                               early_stopping: bool = False,
+                               num_return_sequences: int = 1):
+    """Diverse beam search (HF ``generate(num_beams=N, num_beam_groups=G,
+    diversity_penalty=d)`` — the last of the HF strategy family).
+    Returns ``(sequences, scores)`` with hypotheses ranked by
+    length-penalized score across groups."""
+    if num_beams % num_beam_groups:
+        raise ValueError(
+            f"num_beams ({num_beams}) should be divisible by "
+            f"num_beam_groups ({num_beam_groups})")  # HF's error
+    if num_return_sequences > num_beams:
+        raise ValueError(
+            f"num_return_sequences ({num_return_sequences}) has to be "
+            f"smaller or equal to num_beams ({num_beams})")
+    if eos_token_id is None:
+        eos_token_id = getattr(model.config, "eos_token_id", None)
+        if eos_token_id is None:
+            eos_token_id = -1
+    input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
+    prompt_len = input_ids.shape[1]
+    sequences, scores, beam_indices = _group_beam_search_jit(
+        model, params, input_ids, num_beams, num_beam_groups,
+        max_new_tokens, eos_token_id, pad_token_id, float(length_penalty),
+        bool(early_stopping), float(diversity_penalty))
+    n = num_return_sequences
+    sequences = sequences[:, :n].reshape(-1, sequences.shape[-1])
+    scores = scores[:, :n].reshape(-1)
+    beam_indices = beam_indices[:, :n].reshape(-1, beam_indices.shape[-1])
     max_gen = int(jnp.max(jnp.sum(beam_indices >= 0, axis=1)))
     return sequences[:, :prompt_len + max_gen], scores
 
