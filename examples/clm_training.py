@@ -33,7 +33,15 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
 
     rng_np = np.random.default_rng(0)
-    data = rng_np.integers(3, cfg.vocab_size, size=(256, 64)).astype(np.int32)
+    # synthetic token stream fed through the NATIVE background batch
+    # loader (csrc/data_loader.cc; bit-identical Python fallback) — the
+    # producer thread packs shuffled blocks while the device steps
+    corpus = rng_np.integers(3, cfg.vocab_size,
+                             size=256 * 64).astype(np.int32)
+    from vyomai_tpu.training import BlockBatchLoader
+    loader = BlockBatchLoader(corpus, batch=16, seq=64, seed=0)
+    print(f"batch loader backend: {loader.backend}")
+    data_iter = iter(loader)
 
     def loss_fn(p, batch, rng):
         out = model.apply(p, batch["ids"], batch["mask"])
@@ -48,13 +56,14 @@ def main():
     state = tr.init_state(params)
     rng = jax.random.PRNGKey(1)
     for step in range(args.steps):
-        i = (step * 16) % (len(data) - 16)
-        ids = jnp.asarray(data[i:i + 16])
+        ids = jnp.asarray(next(data_iter)["ids"])
         batch = {"ids": ids, "mask": jnp.ones_like(ids)}
         rng, r = jax.random.split(rng)
         state, m = tr.step(state, batch, r)
         if step % 5 == 0:
             print(f"step {step}: loss={float(m['loss']):.4f}")
+    loader.close()
+    data = corpus.reshape(256, 64)
 
     # 3-way generate parity (no-cache vs static cache)
     prompt = jnp.asarray(data[:2, :8])

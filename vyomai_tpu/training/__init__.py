@@ -10,3 +10,5 @@ from .collators import (  # noqa: F401
 from .distill import select_layers, default_student_indices  # noqa: F401
 from . import checkpoint  # noqa: F401
 from .detection import detr_loss, hungarian_match, generalized_iou  # noqa: F401
+from .native_data import BlockBatchLoader  # noqa: F401
+from . import native_data  # noqa: F401
