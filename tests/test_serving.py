@@ -436,3 +436,30 @@ def test_engine_serves_moe_decoder():
         ref = generate(model, params, jnp.asarray([p], dtype=jnp.int32),
                        max_new_tokens=5, use_cache=True)
         assert out[sid] == ref[0, len(p):].tolist()
+
+
+def test_engine_tp_with_int8_pool(qwen):
+    """TP sharding and the int8 pool compose: per-row quantization scales
+    (amax over the width-sharded features -> GSPMD max-reduce) keep greedy
+    identical to the single-chip fp32 engine."""
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11]]
+
+    def run(mesh, dtype):
+        eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                    block_size=8, max_batch=4,
+                                    max_blocks_per_seq=8, max_new_tokens=5,
+                                    dtype=dtype, prefill_buckets=(8, 16),
+                                    mesh=mesh)
+        sids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        return [out[s] for s in sids]
+
+    with jax.default_device(cpus[0]):
+        ref = run(None, jnp.float32)
+        mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+        assert run(mesh, jnp.int8) == ref
