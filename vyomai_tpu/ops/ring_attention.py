@@ -410,7 +410,10 @@ def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
     scale = 1.0 / (q.shape[-1] ** 0.5)
     spec = P(None, None, axis, None)
     if impl == "auto":
-        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        # key off the MESH devices, not the process default backend — a
+        # virtual CPU mesh under a TPU-default process must take the XLA
+        # path (the kernel would otherwise lower for the wrong platform)
+        impl = "flash" if mesh.devices.flat[0].platform == "tpu" else "xla"
     if impl == "flash":
         # differentiable flash ring (custom VJP; shard_maps run with
         # check_vma=False — pallas outputs carry no varying-axes type)
