@@ -1,0 +1,169 @@
+"""Int8 weight-only quantization: quantizer error bounds, matmul-path
+equivalence (fallback vs Pallas interpret, kn vs nk layouts), and the
+end-to-end serving invariant — the paged engine with quantized weights is
+token-exact vs dense static-cache generate with the SAME quantized weights
+(like-for-like: the invariant is path parity, not lossless quantization)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vyomai_tpu as vt
+from vyomai_tpu.core import nn as cnn
+from vyomai_tpu.generation import generate
+from vyomai_tpu.ops import quant_matmul as qm
+from vyomai_tpu.serving import ContinuousBatchEngine
+
+
+def test_quantize_weight_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (96, 160)) * 0.04
+    q, s = qm.quantize_weight(w, contract_axis=0)
+    assert q.dtype == jnp.int8 and s.shape == (160,)
+    recon = q.astype(jnp.float32) * s[None, :]
+    # symmetric round-to-nearest: per-column error <= scale/2
+    err = np.abs(np.asarray(w - recon))
+    assert (err <= np.asarray(s)[None, :] * 0.5 + 1e-8).all()
+    # zero column stays exactly zero with unit scale
+    w0 = w.at[:, 3].set(0.0)
+    q0, s0 = qm.quantize_weight(w0, contract_axis=0)
+    assert float(s0[3]) == 1.0 and not np.asarray(q0[:, 3]).any()
+
+
+def test_int8_matmul_fallback_matches_reference():
+    # pin the CPU device: exact-f32 reference (the TPU MXU does fp32
+    # matmuls with bf16 multiplies — documented ~1e-3 artifact)
+    with jax.default_device(jax.devices("cpu")[0]):
+        key = jax.random.PRNGKey(1)
+        x = jax.random.normal(key, (5, 96), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(2), (96, 160)) * 0.05
+        q, s = qm.quantize_weight(w, contract_axis=0)
+        out = qm.int8_matmul(x, q, s)                # CPU -> fallback path
+        ref = x @ (q.astype(jnp.float32) * s[None, :])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("layout", ["kn", "nk"])
+@pytest.mark.parametrize("m", [1, 5, 8])
+def test_int8_matmul_kernel_interpret_matches_fallback(layout, m):
+    """The Pallas kernel (interpret mode) equals the XLA fallback for both
+    weight layouts, including M rows that need padding to the 8-sublane
+    tile."""
+    k_dim, n_dim = 256, 384
+    x = jax.random.normal(jax.random.PRNGKey(3), (m, k_dim), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(4), (k_dim, n_dim)) * 0.05
+    q, s = qm.quantize_weight(w, contract_axis=0)
+    if layout == "nk":
+        q = q.T
+    ref = qm.int8_matmul(x, q, s, w_layout=layout)   # fallback on CPU
+    qm.set_interpret(True)
+    try:
+        out = qm.int8_matmul(x, q, s, w_layout=layout)
+    finally:
+        qm.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-5)
+
+
+def test_quantized_embedding_and_tied_head():
+    with jax.default_device(jax.devices("cpu")[0]):  # exact-f32 reference
+        w = jax.random.normal(jax.random.PRNGKey(5), (64, 32)) * 0.3
+        p = {"weight": w}
+        qp = vt.quantize_params({"embed_tokens": p})["embed_tokens"]
+        assert qp["weight_q"].dtype == jnp.int8
+        assert qp["scale"].shape == (64,)
+        ids = jnp.asarray([[0, 7, 63, 7]])
+        rows = cnn.embedding(qp, ids)
+        recon = qp["weight_q"].astype(jnp.float32) * qp["scale"][:, None]
+        np.testing.assert_allclose(np.asarray(rows),
+                                   np.asarray(jnp.take(recon, ids, axis=0)),
+                                   atol=1e-6)
+        assert rows.dtype == w.dtype
+        h = jax.random.normal(jax.random.PRNGKey(6), (3, 32), jnp.float32)
+        logits = cnn.tied_lm_head(qp, h)
+        ref = h @ recon.T
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               atol=1e-5)
+
+
+QCFG = vt.QwenConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                     num_hidden_layers=2, num_attention_heads=4,
+                     num_key_value_heads=2, head_dim=32,
+                     max_position_embeddings=256, qk_norm=True,
+                     eos_token_id=9999, tie_word_embeddings=True)
+
+
+@pytest.fixture(scope="module")
+def qwen_quant():
+    model = vt.ModelForCausalLM(QCFG)
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    return model, vt.quantize_params(params)
+
+
+def test_quantize_params_structure(qwen_quant):
+    _, qparams = qwen_quant
+    attn = qparams["layers"]["self_attn"]
+    # scan-stacked layer kernels quantize per layer: [L, in, out] + [L, out]
+    assert attn["q_proj"]["kernel_q"].dtype == jnp.int8
+    assert attn["q_proj"]["kernel_q"].ndim == 3
+    assert attn["q_proj"]["scale"].shape == \
+        attn["q_proj"]["kernel_q"].shape[::2]
+    assert "weight_q" in qparams["embed_tokens"]
+    # norms stay fp
+    assert "weight" in qparams["norm"]
+
+
+def test_quantized_generate_runs_and_tracks_fp(qwen_quant):
+    """Quantized greedy decode runs through the unchanged generate path and
+    stays close to the fp trajectory on a smooth random model (first-token
+    argmax agreement — quantization is lossy, so only the first greedy
+    step, computed from identical inputs, is comparable)."""
+    model, qparams = qwen_quant
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    ids = jnp.asarray([[3, 17, 42, 9, 21]], dtype=jnp.int32)
+    out_q = model.apply(qparams, ids)
+    out_f = model.apply(params, ids)
+    assert out_q.logits.shape == out_f.logits.shape
+    # int8 per-channel on a 64-wide model: logits err ~1e-2 scale
+    np.testing.assert_allclose(np.asarray(out_q.logits),
+                               np.asarray(out_f.logits), atol=0.1)
+    toks = generate(model, qparams, ids, max_new_tokens=6, use_cache=True)
+    assert toks.shape == (1, ids.shape[1] + 6)
+
+
+def test_engine_quantized_matches_dense_quantized(qwen_quant):
+    """Serving invariant, quantized edition: paged engine greedy with int8
+    weights == dense static-cache greedy with the same int8 weights."""
+    model, qparams = qwen_quant
+    prompts = [[3, 17, 42, 9], [5, 11], [3, 17, 42, 9, 21, 33]]
+    eng = ContinuousBatchEngine(model, qparams, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=6, dtype=jnp.float32,
+                                prefill_buckets=(8, 16))
+    sids = [eng.submit(p) for p in prompts]
+    out = eng.run()
+    for sid, prompt in zip(sids, prompts):
+        ref = generate(model, qparams, jnp.asarray([prompt], jnp.int32),
+                       max_new_tokens=6, use_cache=True)
+        assert out[sid] == ref[0, len(prompt):].tolist(), f"seq {sid}"
+
+
+def test_engine_quantized_weights_with_int8_pool(qwen_quant):
+    """int8 weights and the int8 KV pool compose."""
+    model, qparams = qwen_quant
+    prompt = [3, 17, 42, 9, 21, 33]
+    eng = ContinuousBatchEngine(model, qparams, num_blocks=64, block_size=8,
+                                max_batch=2, max_blocks_per_seq=8,
+                                max_new_tokens=5, dtype=jnp.int8,
+                                prefill_buckets=(8,))
+    sid = eng.submit(prompt)
+    out = eng.run()
+    assert len(out[sid]) == 5
+
+
+def test_dequantize_roundtrip_error(qwen_quant):
+    model, qparams = qwen_quant
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    errs = vt.quantization_error(params, qparams)
+    # every quantized tensor reconstructs within 1/254 of its abs-max
+    assert max(errs.values()) <= 1.0 / 254 + 1e-6

@@ -25,6 +25,9 @@ from .generation import (  # noqa: F401
     GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
     TopKNucleusProcessor)
 
+from .quant import (  # noqa: F401
+    quantize_params, dequantize_params, quantization_error)
+
 __version__ = "0.1.0"
 from . import utils  # noqa: F401
 from . import serving  # noqa: F401

@@ -55,14 +55,33 @@ def rms_norm_init(dim: int, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def linear(p, x):
-    y = x @ p["kernel"]
+    if "kernel_q" in p:  # int8 weight-only path (quant.quantize_params)
+        from ..ops.quant_matmul import int8_matmul
+        y = int8_matmul(x, p["kernel_q"], p["scale"])
+    else:
+        y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
     return y
 
 
 def embedding(p, ids):
+    if "weight_q" in p:  # int8 rows: gather then exact per-row dequant
+        rows = jnp.take(p["weight_q"], ids, axis=0).astype(jnp.float32)
+        rows = rows * jnp.take(p["scale"], ids, axis=0)[..., None]
+        return rows.astype(p["out_dtype"].dtype)
     return jnp.take(p["weight"], ids, axis=0)
+
+
+def tied_lm_head(embed_p, hidden):
+    """Logits through a tied embedding table: ``hidden @ W.T`` for fp
+    weights, or the int8 ``nk``-layout kernel for quantized tables (scale
+    is per vocab row = per output channel of the transposed matmul)."""
+    if "weight_q" in embed_p:
+        from ..ops.quant_matmul import int8_matmul
+        return int8_matmul(hidden, embed_p["weight_q"], embed_p["scale"],
+                           w_layout="nk")
+    return hidden @ embed_p["weight"].T.astype(hidden.dtype)
 
 
 def layer_norm(p, x, eps: float = 1e-5):

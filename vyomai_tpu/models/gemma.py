@@ -118,7 +118,7 @@ class GemmaModel:
         hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                               plus_one=True)
         # tied lm head
-        logits = hidden @ params["embed_tokens"]["weight"].T.astype(hidden.dtype)
+        logits = cnn.tied_lm_head(params["embed_tokens"], hidden)
         return CLMOutput(hidden_state=hidden, logits=logits,
                          kv_cache=new_cache)
 

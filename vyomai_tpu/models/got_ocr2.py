@@ -135,8 +135,7 @@ class GOTOCR2Model:
         if "lm_head" in lm_params:
             logits = cnn.linear(lm_params["lm_head"], hidden)
         else:
-            logits = hidden @ lm_params["embed_tokens"]["weight"].T.astype(
-                hidden.dtype)
+            logits = cnn.tied_lm_head(lm_params["embed_tokens"], hidden)
         return CLMOutput(hidden_state=hidden, logits=logits,
                          kv_cache=new_cache)
 

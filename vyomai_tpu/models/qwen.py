@@ -120,8 +120,7 @@ class ModelForCausalLM:
 
         hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps)
         if cfg.tie_word_embeddings:
-            logits = hidden @ params["embed_tokens"]["weight"].T.astype(
-                hidden.dtype)
+            logits = cnn.tied_lm_head(params["embed_tokens"], hidden)
         else:
             logits = cnn.linear(params["lm_head"], hidden)
         return CLMOutput(hidden_state=hidden, logits=logits,

@@ -1,0 +1,163 @@
+"""Int8 weight-only quantized matmul (Pallas TPU kernel + XLA fallback).
+
+Single-token decode is weight-HBM-bandwidth-bound: every step streams the
+full parameter set through the MXU at trivial arithmetic intensity. Storing
+linear kernels int8 with one f32 scale per output channel halves the bytes
+per step; the Pallas kernel dequantizes ON THE VMEM COPY (int8 HBM -> VMEM
+-> widen inside the dot), so — unlike a naive ``(w_q * s).astype(bf16)``
+in-graph dequant, which XLA materializes as a full-size bf16 weight buffer
+in HBM every step — the bf16 weight never exists in HBM.
+
+Math: with per-output-channel symmetric scales the dequant commutes with
+the contraction, ``y[m,n] = (sum_k x[m,k] * w_q[k,n]) * scale[n]``, so the
+kernel accumulates the integer-weight dot in fp32 and applies the scale
+once on the [M, bn] output tile (O(M*N) multiplies instead of O(K*N)).
+
+Replaces (beats) the role of the reference's fp16 ``flash_attn`` /
+torch.compile weight streaming: the reference has no quantized inference
+path at all (SURVEY.md §2.3 — its performance layer is fp16 CUDA wheels).
+
+Layout notes (TPU): weight blocks are (bk, bn) int8 tiles — minor dim a
+multiple of 128, second-minor a multiple of 32 (int8 packing). Scales ride
+as a [1, N] f32 row. Accumulation lives in a VMEM scratch across the
+``k`` grid dim (innermost, "arbitrary"); ``n`` is parallel.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+
+
+def set_interpret(flag: bool):
+    """Force interpreter mode (CPU tests of the kernel path)."""
+    global _INTERPRET
+    _INTERPRET = bool(flag)
+
+
+def quantize_weight(w, *, contract_axis: int = 0):
+    """Symmetric per-output-channel int8 quantization.
+
+    ``w``: a 2-D kernel; ``contract_axis`` is the axis summed over in the
+    matmul (0 for ``[in, out]`` kernels, 1 for ``[out, in]`` / embedding
+    ``[V, D]`` rows). Returns ``(w_q int8, scale f32 [n_out])`` with
+    ``w ≈ w_q * scale`` broadcast over the contraction axis.
+    """
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=contract_axis)            # [n_out]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    expand = scale[None, :] if contract_axis == 0 else scale[:, None]
+    q = jnp.clip(jnp.round(w32 / expand), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _pick_block(n: int, candidates) -> int:
+    for c in candidates:
+        if c <= n and n % c == 0:
+            return c
+    return 0
+
+
+def _kernel_kn(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:].astype(x_ref.dtype),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _scale_out():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(
+            o_ref.dtype)
+
+
+def _kernel_nk(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:].astype(x_ref.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _scale_out():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(
+            o_ref.dtype)
+
+
+def _blocks(k_dim: int, n_dim: int):
+    """(bk, bn) or (0, 0) when the dims don't tile (fallback path)."""
+    bk = _pick_block(k_dim, (512, 384, 256, 128, 64, 32))
+    bn = _pick_block(n_dim, (512, 384, 256, 128))
+    return bk, bn
+
+
+def supported(k_dim: int, n_dim: int) -> bool:
+    """True when the Pallas kernel can run this shape on this backend."""
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    bk, bn = _blocks(k_dim, n_dim)
+    return bk > 0 and bn > 0
+
+
+@partial(jax.jit, static_argnames=("w_layout", "interpret"))
+def _int8_matmul_2d(x, w_q, scale, w_layout: str, interpret: bool):
+    m, k_dim = x.shape
+    if w_layout == "kn":
+        n_dim = w_q.shape[1]
+        kernel, w_index = _kernel_kn, (lambda n, k: (k, n))
+        w_block = lambda bk, bn: (bk, bn)
+    else:                                                       # "nk"
+        n_dim = w_q.shape[0]
+        kernel, w_index = _kernel_nk, (lambda n, k: (n, k))
+        w_block = lambda bk, bn: (bn, bk)
+    bk, bn = _blocks(k_dim, n_dim)
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_dim // bn, k_dim // bk),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk), lambda n, k: (0, k)),
+            pl.BlockSpec(w_block(bk, bn), w_index),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, w_q, scale.reshape(1, -1))
+    return out[:m] if m_pad != m else out
+
+
+def int8_matmul(x, w_q, scale, *, w_layout: str = "kn"):
+    """``x [..., K] @ dequant(w_q)`` with the dequant fused into the sweep.
+
+    ``w_layout="kn"``: ``w_q [K, N]``, ``scale [N]`` (linear kernels).
+    ``w_layout="nk"``: ``w_q [N, K]``, ``scale [N]`` (tied-embedding
+    lm_head: ``hidden @ W_emb.T`` without transposing the stored weight).
+    Falls back to an XLA dequant-matmul off-TPU or on non-tiling shapes.
+    """
+    lead = x.shape[:-1]
+    k_dim = x.shape[-1]
+    n_dim = w_q.shape[1] if w_layout == "kn" else w_q.shape[0]
+    x2 = x.reshape(-1, k_dim)
+    if supported(k_dim, n_dim):
+        out = _int8_matmul_2d(x2, w_q, scale, w_layout, _INTERPRET)
+    else:
+        w = w_q if w_layout == "kn" else w_q.T
+        out = (x2 @ w.astype(x.dtype)) * scale.astype(x.dtype)
+    return out.reshape(*lead, n_dim)

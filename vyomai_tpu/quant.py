@@ -1,0 +1,117 @@
+"""Weight-only int8 quantization of model param trees.
+
+``quantize_params`` walks a params pytree and replaces every linear kernel
+(dict with a 2-D/3-D ``"kernel"``) with ``{"kernel_q": int8, "scale": f32
+per-output-channel}`` — 3-D kernels are scan-stacked layers and quantize
+per layer. The embedding table (``embed_tokens``-style dicts holding a 2-D
+``"weight"``) quantizes per row, which serves both the gather (exact row
+dequant) and the tied lm_head (per-vocab-row scale applied on logits).
+
+``core.nn.linear`` / ``core.nn.embedding`` / ``core.nn.tied_lm_head``
+dispatch on the quantized keys, so the whole modern decode stack
+(``models/qwen.py``, ``serving/paged_model.py``) runs quantized without
+any call-site changes: pass the transformed tree where params went before.
+
+The reference has no quantized inference at all — its weight streaming is
+fp16 CUDA (SURVEY.md §2.3); this path halves decode HBM traffic instead
+(see ``ops/quant_matmul.py`` for why the dequant must live in the kernel).
+
+Deliberately NOT quantized: norm weights (1-D), biases, MoE stacked expert
+einsums (``w_in``/``w_out``/``w_gate``) and the tiny router, convolution
+patchify kernels — decode-time bandwidth lives in the attention/MLP/lm_head
+linears.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .ops.quant_matmul import quantize_weight
+
+_EXCLUDE_DEFAULT = ("router",)
+
+
+def _quantize_linear(p):
+    kern = p["kernel"]
+    if kern.ndim == 2:
+        q, s = quantize_weight(kern, contract_axis=0)
+    elif kern.ndim == 3:                       # scan-stacked [L, in, out]
+        q, s = jax.vmap(lambda w: quantize_weight(w, contract_axis=0))(kern)
+    else:
+        return p
+    out = {"kernel_q": q, "scale": s}
+    if "bias" in p:
+        out["bias"] = p["bias"]
+    return out
+
+
+def _quantize_embedding(p):
+    w = p["weight"]
+    if w.ndim == 2:
+        q, s = quantize_weight(w, contract_axis=1)
+    elif w.ndim == 3:
+        q, s = jax.vmap(lambda x: quantize_weight(x, contract_axis=1))(w)
+    else:
+        return p
+    # zero-size marker preserving the activation dtype of the fp table
+    return {"weight_q": q, "scale": s,
+            "out_dtype": jnp.zeros((0,), dtype=w.dtype)}
+
+
+def quantize_params(params, *, embed: bool = True,
+                    exclude=_EXCLUDE_DEFAULT):
+    """Return a copy of ``params`` with linear kernels (and, when ``embed``,
+    2-D embedding tables) quantized to int8 + per-output-channel scales.
+
+    ``exclude``: dict-key names whose kernels stay full precision (the MoE
+    router by default — routing decisions are scale-sensitive and tiny).
+    """
+    def walk(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        if "kernel" in node and name not in exclude and \
+                node["kernel"].ndim in (2, 3):
+            return _quantize_linear(node)
+        if embed and "weight" in node and node["weight"].ndim in (2, 3) \
+                and "bias" not in node and name.startswith("embed"):
+            return _quantize_embedding(node)
+        return {k: walk(v, k) for k, v in node.items()}
+
+    return walk(params)
+
+
+def dequantize_params(params):
+    """Inverse transform (fp reconstruction — for debugging/error studies)."""
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if "kernel_q" in node:
+            s = node["scale"]
+            kern = node["kernel_q"].astype(jnp.float32) * s[..., None, :]
+            out = {"kernel": kern}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
+        if "weight_q" in node:
+            w = node["weight_q"].astype(jnp.float32) * \
+                node["scale"][..., :, None]
+            if "out_dtype" in node:
+                w = w.astype(node["out_dtype"].dtype)
+            return {"weight": w}
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
+
+
+def quantization_error(params, qparams):
+    """Max relative per-tensor reconstruction error (diagnostics). The two
+    trees must have matching structure (``qparams = quantize_params(params)``
+    — dequantization restores the original key layout)."""
+    deq = dequantize_params(qparams)
+    errs = {}
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(deq)):
+        denom = jnp.maximum(jnp.max(jnp.abs(a)), 1e-9)
+        errs[jax.tree_util.keystr(path)] = float(
+            jnp.max(jnp.abs(a.astype(jnp.float32) - b)) / denom)
+    return errs

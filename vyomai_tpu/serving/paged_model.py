@@ -183,7 +183,7 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
     if "lm_head" in params:
         logits = cnn.linear(params["lm_head"], last)
     else:
-        logits = last @ params["embed_tokens"]["weight"].T.astype(last.dtype)
+        logits = cnn.tied_lm_head(params["embed_tokens"], last)
     return logits, pool
 
 
@@ -260,8 +260,7 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
     if "lm_head" in params:
         logits = cnn.linear(params["lm_head"], hidden)
     else:
-        logits = hidden @ params["embed_tokens"]["weight"].T.astype(
-            hidden.dtype)
+        logits = cnn.tied_lm_head(params["embed_tokens"], hidden)
     return logits, pool
 
 
