@@ -49,18 +49,24 @@ def test_int8_matmul_kernel_interpret_matches_fallback(layout, m):
     """The Pallas kernel (interpret mode) equals the XLA fallback for both
     weight layouts, including M rows that need padding to the 8-sublane
     tile."""
+    # CPU-pinned: both paths reduce in exact fp32 there. On the TPU the
+    # XLA path computes M=1 matvecs exactly (VPU) while the MXU rounds
+    # fp32 activations to bf16 — a device artifact, not an impl bug.
     k_dim, n_dim = 256, 384
-    x = jax.random.normal(jax.random.PRNGKey(3), (m, k_dim), jnp.float32)
-    w = jax.random.normal(jax.random.PRNGKey(4), (k_dim, n_dim)) * 0.05
-    q, s = qm.quantize_weight(w, contract_axis=0)
-    if layout == "nk":
-        q = q.T
-    ref = qm.int8_matmul(x, q, s, w_layout=layout)   # fallback on CPU
-    qm.set_interpret(True)
-    try:
-        out = qm.int8_matmul(x, q, s, w_layout=layout)
-    finally:
-        qm.set_interpret(False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        x = jax.random.normal(jax.random.PRNGKey(3), (m, k_dim), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(4), (k_dim, n_dim)) * 0.05
+        q, s = qm.quantize_weight(w, contract_axis=0)
+        if layout == "nk":
+            q = q.T
+        ref = qm.int8_matmul(x, q, s, w_layout=layout)   # default XLA path
+        qm.set_impl("pallas")
+        qm.set_interpret(True)
+        try:
+            out = qm.int8_matmul(x, q, s, w_layout=layout)
+        finally:
+            qm.set_interpret(False)
+            qm.set_impl("xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-5)
 
