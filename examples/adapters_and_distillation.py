@@ -1,9 +1,11 @@
-"""LoRA/DoRA fine-tuning + knowledge-distillation init (reference
+"""LoRA/DoRA/QLoRA fine-tuning + knowledge-distillation init (reference
 ``adapters.ipynb`` N12 and ``Knowledge_distilation.ipynb`` N11).
 
 Distillation init: build a shallow student by copying alternating teacher
 layers (one gather on the stacked layer axis); then freeze the student and
-train only LoRA/DoRA factors."""
+train only LoRA/DoRA factors. ``--adapter qlora`` quantizes the frozen
+base to int8 first (half the HBM; the low-rank factors stay fp and train
+through the embedded-factor path in ``core.nn.linear``)."""
 
 import argparse
 
@@ -34,7 +36,8 @@ STUDENT_CFG = TEACHER_CFG.replace(num_hidden_layers=6)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--adapter", choices=["lora", "dora"], default="lora")
+    ap.add_argument("--adapter", choices=["lora", "dora", "qlora"],
+                    default="lora")
     args = ap.parse_args()
 
     # 1. distillation init: 12-layer teacher -> 6-layer student
@@ -47,7 +50,12 @@ def main():
 
     # 2. freeze the student; train only adapters + a task head
     key = jax.random.PRNGKey(1)
-    if args.adapter == "lora":
+    if args.adapter == "qlora":
+        # int8 frozen base: embeddings stay fp (the encoder's tied MLM
+        # head is scale-sensitive), linear kernels quantize
+        s_params = vt.quantize_params(s_params, embed=False)
+        adapters = inject_lora(s_params, key, rank=8, alpha=2.0)
+    elif args.adapter == "lora":
         adapters = inject_lora(s_params, key, rank=8, alpha=2.0)
     else:
         adapters = inject_dora(s_params, key, rank=8)

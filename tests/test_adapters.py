@@ -95,6 +95,75 @@ def test_inject_lora_filter():
     assert len(flat) < len(jax.tree_util.tree_leaves(full["tree"]))
 
 
+QWEN_CFG = vt.QwenConfig(vocab_size=256, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         head_dim=32, max_position_embeddings=64,
+                         qk_norm=True, eos_token_id=9999,
+                         tie_word_embeddings=True)
+
+
+def test_qlora_identity_over_int8_base():
+    """LoRA over a quantized base: zero-init B means the merged forward
+    equals the plain quantized forward, and the base stays int8 (no
+    dequantized kernel materializes in the merged tree)."""
+    model = vt.ModelForCausalLM(QWEN_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = vt.quantize_params(params)
+    ids = jnp.array([[3, 17, 42, 9]])
+    adapters = inject_lora(qparams, jax.random.PRNGKey(5), rank=4)
+    merged = merge_adapters(qparams, adapters)
+    assert merged["layers"]["self_attn"]["q_proj"]["kernel_q"].dtype == \
+        jnp.int8
+    assert "kernel" not in merged["layers"]["self_attn"]["q_proj"]
+    o1 = model.apply(qparams, ids)
+    o2 = model.apply(merged, ids)
+    np.testing.assert_allclose(np.asarray(o1.logits), np.asarray(o2.logits),
+                               atol=1e-6)
+
+
+def test_qlora_trains_adapters_only():
+    """A few SGD steps on the adapter tree reduce the loss while the int8
+    base is untouched (it is not even an argument of the grad)."""
+    import optax
+
+    model = vt.ModelForCausalLM(QWEN_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = vt.quantize_params(params)
+    ids = jnp.array([[3, 17, 42, 9, 21, 5]])
+    targets = jnp.array([[17, 42, 9, 21, 5, 30]])
+    adapters = inject_lora(qparams, jax.random.PRNGKey(5), rank=4)
+
+    def loss_fn(tree):
+        merged = merge_adapters(qparams, {**adapters, "tree": tree})
+        logits = model.apply(merged, ids).logits
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, targets).mean()
+
+    opt = optax.sgd(0.5)
+    tree = adapters["tree"]
+    state = opt.init(tree)
+    losses = []
+    for _ in range(5):
+        l, g = jax.value_and_grad(loss_fn)(tree)
+        updates, state = opt.update(g, state)
+        tree = optax.apply_updates(tree, updates)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] - 0.05, losses
+    # grads reached the factors (B first step; A after B moves)
+    gnorm = sum(float(jnp.abs(x).sum())
+                for x in jax.tree_util.tree_leaves(g))
+    assert gnorm > 0.0
+
+
+def test_dora_over_int8_base_raises():
+    model = vt.ModelForCausalLM(QWEN_CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = vt.quantize_params(params)
+    with pytest.raises(ValueError, match="DoRA over an int8"):
+        inject_dora(qparams, jax.random.PRNGKey(5), rank=4)
+
+
 def test_trainable_mask_and_masked_optimizer():
     """Frozen leaves never move; masked leaves train (reference
     paligemma.ipynb cell 26 freeze-all-but-attention recipe)."""

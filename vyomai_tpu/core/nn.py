@@ -60,6 +60,12 @@ def linear(p, x):
         y = int8_matmul(x, p["kernel_q"], p["scale"])
     else:
         y = x @ p["kernel"]
+    if "lora_a" in p:
+        # embedded QLoRA factors (layers.adapters.merge_adapters over an
+        # int8 base): low-rank term in fp next to the frozen int8 kernel;
+        # alpha is pre-folded into lora_a by the merge
+        y = y + (x @ p["lora_a"].astype(x.dtype)) @ \
+            p["lora_b"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"]
     return y

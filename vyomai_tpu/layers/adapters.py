@@ -12,6 +12,13 @@ Two surfaces:
    reference's two-path forward; gradients flow to the factors through the
    merge) and ``trainable_mask`` yields an optax mask that freezes the base.
 
+QLoRA (beyond the reference): the transforms also accept an int8-quantized
+base tree (``quant.quantize_params``). The delta cannot fold into integer
+kernels, so ``merge_adapters`` embeds the fp factors in the quantized node
+and ``core.nn.linear`` adds ``alpha * (x @ A) @ B`` at apply time — take
+``jax.grad`` w.r.t. the adapters tree and the int8 base stays frozen in
+HBM at half the fp16 footprint.
+
 Reference math:
 - LoRA: ``out = Wx + alpha * B(A(x))``, ``A ~ N(0, 1/sqrt(r))``, ``B = 0``
   (``adapters.py:7-47``).
@@ -102,8 +109,22 @@ class DoraLinear:
 # ---------------------------------------------------------------------------
 
 def _is_linear(node) -> bool:
-    return isinstance(node, dict) and "kernel" in node and \
-        getattr(node["kernel"], "ndim", 0) >= 2
+    if not isinstance(node, dict):
+        return False
+    kern = node.get("kernel", node.get("kernel_q"))
+    return kern is not None and getattr(kern, "ndim", 0) >= 2
+
+
+def _base_kernel(node):
+    """The (possibly int8) kernel array of a linear node — shape source for
+    adapter factors."""
+    return node["kernel"] if "kernel" in node else node["kernel_q"]
+
+
+def _factor_dtype(node):
+    """Adapter factors are fp even over an int8 base (QLoRA): use the scale
+    dtype there, the kernel dtype otherwise."""
+    return node["scale"].dtype if "kernel_q" in node else node["kernel"].dtype
 
 
 def _walk(params, fn, path=()):
@@ -111,7 +132,7 @@ def _walk(params, fn, path=()):
         return fn(path, params)
     if isinstance(params, dict):
         return {k: _walk(v, fn, path + (k,)) for k, v in params.items()}
-    return params
+    return None  # non-linear leaf: no adapter (None vanishes from the tree)
 
 
 def inject_lora(params, key, rank: int = 32, alpha: float = 1.0,
@@ -126,13 +147,14 @@ def inject_lora(params, key, rank: int = 32, alpha: float = 1.0,
             return {}
         counter[0] += 1
         k = jax.random.fold_in(key, counter[0])
-        kern = node["kernel"]
+        kern = _base_kernel(node)
+        dtype = _factor_dtype(node)
         *lead, d_in, d_out = kern.shape
         std = 1.0 / (rank ** 0.5)
         return {
             "lora_a": (jax.random.normal(k, (*lead, d_in, rank))
-                       * std).astype(kern.dtype),
-            "lora_b": jnp.zeros((*lead, rank, d_out), dtype=kern.dtype),
+                       * std).astype(dtype),
+            "lora_b": jnp.zeros((*lead, rank, d_out), dtype=dtype),
         }
 
     return {"kind": "lora", "alpha": alpha, "tree": _walk(params, make)}
@@ -145,6 +167,12 @@ def inject_dora(params, key, rank: int = 32,
     def make(path, node):
         if filter_fn is not None and not filter_fn("/".join(path)):
             return {}
+        if "kernel_q" in node:
+            raise ValueError(
+                "DoRA over an int8-quantized base is unsupported: its "
+                "column-norm renormalization needs the dequantized kernel "
+                "every step, erasing the quantization win. Use LoRA "
+                "(inject_lora) over quantized params, or DoRA over fp.")
         counter[0] += 1
         k = jax.random.fold_in(key, counter[0])
         kern = node["kernel"]
@@ -170,6 +198,16 @@ def merge_adapters(params, adapters):
         if _is_linear(params):
             if not ad:
                 return params
+            if "kernel_q" in params:
+                # int8 base (QLoRA): a low-rank delta cannot fold into the
+                # integer kernel — embed the factors; core.nn.linear adds
+                # the (x @ A) @ B term at apply time, so gradients flow to
+                # the factors while the base stays int8 in HBM. alpha folds
+                # into A (a scalar leaf would break lax.scan layer slicing).
+                return {**params,
+                        "lora_a": ad["lora_a"] * jnp.asarray(
+                            alpha, ad["lora_a"].dtype),
+                        "lora_b": ad["lora_b"]}
             kern = params["kernel"]
             if kind == "lora":
                 delta = jnp.einsum("...ir,...ro->...io",
