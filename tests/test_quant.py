@@ -167,6 +167,55 @@ def test_engine_quantized_weights_with_int8_pool(qwen_quant):
     assert len(out[sid]) == 5
 
 
+def test_quantized_param_pspec_rules(qwen_quant):
+    """Quantized trees shard like their fp originals: kernel_q takes the
+    kernel rule; scales take the axis of the dim they scale (column-
+    parallel out-dim → sharded with the columns; row-parallel → replicated;
+    embedding → vocab-row-sharded)."""
+    from jax.sharding import PartitionSpec as P
+    from vyomai_tpu.parallel import param_pspec
+    _, qparams = qwen_quant
+    specs = param_pspec(qparams)
+    attn = specs["layers"]["self_attn"]
+    # stacked [L, in, out] column-parallel + its [L, out] scale
+    assert attn["q_proj"]["kernel_q"] == P(None, None, "model")
+    assert attn["q_proj"]["scale"] == P(None, "model")
+    # row-parallel kernel: scale per out-channel is replicated
+    assert attn["o_proj"]["kernel_q"] == P(None, "model", None)
+    assert attn["o_proj"]["scale"] == P(None, None)
+    # vocab-sharded embedding rows + per-row scale
+    assert specs["embed_tokens"]["weight_q"] == P("model", None)
+    assert specs["embed_tokens"]["scale"] == P("model")
+
+
+def test_engine_tp_quantized_matches_single_chip(qwen_quant):
+    """Int8 weights + tensor-parallel serving compose: the engine on a
+    (1, 2) virtual CPU mesh with a quantized tree emits exactly the
+    single-chip engine's greedy tokens with the same tree."""
+    import numpy as np
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    model, qparams = qwen_quant
+    prompts = [[3, 17, 42, 9], [5, 11], [3, 17, 42, 9, 21, 33]]
+
+    def run(mesh):
+        eng = ContinuousBatchEngine(model, qparams, num_blocks=64,
+                                    block_size=8, max_batch=4,
+                                    max_blocks_per_seq=8, max_new_tokens=6,
+                                    dtype=jnp.float32,
+                                    prefill_buckets=(8, 16), mesh=mesh)
+        sids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        return [out[s] for s in sids]
+
+    with jax.default_device(cpus[0]):
+        single = run(None)
+        mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+        assert run(mesh) == single
+
+
 def test_dequantize_roundtrip_error(qwen_quant):
     model, qparams = qwen_quant
     params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)

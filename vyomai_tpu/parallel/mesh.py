@@ -135,14 +135,29 @@ def _right_align(spec: P, ndim: int) -> P:
 
 
 def param_pspec(params):
-    """PartitionSpec pytree for a model's params (model-parallel rules)."""
+    """PartitionSpec pytree for a model's params (model-parallel rules).
+
+    Int8-quantized trees (``quant.quantize_params``) shard like their fp
+    originals: ``kernel_q``/``weight_q`` take the ``kernel``/``weight``
+    rule, and each per-output-channel ``scale`` takes the axis of the dim
+    it scales (kernel: last dim — so column-parallel scales split with
+    their columns and row-parallel scales replicate; embedding: the vocab
+    row dim)."""
     def walk(tree, path=()):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
         name = "/".join(path)
+        if name.endswith("_q"):
+            name = name[:-2]
         for pat, mk in _RULES:
             if re.search(pat, name):
                 return _right_align(mk(), tree.ndim)
+        if path and path[-1] == "scale":
+            for sibling, dim in (("kernel", -1), ("weight", 0)):
+                sib = "/".join(path[:-1] + (sibling,))
+                for pat, mk in _RULES:
+                    if re.search(pat, sib):
+                        return _right_align(P(tuple(mk())[dim]), tree.ndim)
         return P()  # replicated
     return walk(params)
 
