@@ -216,6 +216,23 @@ def test_engine_tp_quantized_matches_single_chip(qwen_quant):
         assert run(mesh) == single
 
 
+def test_speculative_with_quantized_target(qwen_quant):
+    """Speculative decoding composes with int8 weights: greedy speculative
+    with a quantized target (and quantized drafter = same model) emits
+    exactly the quantized greedy trajectory."""
+    from vyomai_tpu.generation import speculative_generate, GreedyProcessor
+    model, qparams = qwen_quant
+    prompt = [3, 17, 42, 9, 21]
+    ref = generate(model, qparams, jnp.asarray([prompt], jnp.int32),
+                   max_new_tokens=8, use_cache=True)
+    toks, acc = speculative_generate(
+        [prompt], model, qparams, model, qparams, gamma=3,
+        logits_processor=GreedyProcessor(), max_gen_len=8,
+        eos_tokens_id=9999, pad_token_id=0)
+    assert toks == ref[0, len(prompt):].tolist()
+    assert acc == pytest.approx(1.0)  # drafter == target: all accepted
+
+
 def test_dequantize_roundtrip_error(qwen_quant):
     model, qparams = qwen_quant
     params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
