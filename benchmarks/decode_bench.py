@@ -44,7 +44,7 @@ def bench_dense_decode(batch: int = 8, prompt: int = 128, new: int = 256):
 
 
 def bench_decode_ratio(batch: int = 32, context: int = 1920,
-                       block_size: int = 32, steps: int = 64):
+                       block_size: int = 64, steps: int = 64):
     """BASELINE target metric: decode tokens/sec/chip, fused Pallas paged
     attention vs the naive XLA gather port, same model/step (target >=1.5x).
     Measures the jitted serving decode step at steady-state context."""
@@ -97,10 +97,11 @@ def bench_decode_ratio(batch: int = 32, context: int = 1920,
     fused = measure("pallas")
     paged_decode_pallas.set_paged_impl("auto")
     paged_model.decode.clear_cache()
-    print(f"[decode ratio] B={batch} ctx={context}: fused {fused:.0f} tok/s, "
-          f"naive {naive:.0f} tok/s")
+    print(f"[decode ratio] B={batch} ctx={context} bs={block_size}: "
+          f"fused {fused:.0f} tok/s, naive {naive:.0f} tok/s")
     rec = {"metric": "decode_tokens_per_sec_fused_vs_naive",
            "fused": round(fused, 1), "naive": round(naive, 1),
+           "block_size": block_size,
            "ratio": round(fused / naive, 3)}
     print(json.dumps(rec))
     return rec
@@ -118,10 +119,12 @@ def bench_serving(requests: int = 64, new: int = 128):
 
     def run():
         # max_batch 32 / horizon 64 swept best on v5e (4.9k tok/s vs 3.2k
-        # at the round-1 16/32 settings)
-        eng = ContinuousBatchEngine(model, params, num_blocks=2048,
-                                    block_size=32, max_batch=32,
-                                    max_blocks_per_seq=16,
+        # at the round-1 16/32 settings); block 64 swept +11% over 32
+        # (fewer per-block DMA issues — see paged_decode_pallas._kernel;
+        # 128 gains +2% more but halves radix prefix-sharing granularity)
+        eng = ContinuousBatchEngine(model, params, num_blocks=1024,
+                                    block_size=64, max_batch=32,
+                                    max_blocks_per_seq=32,
                                     max_new_tokens=new,
                                     prefill_buckets=(64, 128, 256),
                                     decode_horizon=64)

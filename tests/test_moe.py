@@ -172,3 +172,60 @@ def test_moe_model_ep_train_step_parity():
     _, m1 = step(create_train_state(sharded, opt), batch, jax.random.PRNGKey(1))
     assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-4
     assert "aux_loss" in m1 and np.isfinite(float(m1["aux_loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized expert banks (quant.quantize_params siblings)
+# ---------------------------------------------------------------------------
+
+def test_quantized_moe_structure_and_close_output():
+    """quantize_params turns the expert banks int8 (router stays fp) and
+    moe_apply dispatches on the siblings with a close output."""
+    params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=4,
+                          gated=True)
+    qp = vt.quantize_params({"mlp": params})["mlp"]
+    assert qp["w_in_q"].dtype == jnp.int8
+    assert qp["w_in_scale"].shape == (4, CFG.intermediate_size)
+    assert "w_gate_q" in qp and "w_out_q" in qp
+    assert qp["router"]["kernel"].dtype == params["router"]["kernel"].dtype
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, CFG.hidden_size))
+    ref, _ = moe.moe_apply(params, x, top_k=2, capacity_factor=None,
+                           act="silu")
+    out, _ = moe.moe_apply(qp, x, top_k=2, capacity_factor=None, act="silu")
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.05 * float(
+        jnp.max(jnp.abs(ref)) + 1e-9)
+
+
+def test_quantized_moe_model_decode_parity():
+    """A quantized MoE decoder keeps the cached-vs-full invariant (the
+    strong check: both paths use the SAME int8 tree, so they must agree
+    exactly on argmax)."""
+    model = vt.ModelForCausalLM(MOE_QCFG)
+    params = vt.quantize_params(model.init(jax.random.PRNGKey(0)))
+    mlp = params["layers"]["mlp"]
+    assert mlp["w_in_q"].ndim == 4 and mlp["w_in_q"].dtype == jnp.int8
+    assert mlp["w_in_scale"].ndim == 3          # [L, E, F]
+    ids = jnp.arange(8, dtype=jnp.int32)[None] + 1
+    full = model.apply(params, ids).logits
+    cache = model.init_cache(batch_size=1, max_len=16)
+    out = model.apply(params, ids[:, :4], cache=cache, start_pos=0)
+    cache = out.kv_cache
+    for t in range(4, 8):
+        out = model.apply(params, ids[:, t:t + 1], cache=cache, start_pos=t)
+        cache = out.kv_cache
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(out.logits[:, 0], -1)),
+            np.asarray(jnp.argmax(full[:, t], -1)))
+
+
+def test_quantized_moe_ep_sharding_specs():
+    """Int8 expert banks shard over ep like their fp originals; scales
+    follow the expert dim."""
+    from jax.sharding import PartitionSpec as P
+    from vyomai_tpu.parallel import param_pspec
+    model = vt.ModelForCausalLM(MOE_QCFG)
+    specs = param_pspec(vt.quantize_params(model.init(jax.random.PRNGKey(0))))
+    mlp = specs["layers"]["mlp"]
+    assert mlp["w_in_q"] == P(None, "ep", None, None)
+    assert mlp["w_in_scale"] == P(None, "ep", None)
+    assert mlp["router"]["kernel"] == P()

@@ -77,7 +77,7 @@ def moe_apply(params, x, *, top_k: int = 2,
     d = orig_shape[-1]
     x2 = x.reshape(-1, d)                                   # [T, D]
     t = x2.shape[0]
-    e = params["w_in"].shape[0]
+    e = params.get("w_in", params.get("w_in_q")).shape[0]
     k = min(top_k, e)
     cap = (t if capacity_factor is None
            else max(1, min(t, int(capacity_factor * k * t / e))))
@@ -103,15 +103,25 @@ def moe_apply(params, x, *, top_k: int = 2,
     dispatch = jnp.einsum("tke,tkc->tec", onehot * keep[..., None], slot)
     combine = jnp.einsum("tk,tke,tkc->tec", gate_v * keep, onehot, slot)
 
+    def edot(a, name):
+        """Per-expert matmul ``a [E,C,in] @ w [E,in,out]`` with optional
+        int8 bank (``quant.quantize_params`` siblings): widen inside the
+        einsum then scale-on-output per expert per channel — the same
+        fused-dequant form as ``ops.quant_matmul``."""
+        if name + "_q" in params:
+            y = jnp.einsum("ecx,exy->ecy", a,
+                           params[name + "_q"].astype(a.dtype))
+            return y * params[name + "_scale"][:, None, :].astype(a.dtype)
+        return jnp.einsum("ecx,exy->ecy", a, params[name].astype(a.dtype))
+
     xin = jnp.einsum("tec,td->ecd", dispatch.astype(x2.dtype), x2)
-    up = jnp.einsum("ecd,edf->ecf", xin, params["w_in"].astype(x2.dtype))
-    if "w_gate" in params:                                  # SwiGLU experts
-        gate = jnp.einsum("ecd,edf->ecf", xin,
-                          params["w_gate"].astype(x2.dtype))
-        h = cnn.ACT[act](gate) * up
+    up = edot(xin, "w_in")
+    gated = "w_gate" in params or "w_gate_q" in params
+    if gated:                                               # SwiGLU experts
+        h = cnn.ACT[act](edot(xin, "w_gate")) * up
     else:
         h = cnn.ACT[act](up + params["b_in"][:, None, :].astype(x2.dtype))
-    h = jnp.einsum("ecf,efd->ecd", h, params["w_out"].astype(x2.dtype))
+    h = edot(h, "w_out")
     if "b_out" in params:
         h = h + params["b_out"][:, None, :].astype(x2.dtype)
     out = jnp.einsum("tec,ecd->td", combine.astype(x2.dtype), h)

@@ -37,7 +37,7 @@ def set_interpret(flag: bool) -> None:
 
 
 def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
-            kv_sc, sem, *, bs, h, width):
+            kv_sc, sem, *, bs, h, width, nslots):
     """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D).
 
     Int8 pools (``scale_ref`` not None, [NB, 2, BS] f32 resident in VMEM —
@@ -45,7 +45,16 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
     a key row's scalar scale multiplies its scores COLUMN (s *= ks[None,:])
     and a value row's scale folds into the probabilities (p *= vs[None,:])
     before the p@v dot — no [BS, width] rescaling, the DMA'd block feeds
-    the MXU straight from int8, and HBM traffic halves vs bf16."""
+    the MXU straight from int8, and HBM traffic halves vs bf16.
+
+    ``nslots``-deep multi-buffering: per-block compute is ~trivial (one
+    [H,width]x[width,BS] dot), so the loop cost is DMA-bound. Measured
+    (chained calls, B=16 ctx=1536): the dominant term is the ~0.9 us
+    PER-DMA ISSUE cost, so fewer/bigger blocks win — 394 us at BS=32/
+    double-buffer -> 334 us at nslots=4 -> 184 us at BS=128 -> 152 us at
+    BS=256 (166 GB/s); nslots=4 is ~5-10% over 2 at every block size and
+    8+ gains nothing (issue cost, not latency, binds). Block size is the
+    serving engine's call; the kernel just rides ``pool.shape[2]``."""
     b = pl.program_id(0)
     seq_len = len_ref[b]
     # clamp to the block-table width: an oversized seq_len must not index
@@ -58,19 +67,23 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
         return pltpu.make_async_copy(pool_ref.at[blk], kv_sc.at[slot],
                                      sem.at[slot])
 
-    @pl.when(nblocks > 0)
-    def _():
-        dma(0, 0).start()
+    # prologue: fill all but one slot
+    for jj in range(nslots - 1):
+        @pl.when(jj < nblocks)
+        def _(jj=jj):
+            dma(jj, jj).start()
 
     q = qexp_ref[0].astype(jnp.float32)                # [H, width], prescaled
 
     def body(j, carry):
         m, l, acc = carry
-        slot = j % 2
+        slot = j % nslots
 
-        @pl.when(j + 1 < nblocks)
+        # top up the pipeline: block j+nslots-1 goes into the slot freed
+        # at iteration j-1
+        @pl.when(j + nslots - 1 < nblocks)
         def _():
-            dma((j + 1) % 2, j + 1).start()
+            dma((j + nslots - 1) % nslots, j + nslots - 1).start()
 
         dma(slot, j).wait()
         k = kv_sc[slot, 0].astype(jnp.float32)         # [BS, width]
@@ -102,6 +115,9 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
 
+_NSLOTS = 4  # DMA pipeline depth (see _kernel docstring — 4 swept best)
+
+
 def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
                                   h_kv: int, scales=None):
     """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout);
@@ -110,6 +126,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     ``ops.paged_attention.write_kv``). Returns [B, H, D]."""
     b, h, d = q.shape
     nb, _, bs, width = pool.shape
+    nslots = _NSLOTS
     group = h // h_kv
     scale = 1.0 / (d ** 0.5)
 
@@ -123,12 +140,13 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     quant = pool.dtype == jnp.int8
     if quant:
         assert scales is not None, "int8 pool needs its scales sidecar"
-        kern = functools.partial(_kernel, bs=bs, h=h, width=width)
+        kern = functools.partial(_kernel, bs=bs, h=h, width=width,
+                                 nslots=nslots)
     else:
         kern = functools.partial(
             lambda bt, ln, qe, pr, o, sc_, sm, **kw:
             _kernel(bt, ln, qe, None, pr, o, sc_, sm, **kw),
-            bs=bs, h=h, width=width)
+            bs=bs, h=h, width=width, nslots=nslots)
 
     in_specs = [
         pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
@@ -146,8 +164,8 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
         out_specs=pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, bs, width), pool.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nslots, 2, bs, width), pool.dtype),
+            pltpu.SemaphoreType.DMA((nslots,)),
         ],
     )
     args = [jnp.where(block_tables < 0, 0, block_tables).astype(jnp.int32),

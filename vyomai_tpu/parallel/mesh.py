@@ -115,7 +115,10 @@ _RULES = [
     (r"embed_tokens/weight$",                lambda: P("model", None)),
     (r"lm_head/kernel$",                     lambda: P(None, "model")),
     # MoE expert stacks: expert dim over the ``ep`` axis, router replicated
+    # (int8 banks resolve through the same rules via the ``_q`` strip;
+    # their per-expert-per-channel scales shard with the expert dim)
     (r"mlp/(w_gate|w_in|w_out)$",            lambda: P("ep", None, None)),
+    (r"mlp/(w_gate|w_in|w_out)_scale$",      lambda: P("ep", None)),
     (r"mlp/(b_in|b_out)$",                   lambda: P("ep", None)),
 ]
 

@@ -16,10 +16,15 @@ The reference has no quantized inference at all — its weight streaming is
 fp16 CUDA (SURVEY.md §2.3); this path halves decode HBM traffic instead
 (see ``ops/quant_matmul.py`` for why the dequant must live in the kernel).
 
-Deliberately NOT quantized: norm weights (1-D), biases, MoE stacked expert
-einsums (``w_in``/``w_out``/``w_gate``) and the tiny router, convolution
-patchify kernels — decode-time bandwidth lives in the attention/MLP/lm_head
-linears.
+MoE expert banks (``w_in``/``w_gate``/``w_out``, stacked ``[..., E, in,
+out]``) quantize per expert per output channel into ``w_*_q`` +
+``w_*_scale`` siblings; ``layers.moe.moe_apply`` dispatches on the
+quantized keys. The tiny router always stays fp (routing decisions are
+scale-sensitive).
+
+Deliberately NOT quantized: norm weights (1-D), biases, the MoE router,
+convolution patchify kernels — decode-time bandwidth lives in the
+attention/MLP/lm_head linears and the expert banks.
 """
 
 import jax
@@ -41,6 +46,27 @@ def _quantize_linear(p):
     out = {"kernel_q": q, "scale": s}
     if "bias" in p:
         out["bias"] = p["bias"]
+    return out
+
+
+def _quantize_nd(w):
+    """Per-output-channel quantization of ``[..., in, out]`` weight stacks
+    (vmapped over every leading dim)."""
+    fn = lambda x: quantize_weight(x, contract_axis=0)
+    for _ in range(w.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(w)
+
+
+def _quantize_moe(p):
+    """Expert banks → int8 + per-expert-per-channel scales; router and
+    biases stay fp (see module docstring)."""
+    out = dict(p)
+    for name in ("w_in", "w_gate", "w_out"):
+        if name in p:
+            q, s = _quantize_nd(p[name])
+            del out[name]
+            out[name + "_q"], out[name + "_scale"] = q, s
     return out
 
 
@@ -68,6 +94,8 @@ def quantize_params(params, *, embed: bool = True,
     def walk(node, name=""):
         if not isinstance(node, dict):
             return node
+        if "w_in" in node and "w_out" in node:      # MoE expert bank
+            return _quantize_moe(node)
         if "kernel" in node and name not in exclude and \
                 node["kernel"].ndim in (2, 3):
             return _quantize_linear(node)
@@ -84,6 +112,14 @@ def dequantize_params(params):
     def walk(node):
         if not isinstance(node, dict):
             return node
+        if "w_in_q" in node:                        # MoE expert bank
+            out = dict(node)
+            for name in ("w_in", "w_gate", "w_out"):
+                if name + "_q" in out:
+                    q = out.pop(name + "_q")
+                    s = out.pop(name + "_scale")
+                    out[name] = q.astype(jnp.float32) * s[..., None, :]
+            return {k: walk(v) for k, v in out.items()}
         if "kernel_q" in node:
             s = node["scale"]
             kern = node["kernel_q"].astype(jnp.float32) * s[..., None, :]
