@@ -463,3 +463,34 @@ def test_engine_tp_with_int8_pool(qwen):
         ref = run(None, jnp.float32)
         mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
         assert run(mesh, jnp.int8) == ref
+
+
+def test_engine_stream_matches_run(qwen):
+    """stream() yields exactly run()'s tokens, in order per sequence, with
+    finished flagged on each sequence's last token, and consumes results."""
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11], [3, 17, 42, 9, 21, 33]]
+
+    def make():
+        return ContinuousBatchEngine(model, params, num_blocks=64,
+                                     block_size=8, max_batch=4,
+                                     max_blocks_per_seq=8, max_new_tokens=6,
+                                     dtype=jnp.float32, prefill_buckets=(8, 16))
+
+    eng = make()
+    ref_sids = [eng.submit(p) for p in prompts]
+    ref = eng.run()
+
+    eng2 = make()
+    sids = [eng2.submit(p) for p in prompts]
+    got = {sid: [] for sid in sids}
+    finished = set()
+    for sid, tok, done in eng2.stream():
+        assert sid not in finished, "token after finished flag"
+        got[sid].append(tok)
+        if done:
+            finished.add(sid)
+    assert finished == set(sids)
+    for rs, s in zip(ref_sids, sids):
+        assert got[s] == ref[rs]
+    assert eng2.run() == {}  # streamed results are consumed

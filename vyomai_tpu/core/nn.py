@@ -79,6 +79,12 @@ def embedding(p, ids):
     return jnp.take(p["weight"], ids, axis=0)
 
 
+def embedding_dtype(p):
+    """Activation dtype of an embedding table — the table's own dtype, or
+    the preserved fp dtype marker for int8-quantized tables."""
+    return p["out_dtype"].dtype if "weight_q" in p else p["weight"].dtype
+
+
 def tied_lm_head(embed_p, hidden):
     """Logits through a tied embedding table: ``hidden @ W.T`` for fp
     weights, or the int8 ``nk``-layout kernel for quantized tables (scale

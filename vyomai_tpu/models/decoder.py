@@ -248,8 +248,9 @@ def _generate_jit(model: DecoderModel, params, input_ids, attention_mask,
     eos = jnp.zeros((bsz,), dtype=bool)
 
     if use_cache:
-        cache = model.init_cache(batch_size=bsz, max_len=total_len,
-                                 dtype=params["word_embeddings"]["weight"].dtype)
+        cache = model.init_cache(
+            batch_size=bsz, max_len=total_len,
+            dtype=cnn.embedding_dtype(params["word_embeddings"]))
         out = model.apply(params, tokens[:, :prompt_len],
                           attention_mask=mask_buf[:, :prompt_len],
                           cache=cache, start_pos=0)

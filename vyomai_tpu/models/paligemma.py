@@ -116,7 +116,7 @@ def _pg_generate(model, params, input_ids, pixel_values, max_new_tokens,
     total = prompt_len + max_new_tokens
     cache = model.init_cache(
         batch_size=bsz, max_len=total,
-        dtype=params["language_model"]["embed_tokens"]["weight"].dtype)
+        dtype=cnn.embedding_dtype(params["language_model"]["embed_tokens"]))
 
     # prefill: whole image+prompt is the bidirectional prefix
     out = model.apply(params, input_ids, pixel_values,

@@ -141,6 +141,33 @@ class ContinuousBatchEngine:
         self.finished.clear()
         return done
 
+    def stream(self):
+        """Drain all requests, yielding ``(seq_id, token_id, finished)``
+        as tokens are produced — the streaming front of ``run()``. Tokens
+        surface after each scheduler tick: a prefill yields a sequence's
+        first token, each decode tick up to ``decode_horizon`` per live
+        lane (lower the horizon for lower time-to-first-byte; throughput
+        benches use 64). ``finished=True`` marks a sequence's last token;
+        finished results are consumed as they stream (``run()`` after a
+        full ``stream()`` drain returns nothing new). Preemption is safe:
+        a preempted victim keeps its generated tokens and re-prefills
+        them, so already-streamed tokens never change."""
+        emitted: Dict[int, int] = {}
+        while self.waiting or self.active or self.needs_prefill:
+            self.step()
+            for src in (self.active, self.finished):
+                for sid, s in list(src.items()):
+                    start = emitted.get(sid, s.prompt_len)
+                    fresh = s.tokens[start:]
+                    emitted[sid] = start + len(fresh)
+                    for i, tok in enumerate(fresh):
+                        done = s.finished and start + i + 1 == len(s.tokens)
+                        yield sid, int(tok), done
+            for sid in [sid for sid, s in self.finished.items()
+                        if emitted.get(sid, 0) >= len(s.tokens)]:
+                del self.finished[sid]
+                emitted.pop(sid, None)
+
     # -- scheduling -------------------------------------------------------------
     def _try_admit(self):
         while self.waiting and len(self.active) + len(self.needs_prefill) \
