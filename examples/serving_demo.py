@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--weights", default=None)
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--max-new", type=int, default=32)
+    ap.add_argument("--stream", action="store_true",
+                    help="use engine.stream() and report time-to-first-token")
     args = ap.parse_args()
 
     if args.weights:
@@ -57,11 +59,25 @@ def main():
         sids.append(eng.submit(prompt))
 
     t0 = time.perf_counter()
-    out = eng.run()
-    dt = time.perf_counter() - t0
-    total_new = sum(len(v) for v in out.values())
-    print(f"served {len(out)} requests, {total_new} tokens in {dt:.2f}s "
-          f"({total_new / dt:.1f} tok/s)")
+    if args.stream:
+        # streaming front: tokens surface per scheduler tick
+        counts = {}
+        t_first = None
+        for sid, tok, done in eng.stream():
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+            counts[sid] = counts.get(sid, 0) + 1
+        dt = time.perf_counter() - t0
+        total_new = sum(counts.values())
+        print(f"streamed {len(counts)} requests, {total_new} tokens in "
+              f"{dt:.2f}s ({total_new / dt:.1f} tok/s, first token at "
+              f"{t_first * 1e3:.0f} ms)")
+    else:
+        out = eng.run()
+        dt = time.perf_counter() - t0
+        total_new = sum(len(v) for v in out.values())
+        print(f"served {len(out)} requests, {total_new} tokens in {dt:.2f}s "
+              f"({total_new / dt:.1f} tok/s)")
     print("free blocks after drain:", eng.kv.num_free(), "/",
           eng.kv.num_blocks)
 

@@ -239,3 +239,21 @@ def test_dequantize_roundtrip_error(qwen_quant):
     errs = vt.quantization_error(params, qparams)
     # every quantized tensor reconstructs within 1/254 of its abs-max
     assert max(errs.values()) <= 1.0 / 254 + 1e-6
+
+
+def test_quantized_classic_decoder_generate():
+    """The classic (reference-API) DecoderModel stack quantizes too:
+    word_embeddings rows go int8 (the r3 name-detection fix — only
+    embed_tokens matched before) and cached greedy generate runs."""
+    cfg = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                           num_key_value_heads=2, num_hidden_layers=2,
+                           vocab_size=128, max_position_embeddings=64,
+                           intermediate_size=256, hidden_dropout_prob=0.0)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope",
+                            attention_type="gqa")
+    qparams = vt.quantize_params(model.init(jax.random.PRNGKey(0)))
+    assert qparams["word_embeddings"]["weight_q"].dtype == jnp.int8
+    assert qparams["lm_head"]["decoder"]["kernel_q"].dtype == jnp.int8
+    ids = jnp.array([[3, 17, 42]], dtype=jnp.int32)
+    out = model.generate(qparams, ids, max_len=6, use_cache=True)
+    assert out.shape[1] == ids.shape[1] + 6

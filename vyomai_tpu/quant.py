@@ -33,6 +33,9 @@ import jax.numpy as jnp
 from .ops.quant_matmul import quantize_weight
 
 _EXCLUDE_DEFAULT = ("router",)
+# token-embedding tables (quantize per vocab row); positional-embedding
+# tables deliberately stay fp — they are small and add to every token
+_EMBED_NAMES = ("embed_tokens", "word_embeddings")
 
 
 def _quantize_linear(p):
@@ -100,7 +103,7 @@ def quantize_params(params, *, embed: bool = True,
                 node["kernel"].ndim in (2, 3):
             return _quantize_linear(node)
         if embed and "weight" in node and node["weight"].ndim in (2, 3) \
-                and "bias" not in node and name.startswith("embed"):
+                and "bias" not in node and name in _EMBED_NAMES:
             return _quantize_embedding(node)
         return {k: walk(v, k) for k, v in node.items()}
 
