@@ -99,6 +99,11 @@ def main():
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--new", type=int, default=256)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--int8", action="store_true",
+                    help="quantize target+drafter weights (weight-only "
+                         "int8) — speculation cuts target steps, int8 "
+                         "halves the weight bytes each step streams, so "
+                         "the wins compound")
     args = ap.parse_args()
 
     target = vt.DecoderModel(TARGET_CFG, pos_embedding_type="rope",
@@ -115,21 +120,26 @@ def main():
     print(f"[train] {args.steps} steps each: target loss {t_loss:.3f}, "
           f"drafter loss {d_loss:.3f} ({time.perf_counter() - t0:.0f}s)")
 
+    bf16_t_params = t_params
+    if args.int8:
+        t_params = vt.quantize_params(t_params)
+        d_params = vt.quantize_params(d_params)
+
     rng = np.random.default_rng(7)
     prompt = synthetic_batch(rng, 1, args.prompt)
     proc = GreedyProcessor()
 
     # -- greedy baseline: the target's own jitted while_loop decode
-    def greedy():
-        out = target.generate(t_params, prompt, max_len=args.new,
-                              use_cache=True)
+    def greedy(p=None):
+        out = target.generate(t_params if p is None else p, prompt,
+                              max_len=args.new, use_cache=True)
         np.asarray(out)  # true sync (block_until_ready doesn't wait)
         return out
 
-    def time_greedy():
+    def time_greedy(p=None):
         t0 = time.perf_counter()
         for _ in range(args.repeats):
-            greedy()
+            greedy(p)
         return args.new * args.repeats / (time.perf_counter() - t0)
 
     # -- on-chip speculative decode
@@ -156,16 +166,27 @@ def main():
     g2 = time_greedy()
     greedy_tps = (g1 + g2) / 2
 
-    print(f"[greedy]      {greedy_tps:.1f} tokens/s")
-    print(f"[speculative] {spec_tps:.1f} tokens/s "
+    label = "int8 " if args.int8 else ""
+    print(f"[greedy {label}]     {greedy_tps:.1f} tokens/s")
+    print(f"[speculative {label}] {spec_tps:.1f} tokens/s "
           f"(gamma={args.gamma}, acceptance={acc:.2f})")
-    print(json.dumps({
+    rec = {
         "speculative_tokens_per_sec": round(spec_tps, 1),
         "greedy_tokens_per_sec": round(greedy_tps, 1),
         "speedup": round(spec_tps / greedy_tps, 3),
         "acceptance": round(acc, 3),
         "gamma": args.gamma,
-    }))
+        "int8": args.int8,
+    }
+    if args.int8:
+        # compound headline: int8 speculative vs the bf16 greedy baseline
+        greedy(bf16_t_params)
+        bf16_tps = time_greedy(bf16_t_params)
+        rec["bf16_greedy_tokens_per_sec"] = round(bf16_tps, 1)
+        rec["compound_speedup_vs_bf16_greedy"] = round(spec_tps / bf16_tps, 3)
+        print(f"[greedy bf16]      {bf16_tps:.1f} tokens/s "
+              f"(compound {spec_tps / bf16_tps:.2f}x)")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -494,3 +494,53 @@ def test_engine_stream_matches_run(qwen):
     for rs, s in zip(ref_sids, sids):
         assert got[s] == ref[rs]
     assert eng2.run() == {}  # streamed results are consumed
+
+
+def test_engine_per_request_max_new_tokens(qwen):
+    """Per-request max_new_tokens: each sequence stops at its own limit and
+    the generated prefixes agree with the engine-default run."""
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11]]
+
+    def make():
+        return ContinuousBatchEngine(model, params, num_blocks=64,
+                                     block_size=8, max_batch=4,
+                                     max_blocks_per_seq=8, max_new_tokens=6,
+                                     dtype=jnp.float32,
+                                     prefill_buckets=(8, 16))
+
+    eng = make()
+    ref_sids = [eng.submit(p) for p in prompts]
+    ref = eng.run()
+
+    eng2 = make()
+    s_a = eng2.submit(prompts[0], max_new_tokens=3)
+    s_b = eng2.submit(prompts[1])        # engine default (6)
+    out = eng2.run()
+    assert len(out[s_a]) == 3 and out[s_a] == ref[ref_sids[0]][:3]
+    assert out[s_b] == ref[ref_sids[1]]
+
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        eng2.submit(prompts[0], max_new_tokens=7)   # above engine limit
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        eng2.submit(prompts[0], max_new_tokens=0)
+
+
+def test_engine_per_request_temperature(qwen):
+    """Per-request sampling params thread as per-lane vectors: a request
+    with ~zero temperature on a sampling engine reproduces greedy, while
+    its batchmate samples at the engine temperature."""
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11, 19]]
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=5, dtype=jnp.float32,
+                                prefill_buckets=(8, 16), do_sample=True,
+                                temperature=5.0, top_p=1.0, seed=3)
+    s_cold = eng.submit(prompts[0], temperature=1e-6)
+    s_hot = eng.submit(prompts[1])
+    out = eng.run()
+    greedy = generate(model, params, jnp.asarray([prompts[0]], jnp.int32),
+                      max_new_tokens=5, use_cache=True)
+    assert out[s_cold] == greedy[0, len(prompts[0]):].tolist()
+    assert len(out[s_hot]) == 5

@@ -113,10 +113,24 @@ class ContinuousBatchEngine:
         return jax.device_put(np.asarray(x), self._replicated)
 
     # -- API ------------------------------------------------------------------
-    def submit(self, prompt: Sequence[int]) -> int:
+    def submit(self, prompt: Sequence[int], *,
+               max_new_tokens: Optional[int] = None,
+               temperature: Optional[float] = None,
+               top_p: Optional[float] = None) -> int:
+        """Queue a request. Per-request overrides (engine defaults when
+        None): ``max_new_tokens`` (must not exceed the engine's — pool
+        budgeting is sized to it), and ``temperature``/``top_p`` (only
+        meaningful on a ``do_sample=True`` engine — the decode batch
+        threads them as per-lane vectors)."""
         if not len(prompt):
             raise ValueError("empty prompt (prefill would attend nothing "
                              "and emit an arbitrary first token)")
+        if max_new_tokens is not None and \
+                not (1 <= max_new_tokens <= self.max_new_tokens):
+            raise ValueError(
+                f"per-request max_new_tokens={max_new_tokens} outside "
+                f"[1, {self.max_new_tokens}] (the engine's limit sizes "
+                "pool budgeting)")
         max_pos = getattr(self.cfg, "max_position_embeddings", None)
         if max_pos and len(prompt) + self.max_new_tokens > max_pos:
             # positions past the RoPE table would silently clamp to its
@@ -127,7 +141,13 @@ class ContinuousBatchEngine:
                 f"{max_pos}")
         sid = self._next_id
         self._next_id += 1
-        self.waiting.append(SequenceState(sid, prompt))
+        state = SequenceState(sid, prompt)
+        state.max_new = (self.max_new_tokens if max_new_tokens is None
+                         else max_new_tokens)
+        state.temperature = (self.temperature if temperature is None
+                             else float(temperature))
+        state.top_p = self.top_p if top_p is None else float(top_p)
+        self.waiting.append(state)
         return sid
 
     def run(self) -> Dict[int, List[int]]:
@@ -255,7 +275,7 @@ class ContinuousBatchEngine:
             self._put(ids), self._put(positions),
             self._put(slot_blocks), self._put(slot_offsets),
             self._put(tables), self._put(ctx_len), self._put(true_len))
-        next_tokens = np.asarray(self._pick_tokens(logits))
+        next_tokens = np.asarray(self._pick_tokens(logits, states))
         for i, state in enumerate(states):
             if is_final[i]:
                 state.tokens.append(int(next_tokens[i]))
@@ -265,12 +285,23 @@ class ContinuousBatchEngine:
                 state.num_cached_tokens += len(suffixes[i])
                 self.needs_prefill.appendleft(state)
 
-    def _pick_tokens(self, logits):
+    def _pick_tokens(self, logits, states):
         if not self.do_sample:
             return jnp.argmax(logits, axis=-1)
         self._rng, sub = jax.random.split(self._rng)
-        return _sample_jit(logits, self._put(sub), self.temperature,
-                           self.top_p)
+        temps, tps = self._lane_sampling(states, logits.shape[0])
+        return _sample_jit(logits, self._put(sub), temps, tps)
+
+    def _lane_sampling(self, states, b):
+        """Per-lane [b] temperature/top_p vectors (per-request overrides,
+        engine defaults elsewhere). Row i belongs to states[i]."""
+        temps = np.full(b, self.temperature, np.float32)
+        tps = np.full(b, self.top_p, np.float32)
+        for i, s in enumerate(states[:b]):
+            if s is not None:
+                temps[i] = getattr(s, "temperature", self.temperature)
+                tps[i] = getattr(s, "top_p", self.top_p)
+        return self._put(temps), self._put(tps)
 
     def _decode_batch(self):
         states = [s for s in self.active.values() if not s.finished]
@@ -289,8 +320,8 @@ class ContinuousBatchEngine:
             pos = len(state.tokens) - 1  # position of the latest token
             # budget the whole horizon up front so in-graph slot arithmetic
             # never walks off the block table; cap by table capacity
-            remaining = self.max_new_tokens - (len(state.tokens)
-                                               - state.prompt_len)
+            remaining = getattr(state, "max_new", self.max_new_tokens) - \
+                (len(state.tokens) - state.prompt_len)
             cap = self.max_blocks_per_seq * self.block_size - pos
             h = max(min(horizon, remaining, cap), 1)
             while h >= 1 and not self.kv.allocate(state, pos + h):
@@ -311,13 +342,14 @@ class ContinuousBatchEngine:
             self._preempt_youngest()
             return
         self._rng, sub = jax.random.split(self._rng)
+        temps, tps = self._lane_sampling(states, b)
         gen, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             self._put(tokens), self._put(positions), self._put(tables),
             self._put(live_mask), horizon, self.do_sample,
             eos=(-1 if self.eos_token_id is None else self.eos_token_id),
-            rng=self._put(sub), temperature=self.temperature,
-            top_p=self.top_p, budget=self._put(budget),
+            rng=self._put(sub), temperature=temps,
+            top_p=tps, budget=self._put(budget),
             allow_pallas=self._allow_pallas)
         gen = np.asarray(gen)
         for i, state, h in live:
@@ -334,7 +366,8 @@ class ContinuousBatchEngine:
                    and state.tokens[-1] == self.eos_token_id)
         out_of_blocks = len(state.tokens) >= \
             self.max_blocks_per_seq * self.block_size
-        if hit_eos or new >= self.max_new_tokens or out_of_blocks:
+        limit = getattr(state, "max_new", self.max_new_tokens)
+        if hit_eos or new >= limit or out_of_blocks:
             state.finished = True
             self.kv.free(state)
             self.active.pop(state.seq_id, None)

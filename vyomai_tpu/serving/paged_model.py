@@ -283,12 +283,19 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
 
 def sample_tokens(logits, rng, temperature, top_p):
     """Temperature + nucleus (top-p) sampling on device. logits: [B, V];
-    temperature/top_p: f32 scalars. Returns [B] int32.
+    temperature/top_p: f32 scalars or [B] per-lane vectors (per-request
+    sampling params). Returns [B] int32.
 
     Reuses ``generation.sampling._top_p_mask`` so serving and the decode
     loops share one nucleus implementation (same boundary semantics)."""
     from ..generation.sampling import _top_p_mask
 
+    temperature = jnp.asarray(temperature, jnp.float32)
+    top_p = jnp.asarray(top_p, jnp.float32)
+    if temperature.ndim == 1:
+        temperature = temperature[:, None]
+    if top_p.ndim == 1:
+        top_p = top_p[:, None]
     logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
     masked = _top_p_mask(logits, top_p)
     return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
@@ -313,7 +320,9 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     position; live: [B] bool lane validity; budget: [B] int32 granted steps
     per lane (lanes freeze once exhausted; None = ``horizon`` for all).
     With ``do_sample`` the next token is temperature+top-p sampled using
-    ``rng`` (greedy otherwise). Returns (generated [B, horizon], pool)."""
+    ``rng`` (greedy otherwise); ``temperature``/``top_p`` may be scalars
+    or [B] per-lane vectors (per-request sampling params). Returns
+    (generated [B, horizon], pool)."""
     b = tokens.shape[0]
     bs = pool["kv"].shape[3]
     out_buf = jnp.zeros((b, horizon), dtype=jnp.int32)
