@@ -257,3 +257,24 @@ def test_quantized_classic_decoder_generate():
     ids = jnp.array([[3, 17, 42]], dtype=jnp.int32)
     out = model.generate(qparams, ids, max_len=6, use_cache=True)
     assert out.shape[1] == ids.shape[1] + 6
+
+
+def test_quantized_checkpoint_roundtrip(qwen_quant, tmp_path):
+    """Orbax save/restore preserves a quantized tree exactly — int8 leaves,
+    fp scales, and the out_dtype marker (its dtype carries the embedding
+    activation dtype through the checkpoint; one element, not zero —
+    orbax refuses zero-size arrays)."""
+    from vyomai_tpu.training import checkpoint as ckpt
+    _, qparams = qwen_quant
+    path = str(tmp_path / "q")
+    ckpt.save_checkpoint(path, {"params": qparams, "step": 7})
+    back = ckpt.restore_checkpoint(path,
+                                   target={"params": qparams, "step": 0})
+    assert back["step"] == 7
+    rq = back["params"]
+    assert rq["layers"]["self_attn"]["q_proj"]["kernel_q"].dtype == jnp.int8
+    assert rq["embed_tokens"]["out_dtype"].dtype == \
+        qparams["embed_tokens"]["out_dtype"].dtype
+    for orig, rest in zip(jax.tree_util.tree_leaves(qparams),
+                          jax.tree_util.tree_leaves(rq)):
+        np.testing.assert_array_equal(np.asarray(orig), np.asarray(rest))

@@ -81,9 +81,11 @@ def _quantize_embedding(p):
         q, s = jax.vmap(lambda x: quantize_weight(x, contract_axis=1))(w)
     else:
         return p
-    # zero-size marker preserving the activation dtype of the fp table
+    # one-element marker preserving the activation dtype of the fp table
+    # (only its dtype is read; size 1 rather than 0 because orbax refuses
+    # to checkpoint zero-size arrays)
     return {"weight_q": q, "scale": s,
-            "out_dtype": jnp.zeros((0,), dtype=w.dtype)}
+            "out_dtype": jnp.zeros((1,), dtype=w.dtype)}
 
 
 def quantize_params(params, *, embed: bool = True,
