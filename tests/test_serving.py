@@ -544,3 +544,118 @@ def test_engine_per_request_temperature(qwen):
                       max_new_tokens=5, use_cache=True)
     assert out[s_cold] == greedy[0, len(prompts[0]):].tolist()
     assert len(out[s_hot]) == 5
+
+
+DRAFT_CFG = vt.QwenConfig(vocab_size=512, hidden_size=32,
+                          intermediate_size=64, num_hidden_layers=1,
+                          num_attention_heads=2, num_key_value_heads=1,
+                          head_dim=16, max_position_embeddings=256,
+                          eos_token_id=9999, tie_word_embeddings=True)
+
+
+@pytest.fixture(scope="module")
+def draft():
+    model = vt.ModelForCausalLM(DRAFT_CFG)
+    params = model.init(jax.random.PRNGKey(7), dtype=jnp.float32)
+    return model, params
+
+
+def _spec_kwargs(**over):
+    kwargs = dict(num_blocks=64, block_size=8, max_batch=4,
+                  max_blocks_per_seq=8, max_new_tokens=10,
+                  dtype=jnp.float32, prefill_buckets=(8, 16))
+    kwargs.update(over)
+    return kwargs
+
+
+def test_engine_speculative_matches_plain_greedy(qwen, draft):
+    """Speculative serving is token-exact vs the plain engine AND the dense
+    static-cache decode — for an independent (low-acceptance) draft."""
+    model, params = qwen
+    dmodel, dparams = draft
+    prompts = [[3, 17, 42, 9], [5, 11], [3, 17, 42, 9, 21, 33]]
+    plain = ContinuousBatchEngine(model, params, **_spec_kwargs())
+    ref_sids = [plain.submit(list(p)) for p in prompts]
+    ref = plain.run()
+    spec = ContinuousBatchEngine(model, params, draft_model=dmodel,
+                                 draft_params=dparams, gamma=3,
+                                 spec_rounds=2, **_spec_kwargs())
+    sids = [spec.submit(list(p)) for p in prompts]
+    out = spec.run()
+    for sid, rsid, p in zip(sids, ref_sids, prompts):
+        assert out[sid] == ref[rsid], f"prompt {p}"
+        dense = generate(model, params, jnp.asarray([p], jnp.int32),
+                         max_new_tokens=10, use_cache=True)
+        assert out[sid] == dense[0, len(p):].tolist()
+    assert spec.spec_stats["speculated"] > 0
+
+
+def test_engine_speculative_self_draft_accepts_all(qwen):
+    """Target drafting for itself accepts every proposal (greedy draft ==
+    greedy verify) and still matches plain-engine output."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9, 21]
+    plain = ContinuousBatchEngine(model, params, **_spec_kwargs())
+    sid = plain.submit(list(prompt))
+    ref = plain.run()[sid]
+    spec = ContinuousBatchEngine(model, params, draft_model=model,
+                                 draft_params=params, gamma=3,
+                                 spec_rounds=2, **_spec_kwargs())
+    sid = spec.submit(list(prompt))
+    assert spec.run()[sid] == ref
+    assert spec.spec_stats["accepted"] == spec.spec_stats["speculated"]
+
+
+def test_engine_speculative_eos_stops(qwen, draft):
+    """A lane hitting EOS inside an accepted speculation window stops at
+    the EOS token exactly like the plain engine."""
+    model, params = qwen
+    dmodel, dparams = draft
+    prompt = [3, 17, 42, 9]
+
+    def run(eos, with_draft):
+        kw = _spec_kwargs(eos_token_id=eos)
+        if with_draft:
+            kw.update(draft_model=dmodel, draft_params=dparams, gamma=3,
+                      spec_rounds=2)
+        eng = ContinuousBatchEngine(model, params, **kw)
+        sid = eng.submit(list(prompt))
+        return eng.run()[sid]
+
+    free_run = run(9999, with_draft=False)
+    assert len(free_run) == 10
+    eos_tok = free_run[4]
+    assert run(eos_tok, with_draft=True) == run(eos_tok, with_draft=False)
+
+
+def test_engine_speculative_prefix_cache_and_capacity_edge(qwen, draft):
+    """Radix prefix blocks written by a speculative engine are valid for
+    both pools (reuse is token-exact), and sequences near the block-table
+    capacity fall back to plain decode without output drift."""
+    model, params = qwen
+    dmodel, dparams = draft
+    # max_blocks_per_seq*block_size = 24 -> the 10-token prompt + 10 new
+    # tokens crosses the fallback edge (last rounds can't fit gamma+1)
+    kw = _spec_kwargs(block_size=4, max_blocks_per_seq=6,
+                      prefill_buckets=(4, 8, 16))
+    plain = ContinuousBatchEngine(model, params, **kw)
+    p1 = [3, 17, 42, 9, 21, 33, 40, 2, 7, 1]
+    sid = plain.submit(list(p1))
+    ref = plain.run()[sid]
+    spec = ContinuousBatchEngine(model, params, draft_model=dmodel,
+                                 draft_params=dparams, gamma=3,
+                                 spec_rounds=2, **kw)
+    sid1 = spec.submit(list(p1))
+    out1 = spec.run()[sid1]
+    assert out1 == ref
+    sid2 = spec.submit(list(p1))  # prefix served from the radix cache
+    assert spec.run()[sid2] == ref
+
+
+def test_engine_speculative_rejects_sampling(qwen, draft):
+    dmodel, dparams = draft
+    model, params = qwen
+    with pytest.raises(ValueError, match="greedy-only"):
+        ContinuousBatchEngine(model, params, draft_model=dmodel,
+                              draft_params=dparams, do_sample=True,
+                              **_spec_kwargs())

@@ -44,7 +44,9 @@ class ContinuousBatchEngine:
                  kv_backend: str = "auto", decode_horizon: int = 8,
                  prefill_group: int = 4, do_sample: bool = False,
                  temperature: float = 1.0, top_p: float = 1.0,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None, draft_model=None,
+                 draft_params=None, draft_plus_one: bool = False,
+                 gamma: int = 4, spec_rounds: int = 2):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -52,7 +54,16 @@ class ContinuousBatchEngine:
         (one per layer o_proj + down_proj). Greedy output is identical to
         the single-chip engine. The Pallas paged-decode kernel is bypassed
         under tp > 1 (opaque to GSPMD); the XLA attention path partitions
-        cleanly."""
+        cleanly.
+
+        ``draft_model``/``draft_params`` enable speculative decoding: each
+        decode tick runs up to ``spec_rounds`` rounds of (draft ``gamma``
+        tokens -> one multi-token target verification) on device
+        (``paged_model.speculative_horizon``) — one target weight stream
+        per up-to-``gamma+1`` tokens. The draft keeps its own paged pool
+        indexed by the same block tables. Greedy only (token-exact vs the
+        non-speculative engine); acceptance totals accumulate in
+        ``spec_stats``."""
         self.model = model
         self.params = params
         self.cfg = model.config
@@ -87,6 +98,26 @@ class ContinuousBatchEngine:
         self._rng = jax.random.PRNGKey(seed)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.draft_plus_one = draft_plus_one
+        self.gamma = int(gamma)
+        self.spec_rounds = max(1, int(spec_rounds))
+        self.spec_stats = {"accepted": 0, "speculated": 0}
+        self.draft_pool = None
+        if draft_model is not None:
+            if do_sample:
+                raise ValueError(
+                    "speculative serving is greedy-only (token-exactness "
+                    "vs the plain engine); do_sample=True is unsupported")
+            if draft_model.config.vocab_size != self.cfg.vocab_size:
+                raise ValueError(
+                    f"draft vocab {draft_model.config.vocab_size} != target "
+                    f"vocab {self.cfg.vocab_size}")
+            if self.gamma < 1:
+                raise ValueError("gamma must be >= 1")
+            self.draft_pool = paged_model.init_pool(
+                draft_model.config, num_blocks, block_size, dtype=dtype)
         self.mesh = mesh
         self._allow_pallas = True
         if mesh is not None:
@@ -97,6 +128,15 @@ class ContinuousBatchEngine:
                     f"not divisible by the model axis ({tp})")
             self.params, self.pool = paged_model.shard_serving_state(
                 self.params, self.pool, mesh)
+            if draft_model is not None:
+                if draft_model.config.num_key_value_heads % tp:
+                    raise ValueError(
+                        f"draft num_key_value_heads="
+                        f"{draft_model.config.num_key_value_heads} not "
+                        f"divisible by the model axis ({tp})")
+                self.draft_params, self.draft_pool = \
+                    paged_model.shard_serving_state(
+                        self.draft_params, self.draft_pool, mesh)
             self._allow_pallas = tp == 1
             self._replicated = NamedSharding(mesh, PartitionSpec())
         self.waiting: deque = deque()
@@ -270,11 +310,17 @@ class ContinuousBatchEngine:
             ctx_len[i] = state.prefill_len
             true_len[i] = t
 
+        ops = (self._put(ids), self._put(positions), self._put(slot_blocks),
+               self._put(slot_offsets), self._put(tables), self._put(ctx_len),
+               self._put(true_len))
         logits, self.pool = paged_model.prefill(
-            self.model, self.plus_one, self.params, self.pool,
-            self._put(ids), self._put(positions),
-            self._put(slot_blocks), self._put(slot_offsets),
-            self._put(tables), self._put(ctx_len), self._put(true_len))
+            self.model, self.plus_one, self.params, self.pool, *ops)
+        if self.draft_model is not None:
+            # the draft pool must hold the same context (same slots) so
+            # speculative rounds can attend it; its logits are discarded
+            _, self.draft_pool = paged_model.prefill(
+                self.draft_model, self.draft_plus_one, self.draft_params,
+                self.draft_pool, *ops)
         next_tokens = np.asarray(self._pick_tokens(logits, states))
         for i, state in enumerate(states):
             if is_final[i]:
@@ -360,6 +406,62 @@ class ContinuousBatchEngine:
                 if state.finished:
                     break
 
+    def _spec_decode_batch(self):
+        """Speculative decode tick. Falls back to a plain decode tick when
+        any live lane can't afford one full speculation round of
+        ``gamma + 1`` token slots (block-table capacity or pool pressure) —
+        near those edges plain horizon decode degrades gracefully."""
+        states = [s for s in self.active.values() if not s.finished]
+        if not states:
+            return
+        b = self.max_batch
+        gp1 = self.gamma + 1
+        tokens2 = np.zeros((b, 2), dtype=np.int32)
+        positions = np.zeros(b, dtype=np.int32)
+        live_mask = np.zeros(b, dtype=bool)
+        budget = np.zeros(b, dtype=np.int32)
+        tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
+        live = []
+        for i, state in enumerate(states[:b]):
+            pos = len(state.tokens) - 1
+            cap = self.max_blocks_per_seq * self.block_size - pos
+            r = min(self.spec_rounds, cap // gp1)
+            while r >= 1 and not self.kv.allocate(state, pos + r * gp1):
+                r //= 2  # pool pressure: shrink the grant
+            if r < 1:
+                self._decode_batch()
+                return
+            tokens2[i] = (state.tokens[-2], state.tokens[-1])
+            positions[i] = pos
+            live_mask[i] = True
+            budget[i] = r * gp1
+            tables[i, :len(state.block_table)] = state.block_table
+            live.append((i, state))
+
+        gen, counts, acc, spec, self.pool, self.draft_pool = \
+            paged_model.speculative_horizon(
+                self.model, self.draft_model, self.plus_one,
+                self.draft_plus_one, self.params, self.draft_params,
+                self.pool, self.draft_pool, self._put(tokens2),
+                self._put(positions), self._put(tables),
+                self._put(live_mask), self.gamma, self.spec_rounds,
+                eos=(-1 if self.eos_token_id is None else self.eos_token_id),
+                budget=self._put(budget),
+                allow_pallas=self._allow_pallas)
+        gen = np.asarray(gen)
+        counts = np.asarray(counts)
+        acc = np.asarray(acc)
+        spec = np.asarray(spec)
+        for i, state in live:
+            self.spec_stats["accepted"] += int(acc[i])
+            self.spec_stats["speculated"] += int(spec[i])
+            # tokens past max_new are dropped by the finish check's break
+            for t in gen[i, :counts[i]]:
+                state.tokens.append(int(t))
+                self._maybe_finish(state)
+                if state.finished:
+                    break
+
     def _maybe_finish(self, state: SequenceState):
         new = len(state.tokens) - state.prompt_len
         hit_eos = (self.eos_token_id is not None
@@ -386,4 +488,7 @@ class ContinuousBatchEngine:
                 group.append(self.needs_prefill.popleft())
             self._prefill_group_call(group)
             self._try_admit()
-        self._decode_batch()
+        if self.draft_model is not None:
+            self._spec_decode_batch()
+        else:
+            self._decode_batch()

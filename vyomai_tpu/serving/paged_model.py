@@ -80,16 +80,24 @@ def shard_serving_state(params, pool, mesh: Mesh):
     return params, sharded
 
 
-@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
-def prefill(model, plus_one: bool, params, pool, ids, positions,
-            slot_blocks, slot_offsets, block_tables, ctx_len, true_len):
-    """Batched prefill of uncached prompt suffixes (one device call for a
-    whole group of admissions — the engine packs same-bucket sequences).
+def _head(params, h):
+    """lm_head (or tied-embedding head) over hidden states."""
+    if "lm_head" in params:
+        return cnn.linear(params["lm_head"], h)
+    return cnn.tied_lm_head(params["embed_tokens"], h)
 
-    ids/positions/slot_blocks/slot_offsets: [N, T_pad] (slot -1 = padding or
-    dead lane); block_tables: [N, MAXB]; ctx_len/true_len: [N] (total
-    context after prefill / number of real suffix tokens; 0 = dead lane).
-    Returns (last-token logits [N, V], pool).
+
+def _multi_core(model, plus_one: bool, params, pool, ids, positions,
+                slot_blocks, slot_offsets, block_tables, ctx_len):
+    """Multi-token paged step (traced core shared by ``prefill`` and
+    speculative verification): writes each token's K/V at its slot and
+    attends causally-with-offset over the gathered paged context.
+
+    ids/positions/slot_blocks/slot_offsets: [N, T] (slot -1 = padding or
+    dead lane, write dropped); block_tables: [N, MAXB]; ctx_len: [N] total
+    valid context (0 = dead lane). Returns (final-normed hidden [N, T, Dm],
+    pool) — callers apply the lm head themselves (prefill only needs the
+    last position's logits; verification needs every position's).
     """
     cfg = model.config
     emb_freq = model.emb_freq
@@ -177,14 +185,27 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
         pool = {"kv": nkv}
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
+    return hidden, pool
+
+
+@partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
+def prefill(model, plus_one: bool, params, pool, ids, positions,
+            slot_blocks, slot_offsets, block_tables, ctx_len, true_len):
+    """Batched prefill of uncached prompt suffixes (one device call for a
+    whole group of admissions — the engine packs same-bucket sequences).
+
+    ids/positions/slot_blocks/slot_offsets: [N, T_pad] (slot -1 = padding or
+    dead lane); block_tables: [N, MAXB]; ctx_len/true_len: [N] (total
+    context after prefill / number of real suffix tokens; 0 = dead lane).
+    Returns (last-token logits [N, V], pool).
+    """
+    hidden, pool = _multi_core(model, plus_one, params, pool, ids, positions,
+                               slot_blocks, slot_offsets, block_tables,
+                               ctx_len)
     last = jnp.take_along_axis(
         hidden, jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32),
         axis=1)[:, 0]                                        # [N, Dm]
-    if "lm_head" in params:
-        logits = cnn.linear(params["lm_head"], last)
-    else:
-        logits = cnn.tied_lm_head(params["embed_tokens"], last)
-    return logits, pool
+    return _head(params, last), pool
 
 
 def _decode_core(model, plus_one, params, pool, tokens, positions,
@@ -257,11 +278,7 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         pool = {"kv": nkv_pool}
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
-    if "lm_head" in params:
-        logits = cnn.linear(params["lm_head"], hidden)
-    else:
-        logits = cnn.tied_lm_head(params["embed_tokens"], hidden)
-    return logits, pool
+    return _head(params, hidden), pool
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,),
@@ -362,3 +379,151 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
                      live, rng, pool, out_buf))
     return out_buf, pool
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 12, 13), donate_argnums=(6, 7),
+         static_argnames=("allow_pallas",))
+def speculative_horizon(model, draft_model, plus_one: bool,
+                        draft_plus_one: bool, params, draft_params,
+                        pool, draft_pool, tokens2, positions, block_tables,
+                        live, gamma: int, rounds: int, eos=-1, budget=None,
+                        allow_pallas: bool = True):
+    """Speculative continuous-batching decode: up to ``rounds`` rounds of
+    (draft ``gamma`` tokens -> one multi-token target verification) fully on
+    device — each round costs ONE target weight stream for up to
+    ``gamma + 1`` emitted tokens (reference ``speculative_decoding.py:85-245``
+    composed with ``simple_vllm.ipynb``'s engine, which has no speculative
+    path — this goes beyond the reference).
+
+    The draft model keeps its own paged pool indexed by the SAME block
+    tables (positions are allocated once; both pools are written at the
+    same slots, so radix prefix blocks stay valid for both). Per round and
+    lane (batched):
+
+    - draft catch-up: a 2-token step over the last two committed tokens
+      rewrites any draft-pool slot left stale by the previous round's
+      target correction (the scheme of
+      ``generation.speculative._round_body``);
+    - draft proposes greedily: ``gamma - 1`` more single-token steps;
+    - the target scores all ``gamma + 1`` positions in one ``_multi_core``
+      pass (writing its KV as it goes) and accepts the longest drafted
+      prefix matching its own argmax, then emits its correction token.
+
+    Rollback is free: slots past the accepted point hold stale KV that the
+    next round's catch-up/verification rewrites before any read, and the
+    pools' validity masks (``ctx_len``/``seq_lens``) never expose them.
+    Greedy only — output is token-exact vs the non-speculative engine.
+
+    tokens2: [B, 2] last two committed tokens; positions: [B] the latest
+    token's absolute position; budget: [B] granted new-token slots beyond
+    ``positions`` (a lane starts a round only while ``gamma + 1`` slots
+    remain, so in-graph writes never leave allocated blocks). Returns
+    (emitted [B, rounds*(gamma+1)], counts [B], accepted [B],
+    speculated [B], pool, draft_pool).
+    """
+    b = tokens2.shape[0]
+    bs = pool["kv"].shape[3]
+    gp1 = gamma + 1
+    width = rounds * gp1
+    eos = jnp.asarray(eos, jnp.int32)
+    if budget is None:
+        budget = jnp.full((b,), width, dtype=jnp.int32)
+    out0 = jnp.zeros((b, width), dtype=jnp.int32)
+    zeros = jnp.zeros((b,), dtype=jnp.int32)
+    iota = jnp.arange(gp1)[None, :]
+    rows = jnp.arange(b)[:, None]
+
+    def slot_of(p, alive):
+        """Pool write targets for absolute positions p ([B] or [B, T]);
+        dead lanes -> block -1 (dropped by the scatter)."""
+        pp = p if p.ndim == 2 else p[:, None]
+        blk = jnp.take_along_axis(block_tables, pp // bs, axis=1)
+        blk = jnp.where(alive[:, None], blk, -1)
+        off = pp % bs
+        if p.ndim == 1:
+            return blk[:, 0], off[:, 0]
+        return blk, off
+
+    def cond(carry):
+        r, _, _, alive = carry[0], carry[1], carry[2], carry[3]
+        return (r < rounds) & jnp.any(alive)
+
+    def body(carry):
+        (r, t2, pos, alive, rem, counts, acc, spec, out, pl, dpl) = carry
+        # -- draft catch-up: 2-token step over the last committed tokens
+        pos2 = jnp.stack([pos - 1, pos], axis=1)
+        sb2, so2 = slot_of(pos2, alive)
+        ctx2 = jnp.where(alive, pos + 1, 0)
+        d_hidden, dpl = _multi_core(draft_model, draft_plus_one,
+                                    draft_params, dpl, t2, pos2, sb2, so2,
+                                    block_tables, ctx2)
+        d1 = jnp.argmax(_head(draft_params, d_hidden[:, 1]),
+                        axis=-1).astype(jnp.int32)
+
+        # -- draft gamma-1 more tokens (single steps, greedy)
+        def draft_step(c2, j):
+            dpl_, prev = c2
+            p = pos + j
+            sb1, so1 = slot_of(p, alive)
+            lg, dpl_ = _decode_core(draft_model, draft_plus_one,
+                                    draft_params, dpl_, prev, p,
+                                    block_tables, jnp.where(alive, p + 1, 0),
+                                    sb1, so1, allow_pallas=allow_pallas)
+            return (dpl_, jnp.argmax(lg, axis=-1).astype(jnp.int32)), prev
+
+        if gamma > 1:
+            (dpl, d_last), d_prev = jax.lax.scan(
+                draft_step, (dpl, d1), jnp.arange(1, gamma))
+            drafted = jnp.concatenate(
+                [d_prev.transpose(1, 0), d_last[:, None]], axis=1)  # [B, g]
+        else:
+            drafted = d1[:, None]
+
+        # -- target verifies all gamma+1 positions in one pass
+        ids_v = jnp.concatenate([t2[:, 1:2], drafted], axis=1)  # [B, g+1]
+        pos_v = pos[:, None] + iota
+        sbv, sov = slot_of(pos_v, alive)
+        ctxv = jnp.where(alive, pos + gp1, 0)
+        t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v, pos_v,
+                                   sbv, sov, block_tables, ctxv)
+        t_hat = jnp.argmax(_head(params, t_hidden),
+                           axis=-1).astype(jnp.int32)           # [B, g+1]
+
+        # -- greedy acceptance: longest drafted prefix == target argmax
+        miss = t_hat[:, :gamma] != drafted
+        n = jnp.where(miss.any(axis=1), jnp.argmax(miss, axis=1),
+                      gamma).astype(jnp.int32)
+        corr = jnp.take_along_axis(t_hat, n[:, None], axis=1)   # [B, 1]
+        drafted_pad = jnp.concatenate(
+            [drafted, jnp.zeros((b, 1), jnp.int32)], axis=1)
+        emitted = jnp.where(iota < n[:, None], drafted_pad, corr)
+        c = n + 1
+        stop = (emitted == eos) & (iota < c[:, None])
+        hit = stop.any(axis=1)
+        c = jnp.where(hit, jnp.argmax(stop, axis=1).astype(jnp.int32) + 1, c)
+
+        # -- commit: scatter this round's tokens at each lane's offset
+        idx = jnp.where(alive[:, None] & (iota < c[:, None]),
+                        counts[:, None] + iota, width)          # OOB = drop
+        out = out.at[rows, idx].set(emitted, mode="drop")
+        counts = jnp.where(alive, counts + c, counts)
+        acc = acc + jnp.where(alive, n, 0)
+        spec = spec + jnp.where(alive, gamma, 0)
+        new_last = jnp.take_along_axis(emitted, (c - 1)[:, None], axis=1)[:, 0]
+        new_prev = jnp.where(
+            c >= 2,
+            jnp.take_along_axis(emitted,
+                                jnp.maximum(c - 2, 0)[:, None], axis=1)[:, 0],
+            t2[:, 1])
+        t2 = jnp.where(alive[:, None],
+                       jnp.stack([new_prev, new_last], axis=1), t2)
+        pos = jnp.where(alive, pos + c, pos)
+        rem = jnp.where(alive, rem - c, rem)
+        alive = alive & ~hit & (rem >= gp1)
+        return (r + 1, t2, pos, alive, rem, counts, acc, spec, out, pl, dpl)
+
+    carry = (jnp.int32(0), tokens2.astype(jnp.int32), positions, live,
+             budget, zeros, zeros, zeros, out0, pool, draft_pool)
+    (_, _, _, _, _, counts, acc, spec, out, pool, draft_pool) = \
+        jax.lax.while_loop(cond, body, carry)
+    return out, counts, acc, spec, pool, draft_pool
