@@ -1,0 +1,157 @@
+"""Speculative serving benchmark (real TPU chip).
+
+Measures the continuous-batching engine with a draft model
+(``paged_model.speculative_horizon``) against the same engine's plain
+horizon decode, on a ~0.9B-param target whose decode step is
+weight-stream-bound — the regime speculation is for: one target weight
+stream verifies up to ``gamma + 1`` tokens per lane instead of one.
+
+Acceptance realism (same scheme as ``speculative_bench.py``): random-init
+models draft garbage, so target and draft are first trained for a few
+hundred steps on a deterministic synthetic next-token task (an LCG over a
+499-token active vocab), driving both to peaked agreeing argmaxes. The
+engine is greedy, so the reported tokens are token-exact between the two
+runs (asserted).
+
+Prints one human-readable block + one JSON line:
+  {"metric": "serving_speculative", "spec_tokens_per_sec": ...,
+   "plain_tokens_per_sec": ..., "speedup": ..., "acceptance": ...}
+"""
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import vyomai_tpu as vt
+from vyomai_tpu.ops.fused import cross_entropy
+from vyomai_tpu.serving import ContinuousBatchEngine
+from vyomai_tpu.training import (create_train_state, make_optimizer,
+                                 make_train_step)
+
+VOCAB = 32_768
+ACTIVE = 499             # active synthetic vocab (prime)
+MAX_POS = 1024
+
+# ~0.9B-param target (quant_bench's e2e model): decode streams ~1.8 GB of
+# bf16 weights per step, so cutting target steps is the whole game
+TARGET_CFG = vt.QwenConfig(
+    vocab_size=VOCAB, hidden_size=2048, intermediate_size=8192,
+    num_hidden_layers=12, num_attention_heads=16, num_key_value_heads=4,
+    head_dim=128, max_position_embeddings=MAX_POS, qk_norm=True,
+    eos_token_id=-1, tie_word_embeddings=True)
+DRAFT_CFG = vt.QwenConfig(
+    vocab_size=VOCAB, hidden_size=512, intermediate_size=2048,
+    num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+    head_dim=64, max_position_embeddings=MAX_POS, qk_norm=True,
+    eos_token_id=-1, tie_word_embeddings=True)
+
+
+def synthetic_batch(rng: np.random.Generator, batch: int, seq: int):
+    """x_{t+1} = (7 * x_t + 3) mod ACTIVE — deterministic, learnable."""
+    x = np.empty((batch, seq), dtype=np.int32)
+    x[:, 0] = rng.integers(0, ACTIVE, size=batch)
+    for t in range(1, seq):
+        x[:, t] = (7 * x[:, t - 1] + 3) % ACTIVE
+    return x
+
+
+def train(model, steps: int, batch: int = 8, seq: int = 64,
+          lr: float = 1e-3, warmup: int = 50, seed: int = 0):
+    params = model.init(jax.random.PRNGKey(seed), dtype=jnp.bfloat16)
+
+    def loss_fn(p, b, rng):
+        out = model.apply(p, b["ids"])
+        return cross_entropy(out.logits[:, :-1], b["ids"][:, 1:]), {}
+
+    opt = make_optimizer(lr, warmup_steps=warmup)
+    step = make_train_step(loss_fn, opt)
+    state = create_train_state(params, opt)
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    loss = None
+    for _ in range(steps):
+        ids = jnp.asarray(synthetic_batch(rng, batch, seq))
+        state, m = step(state, {"ids": ids}, key)
+        loss = m["loss"]
+    return jax.device_get(state.params), float(loss)  # fetch = true sync
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--prompt", type=int, default=32)
+    ap.add_argument("--new", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    args = ap.parse_args()
+
+    target = vt.ModelForCausalLM(TARGET_CFG)
+    draft = vt.ModelForCausalLM(DRAFT_CFG)
+    t0 = time.perf_counter()
+    t_params, t_loss = train(target, args.steps, lr=3e-4, warmup=100, seed=0)
+    d_params, d_loss = train(draft, args.steps, lr=1e-3, seed=1)
+    print(f"[train] {args.steps} steps each: target loss {t_loss:.3f}, "
+          f"draft loss {d_loss:.3f} ({time.perf_counter() - t0:.0f}s)")
+
+    rng = np.random.default_rng(7)
+    prompts = [list(row) for row in
+               synthetic_batch(rng, args.requests, args.prompt)]
+    kw = dict(num_blocks=256, block_size=64, max_batch=args.batch,
+              max_blocks_per_seq=4, max_new_tokens=args.new,
+              prefill_buckets=(32, 64), eos_token_id=VOCAB - 1)
+
+    def run(with_draft: bool):
+        if with_draft:
+            eng = ContinuousBatchEngine(target, t_params, draft_model=draft,
+                                        draft_params=d_params,
+                                        gamma=args.gamma,
+                                        spec_rounds=args.rounds, **kw)
+        else:
+            eng = ContinuousBatchEngine(target, t_params, decode_horizon=64,
+                                        **kw)
+        for p in prompts:
+            eng.submit(list(p))
+        t0 = time.perf_counter()
+        out = eng.run()
+        dt = time.perf_counter() - t0
+        n = sum(len(v) for v in out.values())
+        acc = None
+        if with_draft and eng.spec_stats["speculated"]:
+            acc = eng.spec_stats["accepted"] / eng.spec_stats["speculated"]
+        return n / dt, out, acc
+
+    run(False)   # compile + warm both paths before timing
+    run(True)
+    plain_tps, plain_out, _ = run(False)
+    spec_tps, spec_out, acc = run(True)
+    assert spec_out == plain_out, "speculative output drifted from greedy"
+    print(f"[plain]       {plain_tps:.0f} tokens/s (horizon 64)")
+    print(f"[speculative] {spec_tps:.0f} tokens/s "
+          f"(gamma={args.gamma}, rounds={args.rounds}, "
+          f"acceptance={acc:.2f})")
+    print(json.dumps({
+        "metric": "serving_speculative",
+        "spec_tokens_per_sec": round(spec_tps, 1),
+        "plain_tokens_per_sec": round(plain_tps, 1),
+        "speedup": round(spec_tps / plain_tps, 3),
+        "acceptance": round(acc, 3),
+        "gamma": args.gamma, "rounds": args.rounds,
+        "batch": args.batch, "requests": args.requests,
+    }))
+
+
+if __name__ == "__main__":
+    main()

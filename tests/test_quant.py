@@ -278,3 +278,104 @@ def test_quantized_checkpoint_roundtrip(qwen_quant, tmp_path):
     for orig, rest in zip(jax.tree_util.tree_leaves(qparams),
                           jax.tree_util.tree_leaves(rq)):
         np.testing.assert_array_equal(np.asarray(orig), np.asarray(rest))
+
+
+# ---------------------------------------------------------------------------
+# Int4 (packed, group-scaled)
+# ---------------------------------------------------------------------------
+
+def test_quantize_weight_int4_roundtrip_and_bound():
+    w = jax.random.normal(jax.random.PRNGKey(8), (256, 160)) * 0.04
+    p, s = qm.quantize_weight_int4(w, group_size=128)
+    assert p.dtype == jnp.int8 and p.shape == (128, 160)
+    assert s.shape == (2, 160)
+    lo, hi = qm._unpack_int4(p)
+    assert int(jnp.max(jnp.abs(lo))) <= 7 and int(jnp.max(jnp.abs(hi))) <= 7
+    recon = jnp.stack([lo, hi], axis=1).reshape(256, 160).astype(jnp.float32)
+    recon = (recon.reshape(2, 128, 160) * s[:, None, :]).reshape(256, 160)
+    err = np.abs(np.asarray(w) - np.asarray(recon))
+    # symmetric round-to-nearest at 4 bits: error <= group scale / 2
+    bound = np.repeat(np.asarray(s), 128, axis=0) * 0.5 + 1e-8
+    assert (err <= bound).all()
+
+
+def test_int4_matmul_fallback_matches_reference():
+    with jax.default_device(jax.devices("cpu")[0]):  # exact-f32 reference
+        x = jax.random.normal(jax.random.PRNGKey(9), (5, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(10), (256, 384)) * 0.05
+        p, s = qm.quantize_weight_int4(w, group_size=128)
+        out = qm.int4_matmul(x, p, s)                # CPU -> XLA path
+        lo, hi = qm._unpack_int4(p)
+        wq = jnp.stack([lo, hi], axis=1).reshape(256, 384).astype(jnp.float32)
+        ref = x @ (wq.reshape(2, 128, 384) * s[:, None, :]).reshape(256, 384)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("m", [1, 5, 8])
+@pytest.mark.parametrize("gs", [64, 128])
+def test_int4_matmul_kernel_interpret_matches_fallback(m, gs):
+    with jax.default_device(jax.devices("cpu")[0]):
+        x = jax.random.normal(jax.random.PRNGKey(11), (m, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(12), (256, 384)) * 0.05
+        p, s = qm.quantize_weight_int4(w, group_size=gs)
+        ref = qm.int4_matmul(x, p, s)                # XLA path off-TPU
+        qm.set_interpret(True)
+        try:
+            assert qm.supported_int4(256, 384, gs)
+            out = qm.int4_matmul(x, p, s)            # Pallas (interpret)
+        finally:
+            qm.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def qwen_quant4():
+    model = vt.ModelForCausalLM(QCFG)
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    return model, vt.quantize_params(params, bits=4, group_size=64)
+
+
+def test_quantize_params_bits4_structure(qwen_quant4):
+    _, qp = qwen_quant4
+    attn = qp["layers"]["self_attn"]
+    # packed: [L, K/2, N]; scales: [L, K/gs, N]
+    assert attn["q_proj"]["kernel_q4"].dtype == jnp.int8
+    assert attn["q_proj"]["kernel_q4"].shape[1] * 2 == QCFG.hidden_size
+    assert attn["q_proj"]["scale"].shape[1] == QCFG.hidden_size // 64
+    # embeddings stay int8 rows (gather path wants whole dequantized rows)
+    assert "weight_q" in qp["embed_tokens"]
+    assert "weight" in qp["norm"]          # norms stay fp
+
+
+def test_int4_dequantize_roundtrip_error(qwen_quant4):
+    model, qp = qwen_quant4
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    errs = vt.quantization_error(params, qp)
+    # group scale <= tensor amax / 7 -> error <= amax / 14
+    assert max(errs.values()) <= 1.0 / 14 + 1e-6
+
+
+def test_engine_int4_matches_dense_int4(qwen_quant4):
+    """Serving invariant, int4 edition: paged engine greedy with packed
+    int4 weights == dense static-cache greedy with the SAME weights (path
+    parity, not lossless quantization)."""
+    model, qp = qwen_quant4
+    prompts = [[3, 17, 42, 9], [5, 11, 19]]
+    eng = ContinuousBatchEngine(model, qp, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=6, dtype=jnp.float32,
+                                prefill_buckets=(8, 16))
+    sids = [eng.submit(p) for p in prompts]
+    out = eng.run()
+    for sid, prompt in zip(sids, prompts):
+        ref = generate(model, qp, jnp.asarray([prompt], jnp.int32),
+                       max_new_tokens=6, use_cache=True)
+        assert out[sid] == ref[0, len(prompt):].tolist(), f"seq {sid}"
+
+
+def test_quantize_params_bits4_indivisible_k_falls_back_int8():
+    p = {"proj": {"kernel": jax.random.normal(jax.random.PRNGKey(13),
+                                              (48, 64))}}
+    qp = vt.quantize_params(p, bits=4, group_size=64)  # 48 % 64 != 0
+    assert "kernel_q" in qp["proj"] and "kernel_q4" not in qp["proj"]

@@ -58,6 +58,9 @@ def linear(p, x):
     if "kernel_q" in p:  # int8 weight-only path (quant.quantize_params)
         from ..ops.quant_matmul import int8_matmul
         y = int8_matmul(x, p["kernel_q"], p["scale"])
+    elif "kernel_q4" in p:  # packed int4 + group scales (bits=4)
+        from ..ops.quant_matmul import int4_matmul
+        y = int4_matmul(x, p["kernel_q4"], p["scale"])
     else:
         y = x @ p["kernel"]
     if "lora_a" in p:

@@ -120,9 +120,19 @@ def _blocks(k_dim: int, n_dim: int):
     return bk, bn
 
 
+def _on_tpu() -> bool:
+    """True when computation would actually land on a TPU — honors a
+    ``jax.default_device(cpu)`` override (``default_backend()`` alone still
+    reports the priority backend there)."""
+    dd = jax.config.jax_default_device
+    if dd is not None and hasattr(dd, "platform"):
+        return dd.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def supported(k_dim: int, n_dim: int) -> bool:
     """True when the Pallas kernel can run this shape on this backend."""
-    if not _INTERPRET and jax.default_backend() != "tpu":
+    if not _INTERPRET and not _on_tpu():
         return False
     bk, bn = _blocks(k_dim, n_dim)
     return bk > 0 and bn > 0
@@ -159,6 +169,137 @@ def _int8_matmul_2d(x, w_q, scale, w_layout: str, interpret: bool):
         interpret=interpret,
     )(x, w_q, scale.reshape(1, -1))
     return out[:m] if m_pad != m else out
+
+
+# ---------------------------------------------------------------------------
+# Int4 (packed) weight-only path
+# ---------------------------------------------------------------------------
+#
+# Two 4-bit values per int8 byte — guaranteed half the HBM bytes of int8
+# regardless of backend packing support (jnp.int4 arrays are not reliably
+# bit-packed in memory). Packing pairs ADJACENT original rows (2i -> low
+# nibble, 2i+1 -> high nibble), so the kernel unpacks a packed tile into two
+# contiguous row-halves (even rows, odd rows) with no interleave, and the
+# activation side splits once into x[..., 0::2] / x[..., 1::2]. Symmetric
+# per-(group, output-channel) scales (group = ``group_size`` consecutive
+# original K rows, default 128) recover accuracy 4 bits can't carry
+# per-channel alone. Unlike int8, the in-graph XLA dequant CANNOT fuse the
+# nibble unpack into the dot's operand read (it materializes the widened
+# weight), so the Pallas kernel — unpack in VMEM between the DMA and the
+# MXU — is the default on TPU.
+
+def quantize_weight_int4(w, *, group_size: int = 128):
+    """Symmetric 4-bit group-wise quantization of a ``[K, N]`` kernel.
+
+    Returns ``(packed int8 [K/2, N], scale f32 [K/group_size, N])`` with
+    ``w[2i] ~ lownibble(packed[i]) * scale[2i // gs]`` and ``w[2i+1] ~
+    highnibble(packed[i]) * scale[...]``. K must be even and divisible by
+    ``group_size``.
+    """
+    k_dim, n_dim = w.shape
+    assert k_dim % 2 == 0 and k_dim % group_size == 0, (k_dim, group_size)
+    w32 = jnp.asarray(w, jnp.float32)
+    grouped = w32.reshape(k_dim // group_size, group_size, n_dim)
+    amax = jnp.max(jnp.abs(grouped), axis=1)                 # [G, N]
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(grouped / scale[:, None, :]), -7, 7)
+    q = q.reshape(k_dim, n_dim).astype(jnp.int32)
+    packed = (q[0::2] & 0xF) | ((q[1::2] & 0xF) << 4)        # [K/2, N]
+    return jax.lax.bitcast_convert_type(
+        packed.astype(jnp.uint8), jnp.int8), scale
+
+
+def _unpack_int4(p8):
+    """(low, high) nibbles of an int8 array, sign-extended (int32)."""
+    p32 = p8.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    return lo, hi
+
+
+def _kernel_int4(xe_ref, xo_ref, wp_ref, s_ref, o_ref, acc_ref):
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi = _unpack_int4(wp_ref[:])
+    part = jnp.dot(xe_ref[:], lo.astype(xe_ref.dtype),
+                   preferred_element_type=jnp.float32)
+    part += jnp.dot(xo_ref[:], hi.astype(xo_ref.dtype),
+                    preferred_element_type=jnp.float32)
+    acc_ref[:] += part * s_ref[:].astype(jnp.float32)
+
+    @pl.when(g == pl.num_programs(1) - 1)
+    def _out():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def supported_int4(k_dim: int, n_dim: int, group_size: int) -> bool:
+    """True when the Pallas int4 kernel can run this shape."""
+    if not _INTERPRET and not _on_tpu():
+        return False
+    half = group_size // 2
+    return (k_dim % group_size == 0 and half % 32 == 0 and
+            _pick_block(n_dim, (512, 256, 128)) > 0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _int4_matmul_2d(x, w_p, scale, interpret: bool):
+    m, k_dim = x.shape
+    n_dim = w_p.shape[1]
+    g_dim = scale.shape[0]
+    gs = k_dim // g_dim
+    bn = _pick_block(n_dim, (512, 256, 128))
+    m_pad = max(8, -(-m // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    xe = x[:, 0::2]                                           # [M, K/2]
+    xo = x[:, 1::2]
+    half = gs // 2
+    out = pl.pallas_call(
+        _kernel_int4,
+        grid=(n_dim // bn, g_dim),
+        in_specs=[
+            pl.BlockSpec((m_pad, half), lambda n, g: (0, g)),
+            pl.BlockSpec((m_pad, half), lambda n, g: (0, g)),
+            pl.BlockSpec((half, bn), lambda n, g: (g, n)),
+            pl.BlockSpec((1, bn), lambda n, g: (g, n)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, bn), lambda n, g: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_dim), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xe, xo, w_p, scale)
+    return out[:m] if m_pad != m else out
+
+
+def int4_matmul(x, w_p, scale):
+    """``x [..., K] @ dequant4(w_p)`` — packed int4 weight, group scales.
+
+    ``w_p``: int8 ``[K/2, N]`` from ``quantize_weight_int4``; ``scale``:
+    f32 ``[K/group_size, N]``. Pallas kernel on TPU (the nibble unpack
+    happens in VMEM between the block DMA and the MXU — XLA would
+    materialize the widened weight); XLA reconstruction elsewhere.
+    """
+    lead = x.shape[:-1]
+    k_dim = x.shape[-1]
+    n_dim = w_p.shape[1]
+    g_dim = scale.shape[0]
+    gs = k_dim // g_dim
+    x2 = x.reshape(-1, k_dim)
+    if supported_int4(k_dim, n_dim, gs):
+        out = _int4_matmul_2d(x2, w_p, scale, _INTERPRET)
+    else:
+        lo, hi = _unpack_int4(w_p)
+        w = jnp.stack([lo, hi], axis=1).reshape(k_dim, n_dim)
+        wd = (w.reshape(g_dim, gs, n_dim).astype(x.dtype) *
+              scale[:, None, :].astype(x.dtype)).reshape(k_dim, n_dim)
+        out = x2 @ wd
+    return out.reshape(*lead, n_dim)
 
 
 def int8_matmul(x, w_q, scale, *, w_layout: str = "kn"):

@@ -30,7 +30,7 @@ attention/MLP/lm_head linears and the expert banks.
 import jax
 import jax.numpy as jnp
 
-from .ops.quant_matmul import quantize_weight
+from .ops.quant_matmul import quantize_weight, quantize_weight_int4
 
 _EXCLUDE_DEFAULT = ("router",)
 # token-embedding tables (quantize per vocab row); positional-embedding
@@ -38,15 +38,24 @@ _EXCLUDE_DEFAULT = ("router",)
 _EMBED_NAMES = ("embed_tokens", "word_embeddings")
 
 
-def _quantize_linear(p):
+def _quantize_linear(p, bits: int = 8, group_size: int = 128):
     kern = p["kernel"]
+    if bits == 4:
+        key = "kernel_q4"
+        fn = lambda w: quantize_weight_int4(w, group_size=group_size)
+        if kern.shape[-2] % group_size:        # K not groupable: stay int8
+            key, fn = "kernel_q", (
+                lambda w: quantize_weight(w, contract_axis=0))
+    else:
+        key = "kernel_q"
+        fn = lambda w: quantize_weight(w, contract_axis=0)
     if kern.ndim == 2:
-        q, s = quantize_weight(kern, contract_axis=0)
+        q, s = fn(kern)
     elif kern.ndim == 3:                       # scan-stacked [L, in, out]
-        q, s = jax.vmap(lambda w: quantize_weight(w, contract_axis=0))(kern)
+        q, s = jax.vmap(fn)(kern)
     else:
         return p
-    out = {"kernel_q": q, "scale": s}
+    out = {key: q, "scale": s}
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -89,13 +98,22 @@ def _quantize_embedding(p):
 
 
 def quantize_params(params, *, embed: bool = True,
-                    exclude=_EXCLUDE_DEFAULT):
+                    exclude=_EXCLUDE_DEFAULT, bits: int = 8,
+                    group_size: int = 128):
     """Return a copy of ``params`` with linear kernels (and, when ``embed``,
     2-D embedding tables) quantized to int8 + per-output-channel scales.
+
+    ``bits=4`` packs linear kernels two-per-byte with per-``group_size``
+    group scales (``ops.quant_matmul.quantize_weight_int4``) — quarter the
+    weight bytes of bf16. Embedding tables and MoE expert banks stay int8
+    (the gather path wants whole dequantized rows; kernels whose K doesn't
+    divide ``group_size`` also fall back to int8).
 
     ``exclude``: dict-key names whose kernels stay full precision (the MoE
     router by default — routing decisions are scale-sensitive and tiny).
     """
+    assert bits in (8, 4), bits
+
     def walk(node, name=""):
         if not isinstance(node, dict):
             return node
@@ -103,7 +121,7 @@ def quantize_params(params, *, embed: bool = True,
             return _quantize_moe(node)
         if "kernel" in node and name not in exclude and \
                 node["kernel"].ndim in (2, 3):
-            return _quantize_linear(node)
+            return _quantize_linear(node, bits=bits, group_size=group_size)
         if embed and "weight" in node and node["weight"].ndim in (2, 3) \
                 and "bias" not in node and name in _EMBED_NAMES:
             return _quantize_embedding(node)
@@ -128,6 +146,23 @@ def dequantize_params(params):
         if "kernel_q" in node:
             s = node["scale"]
             kern = node["kernel_q"].astype(jnp.float32) * s[..., None, :]
+            out = {"kernel": kern}
+            if "bias" in node:
+                out["bias"] = node["bias"]
+            return out
+        if "kernel_q4" in node:
+            from .ops.quant_matmul import _unpack_int4
+
+            def deq(p8, s):
+                lo, hi = _unpack_int4(p8)
+                k = 2 * p8.shape[0]
+                w = jnp.stack([lo, hi], axis=1).reshape(k, p8.shape[1])
+                gs = k // s.shape[0]
+                return (w.reshape(s.shape[0], gs, -1).astype(jnp.float32)
+                        * s[:, None, :]).reshape(k, -1)
+
+            q4, s = node["kernel_q4"], node["scale"]
+            kern = (jax.vmap(deq)(q4, s) if q4.ndim == 3 else deq(q4, s))
             out = {"kernel": kern}
             if "bias" in node:
                 out["bias"] = node["bias"]
