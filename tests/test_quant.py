@@ -379,3 +379,50 @@ def test_quantize_params_bits4_indivisible_k_falls_back_int8():
                                               (48, 64))}}
     qp = vt.quantize_params(p, bits=4, group_size=64)  # 48 % 64 != 0
     assert "kernel_q" in qp["proj"] and "kernel_q4" not in qp["proj"]
+
+
+def test_int4_param_pspec_rules(qwen_quant4):
+    """Int4 trees shard like fp: kernel_q4 (packed K/2 rows) takes the
+    kernel rule; group scales [G, N] take the kernel's (K, N) axes — so
+    row-parallel splits the group dim with the rows it scales."""
+    from jax.sharding import PartitionSpec as P
+    from vyomai_tpu.parallel import param_pspec
+    _, qp = qwen_quant4
+    specs = param_pspec(qp)
+    attn = specs["layers"]["self_attn"]
+    assert attn["q_proj"]["kernel_q4"] == P(None, None, "model")
+    assert attn["q_proj"]["scale"] == P(None, None, "model")
+    assert attn["o_proj"]["kernel_q4"] == P(None, "model", None)
+    assert attn["o_proj"]["scale"] == P(None, "model", None)
+
+
+def test_engine_tp_int4_matches_single_chip(qwen_quant4):
+    """Int4 weights + tensor-parallel serving compose (XLA impl — the
+    Pallas kernel is opaque to GSPMD): TP engine greedy == single-chip."""
+    import numpy as np
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    model, qp = qwen_quant4
+    prompts = [[3, 17, 42, 9], [5, 11, 19]]
+
+    def run(mesh):
+        eng = ContinuousBatchEngine(model, qp, num_blocks=64,
+                                    block_size=8, max_batch=4,
+                                    max_blocks_per_seq=8, max_new_tokens=6,
+                                    dtype=jnp.float32,
+                                    prefill_buckets=(8, 16), mesh=mesh)
+        sids = [eng.submit(list(p)) for p in prompts]
+        out = eng.run()
+        return [out[s] for s in sids]
+
+    qm.set_impl4("xla")
+    try:
+        with jax.default_device(cpus[0]):
+            single = run(None)
+            mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2),
+                        ("data", "model"))
+            assert run(mesh) == single
+    finally:
+        qm.set_impl4("pallas")

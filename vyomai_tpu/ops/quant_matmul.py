@@ -57,6 +57,20 @@ def set_impl(impl: str):
     _IMPL = impl
 
 
+_IMPL4 = "pallas"  # int4 default: XLA materializes the nibble unpack
+
+
+def set_impl4(impl: str):
+    """Select the int4 implementation: ``"pallas"`` (default on TPU — the
+    nibble unpack runs in VMEM) or ``"xla"`` (in-graph reconstruction).
+    Use ``"xla"`` under tensor-parallel meshes: the Pallas kernel is
+    opaque to GSPMD, which would all-gather the sharded weight around it,
+    while the XLA path partitions cleanly."""
+    global _IMPL4
+    assert impl in ("xla", "pallas"), impl
+    _IMPL4 = impl
+
+
 def quantize_weight(w, *, contract_axis: int = 0):
     """Symmetric per-output-channel int8 quantization.
 
@@ -291,7 +305,7 @@ def int4_matmul(x, w_p, scale):
     g_dim = scale.shape[0]
     gs = k_dim // g_dim
     x2 = x.reshape(-1, k_dim)
-    if supported_int4(k_dim, n_dim, gs):
+    if _IMPL4 == "pallas" and supported_int4(k_dim, n_dim, gs):
         out = _int4_matmul_2d(x2, w_p, scale, _INTERPRET)
     else:
         lo, hi = _unpack_int4(w_p)

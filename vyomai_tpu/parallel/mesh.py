@@ -140,17 +140,37 @@ def _right_align(spec: P, ndim: int) -> P:
 def param_pspec(params):
     """PartitionSpec pytree for a model's params (model-parallel rules).
 
-    Int8-quantized trees (``quant.quantize_params``) shard like their fp
-    originals: ``kernel_q``/``weight_q`` take the ``kernel``/``weight``
-    rule, and each per-output-channel ``scale`` takes the axis of the dim
-    it scales (kernel: last dim — so column-parallel scales split with
-    their columns and row-parallel scales replicate; embedding: the vocab
-    row dim)."""
+    Quantized trees (``quant.quantize_params``) shard like their fp
+    originals: ``kernel_q``/``kernel_q4``/``weight_q`` take the
+    ``kernel``/``weight`` rule (int4's packed K/2 rows split exactly like
+    K rows), and each ``scale`` takes the axes of the dims it scales —
+    int8 per-output-channel scales get the kernel's last-dim axis (so
+    column-parallel scales split with their columns and row-parallel
+    scales replicate; embedding scales the vocab row dim), int4 group
+    scales ``[G, N]`` get the kernel's (K, N) axes (row-parallel splits
+    the group dim with the rows it scales)."""
+    def _kernel_rule(path):
+        sib = "/".join(path + ("kernel",))
+        for pat, mk in _RULES:
+            if re.search(pat, sib):
+                return tuple(mk())
+        return None
+
     def walk(tree, path=()):
         if isinstance(tree, dict):
-            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            out = {}
+            for k, v in tree.items():
+                if k == "scale" and "kernel_q4" in tree:
+                    rule = _kernel_rule(path)
+                    out[k] = (_right_align(P(rule[-2], rule[-1]), v.ndim)
+                              if rule else P())
+                else:
+                    out[k] = walk(v, path + (k,))
+            return out
         name = "/".join(path)
-        if name.endswith("_q"):
+        if name.endswith("_q4"):
+            name = name[:-3]
+        elif name.endswith("_q"):
             name = name[:-2]
         for pat, mk in _RULES:
             if re.search(pat, name):
