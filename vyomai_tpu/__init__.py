@@ -23,7 +23,8 @@ from .generation import (  # noqa: F401
     beam_search_generate, beam_sample_generate,
     group_beam_search_generate, generate_hf,
     GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
-    TopKNucleusProcessor)
+    TopKNucleusProcessor, TokenFSM, fsm_from_token_sequences,
+    fsm_from_regex, constrained_generate)
 
 from .quant import (  # noqa: F401
     quantize_params, dequantize_params, quantization_error)

@@ -13,3 +13,6 @@ from .beam import (  # noqa: F401
     group_beam_search_generate, reorder_cache)
 from .stopping import (  # noqa: F401
     KeywordsStoppingCriteria, generate_until)
+from .constrained import (  # noqa: F401
+    TokenFSM, fsm_from_token_sequences, fsm_from_regex,
+    constrained_generate, apply_fsm_mask)

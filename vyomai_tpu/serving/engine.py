@@ -46,7 +46,7 @@ class ContinuousBatchEngine:
                  temperature: float = 1.0, top_p: float = 1.0,
                  seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
-                 gamma: int = 4, spec_rounds: int = 2):
+                 gamma: int = 4, spec_rounds: int = 2, fsms=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -63,7 +63,15 @@ class ContinuousBatchEngine:
         per up-to-``gamma+1`` tokens. The draft keeps its own paged pool
         indexed by the same block tables. Greedy only (token-exact vs the
         non-speculative engine); acceptance totals accumulate in
-        ``spec_stats``."""
+        ``spec_stats``.
+
+        ``fsms``: a list of ``generation.constrained.TokenFSM`` grammars
+        for guided decoding — a request submitted with ``fsm_id=i`` only
+        ever emits tokens its grammar allows (structured output). The
+        stacked ``[F, S, V]`` transition table lives on device; masking
+        rides the horizon-decode loop (one gather per step). Incompatible
+        with speculative decoding (draft proposals would be
+        unconstrained)."""
         self.model = model
         self.params = params
         self.cfg = model.config
@@ -139,6 +147,23 @@ class ContinuousBatchEngine:
                         self.draft_params, self.draft_pool, mesh)
             self._allow_pallas = tp == 1
             self._replicated = NamedSharding(mesh, PartitionSpec())
+        self.fsms = list(fsms) if fsms else None
+        self._fsm_next_dev = None
+        if self.fsms:
+            if draft_model is not None:
+                raise ValueError("guided decoding (fsms) is incompatible "
+                                 "with speculative decoding")
+            for f in self.fsms:
+                if f.vocab_size != self.cfg.vocab_size:
+                    raise ValueError(
+                        f"FSM vocab {f.vocab_size} != model vocab "
+                        f"{self.cfg.vocab_size}")
+            s_max = max(f.num_states for f in self.fsms)
+            stacked = np.full((len(self.fsms), s_max, self.cfg.vocab_size),
+                              -1, dtype=np.int32)
+            for i, f in enumerate(self.fsms):
+                stacked[i, :f.num_states] = f.next_state
+            self._fsm_next_dev = self._put(stacked)
         self.waiting: deque = deque()
         self.active: Dict[int, SequenceState] = {}
         self.needs_prefill: deque = deque()
@@ -156,12 +181,15 @@ class ContinuousBatchEngine:
     def submit(self, prompt: Sequence[int], *,
                max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None,
-               top_p: Optional[float] = None) -> int:
+               top_p: Optional[float] = None,
+               fsm_id: Optional[int] = None) -> int:
         """Queue a request. Per-request overrides (engine defaults when
         None): ``max_new_tokens`` (must not exceed the engine's — pool
-        budgeting is sized to it), and ``temperature``/``top_p`` (only
+        budgeting is sized to it), ``temperature``/``top_p`` (only
         meaningful on a ``do_sample=True`` engine — the decode batch
-        threads them as per-lane vectors)."""
+        threads them as per-lane vectors), and ``fsm_id`` (guided
+        decoding: index into the engine's ``fsms`` grammar list; the
+        request's generated tokens follow that grammar)."""
         if not len(prompt):
             raise ValueError("empty prompt (prefill would attend nothing "
                              "and emit an arbitrary first token)")
@@ -179,6 +207,16 @@ class ContinuousBatchEngine:
                 f"prompt of {len(prompt)} + max_new_tokens "
                 f"{self.max_new_tokens} exceeds max_position_embeddings "
                 f"{max_pos}")
+        if fsm_id is not None:
+            if not self.fsms:
+                raise ValueError("engine has no fsms (pass fsms=[...] at "
+                                 "construction for guided decoding)")
+            if not 0 <= fsm_id < len(self.fsms):
+                raise ValueError(f"fsm_id {fsm_id} outside "
+                                 f"[0, {len(self.fsms)})")
+            if self.eos_token_id is None:
+                raise ValueError("guided decoding needs eos_token_id (EOS "
+                                 "terminates a completed grammar)")
         sid = self._next_id
         self._next_id += 1
         state = SequenceState(sid, prompt)
@@ -187,6 +225,8 @@ class ContinuousBatchEngine:
         state.temperature = (self.temperature if temperature is None
                              else float(temperature))
         state.top_p = self.top_p if top_p is None else float(top_p)
+        state.fsm_id = fsm_id
+        state.fsm_state = 0
         self.waiting.append(state)
         return sid
 
@@ -324,14 +364,38 @@ class ContinuousBatchEngine:
         next_tokens = np.asarray(self._pick_tokens(logits, states))
         for i, state in enumerate(states):
             if is_final[i]:
-                state.tokens.append(int(next_tokens[i]))
                 self.active[state.seq_id] = state
-                self._maybe_finish(state)
+                self._append_token(state, int(next_tokens[i]))
             else:  # more chunks to go: KV written, logits discarded
                 state.num_cached_tokens += len(suffixes[i])
                 self.needs_prefill.appendleft(state)
 
+    def _append_token(self, state: SequenceState, tok: int):
+        """Append a generated token, advancing the request's grammar state
+        (host mirror of the device-side FSM threading), then finish-check."""
+        state.tokens.append(tok)
+        if getattr(state, "fsm_id", None) is not None \
+                and tok != self.eos_token_id:
+            state.fsm_state = self.fsms[state.fsm_id].advance(
+                state.fsm_state, tok)
+        self._maybe_finish(state)
+
+    def _fsm_mask(self, states, b):
+        """[b, V] bool allow-mask for a batch row list (True everywhere for
+        unconstrained lanes); None when nothing in the batch is guided."""
+        rows = [(i, s) for i, s in enumerate(states[:b])
+                if s is not None and getattr(s, "fsm_id", None) is not None]
+        if not rows:
+            return None
+        mask = np.ones((b, self.cfg.vocab_size), dtype=bool)
+        for i, s in rows:
+            mask[i] = self.fsms[s.fsm_id].allowed(s.fsm_state)
+        return mask
+
     def _pick_tokens(self, logits, states):
+        mask = self._fsm_mask(states, logits.shape[0]) if self.fsms else None
+        if mask is not None:
+            logits = jnp.where(self._put(mask), logits, -1e30)
         if not self.do_sample:
             return jnp.argmax(logits, axis=-1)
         self._rng, sub = jax.random.split(self._rng)
@@ -389,6 +453,17 @@ class ContinuousBatchEngine:
             return
         self._rng, sub = jax.random.split(self._rng)
         temps, tps = self._lane_sampling(states, b)
+        fsm_kw = {}
+        if self.fsms:
+            fsm_ids = np.full(b, -1, dtype=np.int32)
+            fsm_states = np.zeros(b, dtype=np.int32)
+            for i, state, _ in live:
+                if getattr(state, "fsm_id", None) is not None:
+                    fsm_ids[i] = state.fsm_id
+                    fsm_states[i] = state.fsm_state
+            fsm_kw = dict(fsm_next=self._fsm_next_dev,
+                          fsm_ids=self._put(fsm_ids),
+                          fsm_states=self._put(fsm_states))
         gen, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             self._put(tokens), self._put(positions), self._put(tables),
@@ -396,13 +471,12 @@ class ContinuousBatchEngine:
             eos=(-1 if self.eos_token_id is None else self.eos_token_id),
             rng=self._put(sub), temperature=temps,
             top_p=tps, budget=self._put(budget),
-            allow_pallas=self._allow_pallas)
+            allow_pallas=self._allow_pallas, **fsm_kw)
         gen = np.asarray(gen)
         for i, state, h in live:
             # only the granted steps are backed by allocated blocks
             for t in gen[i, :h]:
-                state.tokens.append(int(t))
-                self._maybe_finish(state)
+                self._append_token(state, int(t))
                 if state.finished:
                     break
 
@@ -457,8 +531,7 @@ class ContinuousBatchEngine:
             self.spec_stats["speculated"] += int(spec[i])
             # tokens past max_new are dropped by the finish check's break
             for t in gen[i, :counts[i]]:
-                state.tokens.append(int(t))
-                self._maybe_finish(state)
+                self._append_token(state, int(t))
                 if state.finished:
                     break
 

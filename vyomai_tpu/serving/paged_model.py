@@ -323,7 +323,8 @@ def sample_tokens(logits, rng, temperature, top_p):
 def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    block_tables, live, horizon: int, do_sample: bool = False,
                    eos=-1, rng=None, temperature=1.0, top_p=1.0,
-                   budget=None, allow_pallas: bool = True):
+                   budget=None, allow_pallas: bool = True,
+                   fsm_next=None, fsm_ids=None, fsm_states=None):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -338,8 +339,15 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     per lane (lanes freeze once exhausted; None = ``horizon`` for all).
     With ``do_sample`` the next token is temperature+top-p sampled using
     ``rng`` (greedy otherwise); ``temperature``/``top_p`` may be scalars
-    or [B] per-lane vectors (per-request sampling params). Returns
-    (generated [B, horizon], pool)."""
+    or [B] per-lane vectors (per-request sampling params).
+
+    Guided decoding: ``fsm_next`` [F, S, V] int32 stacked FSM transition
+    tables (``generation.constrained.TokenFSM``, -1 = disallowed),
+    ``fsm_ids`` [B] which FSM constrains each lane (-1 = unconstrained),
+    ``fsm_states`` [B] each lane's current FSM state — the mask is one
+    gather per step, the state threads through the device loop.
+
+    Returns (generated [B, horizon], pool)."""
     b = tokens.shape[0]
     bs = pool["kv"].shape[3]
     out_buf = jnp.zeros((b, horizon), dtype=jnp.int32)
@@ -348,13 +356,15 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         rng = jax.random.PRNGKey(0)
     if budget is None:
         budget = jnp.full((b,), horizon, dtype=jnp.int32)
+    if fsm_states is None:
+        fsm_states = jnp.zeros((b,), jnp.int32)
 
     def cond(carry):
-        i, _, _, alive, _, _, _ = carry
+        i, _, _, alive, _, _, _, _ = carry
         return (i < horizon) & jnp.any(alive)
 
     def body(carry):
-        i, toks, pos, alive, key, pl_, out = carry
+        i, toks, pos, alive, key, fst, pl_, out = carry
         blk_idx = pos // bs
         slot_blocks = jnp.where(
             alive, jnp.take_along_axis(block_tables, blk_idx[:, None],
@@ -364,20 +374,30 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         logits, pl_ = _decode_core(model, plus_one, params, pl_, toks, pos,
                                    block_tables, seq_lens, slot_blocks,
                                    slot_offsets, allow_pallas=allow_pallas)
+        if fsm_next is not None:
+            con = fsm_ids >= 0
+            row = fsm_next[jnp.maximum(fsm_ids, 0),
+                           jnp.maximum(fst, 0)]              # [B, V]
+            logits = jnp.where(con[:, None] & (row < 0),
+                               jnp.float32(-1e30),
+                               logits.astype(jnp.float32))
         if do_sample:
             key, sub = jax.random.split(key)
             nxt = sample_tokens(logits, sub, temperature, top_p)
         else:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(alive, nxt, toks)                # freeze dead lanes
+        if fsm_next is not None:
+            step = jnp.take_along_axis(row, nxt[:, None], axis=1)[:, 0]
+            fst = jnp.where(con & alive, step, fst)
         out = out.at[:, i].set(jnp.where(alive, nxt, 0))
         alive = alive & (nxt != eos) & (i + 1 < budget)
         pos = jnp.where(alive, pos + 1, pos)
-        return i + 1, nxt, pos, alive, key, pl_, out
+        return i + 1, nxt, pos, alive, key, fst, pl_, out
 
-    _, _, _, _, _, pool, out_buf = jax.lax.while_loop(
+    _, _, _, _, _, _, pool, out_buf = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
-                     live, rng, pool, out_buf))
+                     live, rng, fsm_states, pool, out_buf))
     return out_buf, pool
 
 
