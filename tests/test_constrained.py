@@ -199,3 +199,189 @@ def test_engine_fsm_validation(model):
                                   max_batch=2, dtype=jnp.float32)
     with pytest.raises(ValueError):
         plain.submit([1, 2], fsm_id=0)
+
+
+# ---------------------------------------------------------------------------
+# JSON Schema structured output
+# ---------------------------------------------------------------------------
+
+import json
+
+from vyomai_tpu.generation import fsm_from_json_schema, json_schema_to_regex
+
+# tokenizer fragment with full JSON punctuation + digits + some words
+JSON_TOKENS = [None, "{", "}", "[", "]", '"', ":", ",", "-", ".",
+               "0", "1", "2", "3", "4", "5", "6", "7", "8", "9",
+               "true", "false", "null", "a", "b", "name", "age", "id",
+               "e", "E", "+", '\\', "t", "n", "ab", "12", ""]
+JEOS = len(JSON_TOKENS)
+JSON_TOKENS.append("<eos>")
+JVOCAB = len(JSON_TOKENS)
+
+
+def _jdecode(tokens):
+    return "".join(JSON_TOKENS[t] or "" for t in tokens)
+
+
+def _walk_accepted(fsm, decode, max_len=14, cap=4000):
+    """Bounded DFS over accepted token paths, decoded to strings."""
+    out, stack = [], [(0, [])]
+    while stack and len(out) < cap:
+        s, path = stack.pop()
+        if len(path) > max_len:
+            continue
+        row = fsm.next_state[s]
+        for tok in np.nonzero(row >= 0)[0]:
+            if tok == JEOS:
+                out.append(decode(path))
+            else:
+                stack.append((int(row[tok]), path + [int(tok)]))
+    return out
+
+
+def test_schema_regex_scalars():
+    for schema, good, bad in [
+        ({"type": "integer"}, ["0", "-7", "123"], ["01", "--1", "1.5", ""]),
+        ({"type": "number"}, ["0", "-1.5", "2e9", "1.25E-3"],
+         ["1.", ".5", "e9"]),
+        ({"type": "boolean"}, ["true", "false"], ["True", "1"]),
+        ({"type": "null"}, ["null"], ["nil", ""]),
+        ({"type": "string"}, ['""', '"ab"', '"a\\nb"', '"\\u00e9"'],
+         ['"', 'ab', '"a"b"']),
+        ({"enum": ["a", 1, True, None]}, ['"a"', "1", "true", "null"],
+         ['a', '2']),
+        ({"const": {"k": [1, 2]}}, ['{"k":[1,2]}'], ['{"k": [1,2]}']),
+        ({"type": "string", "minLength": 2, "maxLength": 3},
+         ['"ab"', '"abc"'], ['"a"', '"abcd"']),
+        ({"type": "string", "pattern": "^ab+$"}, ['"ab"', '"abb"'],
+         ['"a"', 'ab']),
+        ({"anyOf": [{"type": "integer"}, {"type": "null"}]},
+         ["3", "null"], ["true"]),
+        ({"type": ["integer", "boolean"]}, ["4", "true"], ["null"]),
+    ]:
+        pat = json_schema_to_regex(schema)
+        for s in good:
+            assert re.fullmatch(pat, s), (schema, s, pat)
+        for s in bad:
+            assert not re.fullmatch(pat, s), (schema, s, pat)
+
+
+def test_schema_regex_object_array():
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string", "minLength": 1, "maxLength": 4},
+            "age": {"type": "integer"},
+            "tags": {"type": "array", "items": {"enum": ["a", "b"]},
+                     "minItems": 1, "maxItems": 3},
+        },
+        "required": ["name", "age"],
+    }
+    pat = json_schema_to_regex(schema)
+    for s in ['{"name":"ab","age":3}',
+              '{"name":"x","age":-1,"tags":["a"]}',
+              '{"name":"abcd","age":0,"tags":["a","b","a"]}']:
+        assert re.fullmatch(pat, s), s
+        json.loads(s)
+    for s in ['{"age":3}',                        # missing required
+              '{"age":3,"name":"ab"}',            # wrong order (canonical)
+              '{"name":"ab","age":3,"tags":[]}',  # minItems
+              '{"name":"ab","age":3,"tags":["a","b","a","b"]}',  # maxItems
+              '{"name":"","age":3}',              # minLength
+              '{ "name":"ab","age":3}']:          # whitespace
+        assert not re.fullmatch(pat, s), s
+
+
+def test_schema_regex_refs_and_errors():
+    schema = {
+        "$defs": {"coord": {"type": "array", "items": {"type": "number"},
+                            "minItems": 2, "maxItems": 2}},
+        "type": "object",
+        "properties": {"p": {"$ref": "#/$defs/coord"}},
+        "required": ["p"],
+    }
+    pat = json_schema_to_regex(schema)
+    assert re.fullmatch(pat, '{"p":[1.5,-2]}')
+    assert not re.fullmatch(pat, '{"p":[1.5]}')
+    with pytest.raises(ValueError):    # recursion
+        json_schema_to_regex({"$defs": {"n": {"$ref": "#/$defs/n"}},
+                              "$ref": "#/$defs/n"})
+    with pytest.raises(ValueError):    # allOf
+        json_schema_to_regex({"allOf": [{"type": "integer"}]})
+    with pytest.raises(ValueError):    # required not in properties
+        json_schema_to_regex({"type": "object", "properties": {},
+                              "required": ["x"]})
+    with pytest.raises(ValueError):    # no type
+        json_schema_to_regex({})
+
+
+def test_schema_fsm_every_path_is_valid_json():
+    """Bounded-exhaustive: every token path the lifted FSM accepts parses as
+    JSON AND validates against the schema."""
+    # finite id domain so the bounded DFS covers the whole language
+    # (an unbounded integer floods the walk cap with digit expansions)
+    schema = {"type": "object",
+              "properties": {"id": {"enum": [0, 7, 12]},
+                             "a": {"enum": [True, None]}},
+              "required": ["id"]}
+    fsm = fsm_from_json_schema(schema, JSON_TOKENS, JEOS)
+    texts = _walk_accepted(fsm, _jdecode, max_len=16)
+    assert texts, "nothing accepted"
+    seen_optional = False
+    for t in texts:
+        obj = json.loads(t)      # parses
+        assert isinstance(obj["id"], int)
+        extra = set(obj) - {"id", "a"}
+        assert not extra, t
+        if "a" in obj:
+            assert obj["a"] in (True, None)
+            seen_optional = True
+    assert seen_optional, "optional property never emitted in the walk"
+
+
+def test_constrained_generate_json_schema(model):
+    """End-to-end: greedy decode under a schema FSM emits schema-valid
+    compact JSON, terminated by EOS."""
+    m, params = model
+    # model vocab is VOCAB (17); build a JSON-capable toy map of that size
+    toks = [None, "{", "}", '"', ":", ",", "a", "b", "0", "1",
+            "-", "true", "false", "null", "[", "]"]
+    assert len(toks) == VOCAB - 1
+    toks.append("<eos>")
+    # finite grammar (enum + boolean) so greedy MUST reach EOS: an
+    # unbounded integer would let the model pad digits past max_new_tokens
+    schema = {"type": "object",
+              "properties": {"a": {"enum": [0, 1, 10]},
+                             "b": {"type": "boolean"}},
+              "required": ["a", "b"]}
+    fsm = fsm_from_json_schema(schema, toks, EOS)
+    prompts = jnp.array([[1, 2, 3], [4, 5, 1]], dtype=jnp.int32)
+    out, states = constrained_generate(m, params, prompts, fsm,
+                                       max_new_tokens=24)
+    out = np.asarray(out)
+    for lane in range(2):
+        gen = list(out[lane, 3:])
+        assert EOS in gen, gen
+        text = "".join(toks[t] or "" for t in gen[:gen.index(EOS)])
+        obj = json.loads(text)
+        assert isinstance(obj["a"], int) and isinstance(obj["b"], bool), text
+    assert np.asarray(fsm.accepting)[np.asarray(states)].all()
+
+
+def test_engine_json_schema_guided(model):
+    """Per-request structured output through the serving engine."""
+    m, params = model
+    toks = [None, "{", "}", '"', ":", ",", "a", "b", "0", "1",
+            "-", "true", "false", "null", "[", "]", "<eos>"]
+    schema = {"type": "object",
+              "properties": {"a": {"enum": [0, 1, 10]}},
+              "required": ["a"]}
+    fsm = fsm_from_json_schema(schema, toks, EOS)
+    eng = ContinuousBatchEngine(m, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=16,
+                                dtype=jnp.float32, fsms=[fsm])
+    sid = eng.submit([2, 3, 4], fsm_id=0)
+    out = eng.run()[sid]
+    assert out[-1] == EOS
+    text = "".join(toks[t] or "" for t in out[:-1])
+    assert json.loads(text)["a"] in (0, 1, 10), text

@@ -24,7 +24,8 @@ from .generation import (  # noqa: F401
     group_beam_search_generate, generate_hf,
     GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
     TopKNucleusProcessor, TokenFSM, fsm_from_token_sequences,
-    fsm_from_regex, constrained_generate)
+    fsm_from_regex, fsm_from_json_schema, json_schema_to_regex,
+    constrained_generate)
 
 from .quant import (  # noqa: F401
     quantize_params, dequantize_params, quantization_error)

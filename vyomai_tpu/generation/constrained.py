@@ -426,6 +426,170 @@ def fsm_from_regex(pattern: str, token_strings: Sequence[Optional[str]],
 
 
 # ---------------------------------------------------------------------------
+# JSON Schema -> regex -> token FSM (structured output)
+#
+# The production "structured output" feature (vLLM/outlines style): compile
+# a JSON Schema to a regex over the COMPACT JSON rendering (no whitespace —
+# keeps the DFA small and the output canonical), then lift it to the
+# tokenizer with fsm_from_regex. Supported: type string/integer/number/
+# boolean/null/object/array, enum, const, anyOf/oneOf, type lists,
+# properties+required, items+minItems/maxItems, string pattern/minLength/
+# maxLength, $ref into local $defs/definitions. Numeric minimum/maximum
+# bounds are NOT enforced (not regular in decimal); recursive $refs and
+# allOf are rejected.
+# ---------------------------------------------------------------------------
+
+_REGEX_META = set("\\()[]{}|*+?.^$-")
+
+# JSON string body: unescaped chars, two-char escapes, \uXXXX
+_STRING_CHAR = r'([^"\\]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})'
+_STRING_RE = '"' + _STRING_CHAR + '*"'
+_INTEGER_RE = r"(-?(0|[1-9][0-9]*))"
+_NUMBER_RE = r"(-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?)"
+
+_MAX_OPTIONAL_PROPS = 8    # subset alternation cap: 2^8 = 256 bodies
+
+
+def _regex_escape(text: str) -> str:
+    return "".join("\\" + c if c in _REGEX_META else c for c in text)
+
+
+def _json_literal_regex(value) -> str:
+    import json
+    return _regex_escape(json.dumps(value, separators=(",", ":"),
+                                    ensure_ascii=False))
+
+
+def json_schema_to_regex(schema: dict, *, _defs=None, _depth: int = 0,
+                         _seen=None) -> str:
+    """Compile a JSON Schema (dict) to a regex over its compact JSON
+    rendering — ``json.dumps(x, separators=(',', ':'))`` of any instance
+    matching the schema fullmatches the result, and every fullmatch parses
+    as a schema-valid instance. See the section comment for the supported
+    subset; numeric min/max bounds are ignored (not regular)."""
+    if not isinstance(schema, dict):
+        raise ValueError(f"unsupported schema node: {schema!r} "
+                         "(boolean schemas are not supported)")
+    if _depth > 64:
+        raise ValueError("schema nesting too deep (>64)")
+    if _defs is None:
+        _defs = {**schema.get("$defs", {}), **schema.get("definitions", {})}
+    if _seen is None:
+        _seen = frozenset()
+    kw = dict(_defs=_defs, _depth=_depth + 1, _seen=_seen)
+
+    if "$ref" in schema:
+        ref = schema["$ref"]
+        for prefix in ("#/$defs/", "#/definitions/"):
+            if ref.startswith(prefix):
+                name = ref[len(prefix):]
+                if name in _seen:
+                    raise ValueError(f"recursive $ref {ref!r} (regular "
+                                     "languages cannot express recursion)")
+                if name not in _defs:
+                    raise ValueError(f"unresolved $ref {ref!r}")
+                return json_schema_to_regex(
+                    _defs[name], _defs=_defs, _depth=_depth + 1,
+                    _seen=_seen | {name})
+        raise ValueError(f"only local #/$defs/ refs supported, got {ref!r}")
+    if "const" in schema:
+        return _json_literal_regex(schema["const"])
+    if "enum" in schema:
+        if not schema["enum"]:
+            raise ValueError("empty enum matches nothing")
+        return "(" + "|".join(_json_literal_regex(v)
+                              for v in schema["enum"]) + ")"
+    for key in ("anyOf", "oneOf"):
+        if key in schema:
+            return "(" + "|".join(json_schema_to_regex(s, **kw)
+                                  for s in schema[key]) + ")"
+    if "allOf" in schema:
+        raise ValueError("allOf is not supported (regex intersection)")
+
+    typ = schema.get("type")
+    if isinstance(typ, list):
+        return "(" + "|".join(
+            json_schema_to_regex({**schema, "type": t}, **kw)
+            for t in typ) + ")"
+    if typ == "null":
+        return "null"
+    if typ == "boolean":
+        return "(true|false)"
+    if typ == "integer":
+        return _INTEGER_RE
+    if typ == "number":
+        return _NUMBER_RE
+    if typ == "string":
+        if "pattern" in schema:
+            pat = schema["pattern"]
+            pat = pat[1:] if pat.startswith("^") else pat
+            pat = pat[:-1] if pat.endswith("$") else pat
+            return '"' + pat + '"'
+        lo = schema.get("minLength", 0)
+        hi = schema.get("maxLength")
+        if lo or hi is not None:
+            rep = f"{{{lo},{hi}}}" if hi is not None else f"{{{lo},}}"
+            return '"' + _STRING_CHAR + rep + '"'
+        return _STRING_RE
+    if typ == "object":
+        props = schema.get("properties", {})
+        required = schema.get("required", [])
+        unknown = set(required) - set(props)
+        if unknown:
+            raise ValueError(f"required names missing from properties: "
+                             f"{sorted(unknown)}")
+        names = list(props)    # declaration order is emission order
+        optional = [n for n in names if n not in set(required)]
+        if len(optional) > _MAX_OPTIONAL_PROPS:
+            raise ValueError(
+                f"{len(optional)} optional properties exceeds the "
+                f"{_MAX_OPTIONAL_PROPS} cap (subset alternation is "
+                "exponential); mark more properties required")
+        member = {n: _json_literal_regex(n) + ":"
+                  + json_schema_to_regex(props[n], **kw) for n in names}
+        bodies = []
+        for bits in range(1 << len(optional)):
+            drop = {n for i, n in enumerate(optional) if not bits >> i & 1}
+            bodies.append(",".join(member[n] for n in names
+                                   if n not in drop))
+        bodies = sorted(set(bodies), key=len)
+        return r"\{(" + "|".join(bodies) + r")\}"
+    if typ == "array":
+        if "items" not in schema:
+            raise ValueError("array schemas need 'items' (any-type arrays "
+                             "are not regular over an open vocabulary)")
+        item = json_schema_to_regex(schema["items"], **kw)
+        lo = schema.get("minItems", 0)
+        hi = schema.get("maxItems")
+        if hi is not None and hi < lo:
+            raise ValueError(f"maxItems {hi} < minItems {lo}")
+        if hi == 0:
+            return r"\[\]"
+        more = "(," + item + ")"
+        if hi is None:
+            tail = more + "*" if lo <= 1 else more + f"{{{lo - 1},}}"
+        else:
+            tail = more + f"{{{max(lo - 1, 0)},{hi - 1}}}"
+        body = item + tail
+        if lo == 0:
+            body = "(" + body + ")?"
+        return r"\[" + body + r"\]"
+    raise ValueError(f"unsupported schema: {schema!r} (no type/enum/const/"
+                     "anyOf)")
+
+
+def fsm_from_json_schema(schema: dict,
+                         token_strings: Sequence[Optional[str]],
+                         eos_token_id: int) -> TokenFSM:
+    """Structured output: a :class:`TokenFSM` whose every accepted token
+    path decodes to compact JSON valid under ``schema`` (see
+    :func:`json_schema_to_regex` for the supported subset). Use with
+    :func:`constrained_generate` or the serving engine's ``fsms=``."""
+    return fsm_from_regex(json_schema_to_regex(schema), token_strings,
+                          eos_token_id)
+
+
+# ---------------------------------------------------------------------------
 # Jitted constrained decode loop
 # ---------------------------------------------------------------------------
 
