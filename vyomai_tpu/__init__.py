@@ -16,7 +16,8 @@ from .models import (  # noqa: F401
 from .layers.kv_cache import (  # noqa: F401
     DynamicCache, StaticCache, StaticCacheOne, DynamicCacheOne, init_cache)
 from .layers.adapters import (  # noqa: F401
-    LoraLinear, DoraLinear, trainable_mask, masked_optimizer)
+    LoraLinear, DoraLinear, trainable_mask, masked_optimizer,
+    inject_lora, inject_dora, merge_adapters, embed_multi_lora)
 from .generation import (  # noqa: F401
     generate, generate_seq2seq, generate_multimodel, speculative_generate,
     speculative_generate_onchip, speculative_generate_multimodel,

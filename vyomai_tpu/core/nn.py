@@ -11,10 +11,36 @@ Numerics match the reference exactly where parity matters:
 - LayerNorm has weight+bias and matches ``torch.nn.LayerNorm``.
 """
 
+import contextlib
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Multi-LoRA lane context (per-request adapters in batched serving)
+# ---------------------------------------------------------------------------
+
+_LORA_LANES = None
+
+
+@contextlib.contextmanager
+def lora_lanes(lanes):
+    """Trace-time context carrying per-lane adapter ids ``[B]`` int32
+    (-1 = base model only). While active, :func:`linear` resolves stacked
+    multi-adapter factors (``mlora_a [.., n, in, r]`` / ``mlora_b
+    [.., n, r, out]`` — see ``layers.adapters.embed_multi_lora``) by
+    gathering each lane's adapter and adding its low-rank delta. The
+    context is consumed at TRACE time, so it must wrap the model ``apply``
+    inside the jitted function whose argument ``lanes`` is."""
+    global _LORA_LANES
+    prev = _LORA_LANES
+    _LORA_LANES = lanes
+    try:
+        yield
+    finally:
+        _LORA_LANES = prev
 
 
 # ---------------------------------------------------------------------------
@@ -69,6 +95,22 @@ def linear(p, x):
         # alpha is pre-folded into lora_a by the merge
         y = y + (x @ p["lora_a"].astype(x.dtype)) @ \
             p["lora_b"].astype(x.dtype)
+    if "mlora_a" in p:
+        # stacked multi-adapter factors: each batch lane applies ITS OWN
+        # adapter (or none), selected by the lora_lanes context — the
+        # multi-tenant serving path (layers.adapters.embed_multi_lora).
+        # alpha is pre-folded into mlora_a by the embed.
+        if _LORA_LANES is None:
+            raise RuntimeError(
+                "params carry multi-LoRA factors (mlora_a) but no lane "
+                "context is active — wrap apply in nn.lora_lanes(lanes)")
+        sel = jnp.maximum(_LORA_LANES, 0)
+        a = jnp.take(p["mlora_a"], sel, axis=0).astype(x.dtype)  # [B, in, r]
+        bf = jnp.take(p["mlora_b"], sel, axis=0).astype(x.dtype)
+        delta = jnp.einsum("b...r,bro->b...o",
+                           jnp.einsum("b...i,bir->b...r", x, a), bf)
+        on = (_LORA_LANES >= 0).astype(x.dtype)
+        y = y + delta * on.reshape(on.shape + (1,) * (x.ndim - 1))
     if "bias" in p:
         y = y + p["bias"]
     return y

@@ -225,6 +225,72 @@ def merge_adapters(params, adapters):
     return merge(params, adapters["tree"])
 
 
+def embed_multi_lora(params, adapters_list):
+    """Embed N LoRA adapters into one param tree for MULTI-TENANT batched
+    inference (per-request adapters, S-LoRA style): every adapted linear
+    node gains ``mlora_a [.., n, in, r]`` / ``mlora_b [.., n, r, out]``
+    (adapter axis inserted AFTER any stacked-layer lead dims, so
+    ``lax.scan`` layer slicing leaves it intact), with each adapter's alpha
+    pre-folded into its A factor. At apply time ``core.nn.linear`` gathers
+    each batch lane's adapter under the ``nn.lora_lanes(lanes)`` context
+    (lane id -1 = base model, zero delta) — so one batched decode step
+    serves requests with DIFFERENT adapters over one shared base (fp, int8
+    or int4). Per-linear cost: two rank-r matmuls on gathered [B, ..]
+    factors.
+
+    ``adapters_list``: trees from :func:`inject_lora` over these
+    ``params``. All must share the rank; a node some adapters skip
+    (``filter_fn``) gets zero factors for them. The base params are
+    unchanged — unlike :func:`merge_adapters` nothing folds into kernels
+    (folding would bake ONE adapter into the shared weights).
+    """
+    if not adapters_list:
+        raise ValueError("need at least one adapter")
+    for ad in adapters_list:
+        if ad["kind"] != "lora":
+            raise ValueError("embed_multi_lora supports LoRA adapters only "
+                             "(DoRA renormalizes the kernel per adapter — "
+                             "cannot share one base matmul)")
+    def walk(params, trees, alphas):
+        if _is_linear(params):
+            got = [(t, al) for t, al in zip(trees, alphas) if t]
+            if not got:
+                return params
+            kern = _base_kernel(params)
+            dtype = _factor_dtype(params)
+            *lead, d_in, d_out = kern.shape
+            rk = {t["lora_a"].shape[-1] for t, _ in got}
+            if len(rk) > 1:
+                raise ValueError(f"mixed LoRA ranks {sorted(rk)}: all "
+                                 "adapters in one batch must share the rank")
+            r = rk.pop()
+            za = jnp.zeros((*lead, d_in, r), dtype)
+            zb = jnp.zeros((*lead, r, d_out), dtype)
+            a_parts, b_parts = [], []
+            for t, al in zip(trees, alphas):
+                if t:
+                    a_parts.append(t["lora_a"].astype(dtype)
+                                   * jnp.asarray(al, dtype))
+                    b_parts.append(t["lora_b"].astype(dtype))
+                else:
+                    a_parts.append(za)
+                    b_parts.append(zb)
+            # adapter axis after lead dims: [.., n, in, r] — lax.scan
+            # slices the LEADING layer axis, leaving [n, in, r] per layer
+            return {**params,
+                    "mlora_a": jnp.stack(a_parts, axis=-3),
+                    "mlora_b": jnp.stack(b_parts, axis=-3)}
+        if isinstance(params, dict):
+            return {k: walk(v,
+                            [t.get(k, {}) if isinstance(t, dict) else {}
+                             for t in trees], alphas)
+                    for k, v in params.items()}
+        return params
+
+    return walk(params, [ad["tree"] for ad in adapters_list],
+                [ad.get("alpha", 1.0) for ad in adapters_list])
+
+
 def trainable_mask(params, predicate: Callable[[str], bool]):
     """Boolean pytree parallel to ``params`` for optax param freezing.
 

@@ -46,7 +46,8 @@ class ContinuousBatchEngine:
                  temperature: float = 1.0, top_p: float = 1.0,
                  seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
-                 gamma: int = 4, spec_rounds: int = 2, fsms=None):
+                 gamma: int = 4, spec_rounds: int = 2, fsms=None,
+                 loras=None):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -71,9 +72,27 @@ class ContinuousBatchEngine:
         stacked ``[F, S, V]`` transition table lives on device; masking
         rides the horizon-decode loop (one gather per step). Incompatible
         with speculative decoding (draft proposals would be
-        unconstrained)."""
+        unconstrained).
+
+        ``loras``: a list of LoRA adapter trees (``layers.adapters.
+        inject_lora`` over these params) for MULTI-TENANT serving — a
+        request submitted with ``lora_id=i`` runs base + adapter ``i``,
+        while sharing the batch, the paged pool and one copy of the base
+        weights with every other request (S-LoRA style). Factors are
+        stacked on device (``embed_multi_lora``); each decode/prefill step
+        gathers per-lane factors and adds two rank-r matmuls per linear.
+        Incompatible with speculative decoding (the target verifier does
+        not thread lanes)."""
         self.model = model
         self.params = params
+        self.num_loras = 0
+        if loras:
+            if draft_model is not None:
+                raise ValueError("multi-LoRA serving is incompatible with "
+                                 "speculative decoding")
+            from ..layers.adapters import embed_multi_lora
+            self.params = embed_multi_lora(self.params, list(loras))
+            self.num_loras = len(loras)
         self.cfg = model.config
         self.plus_one = plus_one  # gemma-style (1+w) RMSNorm towers
         # host scheduler: native C++ radix/allocator when available
@@ -182,14 +201,17 @@ class ContinuousBatchEngine:
                max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None,
                top_p: Optional[float] = None,
-               fsm_id: Optional[int] = None) -> int:
+               fsm_id: Optional[int] = None,
+               lora_id: Optional[int] = None) -> int:
         """Queue a request. Per-request overrides (engine defaults when
         None): ``max_new_tokens`` (must not exceed the engine's — pool
         budgeting is sized to it), ``temperature``/``top_p`` (only
         meaningful on a ``do_sample=True`` engine — the decode batch
-        threads them as per-lane vectors), and ``fsm_id`` (guided
-        decoding: index into the engine's ``fsms`` grammar list; the
-        request's generated tokens follow that grammar)."""
+        threads them as per-lane vectors), ``fsm_id`` (guided decoding:
+        index into the engine's ``fsms`` grammar list; the request's
+        generated tokens follow that grammar), and ``lora_id`` (multi-LoRA:
+        index into the engine's ``loras`` adapter list; None = base
+        model)."""
         if not len(prompt):
             raise ValueError("empty prompt (prefill would attend nothing "
                              "and emit an arbitrary first token)")
@@ -217,6 +239,13 @@ class ContinuousBatchEngine:
             if self.eos_token_id is None:
                 raise ValueError("guided decoding needs eos_token_id (EOS "
                                  "terminates a completed grammar)")
+        if lora_id is not None:
+            if not self.num_loras:
+                raise ValueError("engine has no loras (pass loras=[...] at "
+                                 "construction for multi-LoRA serving)")
+            if not 0 <= lora_id < self.num_loras:
+                raise ValueError(f"lora_id {lora_id} outside "
+                                 f"[0, {self.num_loras})")
         sid = self._next_id
         self._next_id += 1
         state = SequenceState(sid, prompt)
@@ -227,6 +256,11 @@ class ContinuousBatchEngine:
         state.top_p = self.top_p if top_p is None else float(top_p)
         state.fsm_id = fsm_id
         state.fsm_state = 0
+        state.lora_id = -1 if lora_id is None else lora_id
+        # adapter requests produce adapter-specific KV: shift their radix
+        # keys into a disjoint namespace so prefixes are shared only among
+        # requests with the SAME adapter (never with base or each other)
+        state.cache_salt = (state.lora_id + 1) << 33
         self.waiting.append(state)
         return sid
 
@@ -353,8 +387,15 @@ class ContinuousBatchEngine:
         ops = (self._put(ids), self._put(positions), self._put(slot_blocks),
                self._put(slot_offsets), self._put(tables), self._put(ctx_len),
                self._put(true_len))
+        lora_kw = {}
+        if self.num_loras:
+            lanes = np.full(n_pad, -1, dtype=np.int32)
+            for i, state in enumerate(states):
+                lanes[i] = getattr(state, "lora_id", -1)
+            lora_kw = dict(lora_lanes=self._put(lanes))
         logits, self.pool = paged_model.prefill(
-            self.model, self.plus_one, self.params, self.pool, *ops)
+            self.model, self.plus_one, self.params, self.pool, *ops,
+            **lora_kw)
         if self.draft_model is not None:
             # the draft pool must hold the same context (same slots) so
             # speculative rounds can attend it; its logits are discarded
@@ -464,6 +505,11 @@ class ContinuousBatchEngine:
             fsm_kw = dict(fsm_next=self._fsm_next_dev,
                           fsm_ids=self._put(fsm_ids),
                           fsm_states=self._put(fsm_states))
+        if self.num_loras:
+            lanes = np.full(b, -1, dtype=np.int32)
+            for i, state, _ in live:
+                lanes[i] = getattr(state, "lora_id", -1)
+            fsm_kw["lora_lanes"] = self._put(lanes)
         gen, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             self._put(tokens), self._put(positions), self._put(tables),

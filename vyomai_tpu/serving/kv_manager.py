@@ -42,6 +42,12 @@ class SequenceState:
         self.seq_id = seq_id
         self.tokens: List[int] = list(prompt)
         self.prompt_len = len(prompt)
+        # radix-key namespace: KV depends on more than token ids when the
+        # engine serves per-request adapters (multi-LoRA), so requests with
+        # different adapters must never share cached prefixes — the engine
+        # sets a per-adapter salt that shifts every radix key token
+        # (key = token + salt), splitting the tree into disjoint namespaces
+        self.cache_salt: int = 0
         # tokens that must run through prefill on (re-)admission; equals
         # prompt_len initially, grows to len(tokens) after a preemption so
         # generated tokens' KV is recomputed (vLLM-style recompute policy)
@@ -55,9 +61,9 @@ class SequenceState:
         return len(self.tokens)
 
 
-def _chunks(tokens: Sequence[int], block_size: int):
+def _chunks(tokens: Sequence[int], block_size: int, salt: int = 0):
     for i in range(0, len(tokens) - block_size + 1, block_size):
-        yield tuple(tokens[i:i + block_size])
+        yield tuple(t + salt for t in tokens[i:i + block_size])
 
 
 class PagedKVManager:
@@ -87,7 +93,7 @@ class PagedKVManager:
         Returns the number of prompt tokens covered."""
         node = self.radix_root
         for chunk in _chunks(state.tokens[:state.prefill_len],
-                             self.block_size):
+                             self.block_size, state.cache_salt):
             child = node.children.get(chunk)
             if child is None:
                 break
@@ -189,7 +195,8 @@ class PagedKVManager:
 
         if cache_prefix and owned_full:
             node = self.radix_root
-            chunks = list(_chunks(state.tokens, self.block_size))
+            chunks = list(_chunks(state.tokens, self.block_size,
+                                  state.cache_salt))
             # walk through the cached part
             walk_ok = True
             for chunk in chunks[:n_cached]:

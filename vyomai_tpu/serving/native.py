@@ -110,7 +110,10 @@ class NativeKVManager:
         state.block_table = list(buf[:n])
 
     def match_prefix(self, state: SequenceState) -> int:
-        arr = np.asarray(state.tokens[:state.prompt_len], dtype=np.int64)
+        # cache_salt shifts radix keys into a per-adapter namespace (the
+        # C++ tree only ever sees salted ids — see SequenceState.cache_salt)
+        arr = np.asarray(state.tokens[:state.prompt_len],
+                         dtype=np.int64) + state.cache_salt
         covered = self._lib.kvm_begin(
             self._h, state.seq_id,
             arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(arr))
@@ -122,7 +125,8 @@ class NativeKVManager:
     def allocate(self, state: SequenceState, num_tokens: int) -> bool:
         if state.seq_id not in self._registered:
             # sequence without prefix-match phase (direct allocation)
-            arr = np.asarray(state.tokens[:state.prompt_len], dtype=np.int64)
+            arr = np.asarray(state.tokens[:state.prompt_len],
+                             dtype=np.int64) + state.cache_salt
             self._lib.kvm_begin(
                 self._h, state.seq_id,
                 arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(arr))
@@ -134,7 +138,8 @@ class NativeKVManager:
         return ok
 
     def append_token(self, state: SequenceState, token: int):
-        self._lib.kvm_append_token(self._h, state.seq_id, token)
+        self._lib.kvm_append_token(self._h, state.seq_id,
+                                   token + state.cache_salt)
 
     def release_sequence(self, state: SequenceState):
         self._lib.kvm_free(self._h, state.seq_id, 0)
@@ -147,7 +152,8 @@ class NativeKVManager:
         # push tokens generated since registration so full blocks get cached
         n_known = state.prompt_len
         for tok in state.tokens[n_known:]:
-            self._lib.kvm_append_token(self._h, state.seq_id, int(tok))
+            self._lib.kvm_append_token(self._h, state.seq_id,
+                                       int(tok) + state.cache_salt)
         self._lib.kvm_free(self._h, state.seq_id, int(cache_prefix))
         self._registered.discard(state.seq_id)
         state.block_table = []

@@ -190,22 +190,27 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,))
 def prefill(model, plus_one: bool, params, pool, ids, positions,
-            slot_blocks, slot_offsets, block_tables, ctx_len, true_len):
+            slot_blocks, slot_offsets, block_tables, ctx_len, true_len,
+            lora_lanes=None):
     """Batched prefill of uncached prompt suffixes (one device call for a
     whole group of admissions — the engine packs same-bucket sequences).
 
     ids/positions/slot_blocks/slot_offsets: [N, T_pad] (slot -1 = padding or
     dead lane); block_tables: [N, MAXB]; ctx_len/true_len: [N] (total
     context after prefill / number of real suffix tokens; 0 = dead lane).
+    ``lora_lanes`` [N]: per-lane adapter ids for multi-LoRA params
+    (``layers.adapters.embed_multi_lora``; -1 = base model).
     Returns (last-token logits [N, V], pool).
     """
-    hidden, pool = _multi_core(model, plus_one, params, pool, ids, positions,
-                               slot_blocks, slot_offsets, block_tables,
-                               ctx_len)
-    last = jnp.take_along_axis(
-        hidden, jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32),
-        axis=1)[:, 0]                                        # [N, Dm]
-    return _head(params, last), pool
+    with cnn.lora_lanes(lora_lanes):
+        hidden, pool = _multi_core(model, plus_one, params, pool, ids,
+                                   positions, slot_blocks, slot_offsets,
+                                   block_tables, ctx_len)
+        last = jnp.take_along_axis(
+            hidden,
+            jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32),
+            axis=1)[:, 0]                                    # [N, Dm]
+        return _head(params, last), pool
 
 
 def _decode_core(model, plus_one, params, pool, tokens, positions,
@@ -285,17 +290,19 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
          static_argnames=("allow_pallas",))
 def decode(model, plus_one: bool, params, pool, tokens, positions,
            block_tables, seq_lens, slot_blocks, slot_offsets,
-           allow_pallas: bool = True):
+           allow_pallas: bool = True, lora_lanes=None):
     """Batched single-token decode.
 
     tokens: [B] int32; positions: [B] absolute positions; block_tables:
     [B, MAXB]; seq_lens: [B] context lengths incl. the new token;
-    slot_blocks/slot_offsets: [B] pool write targets (-1 = dead lane).
+    slot_blocks/slot_offsets: [B] pool write targets (-1 = dead lane);
+    lora_lanes: [B] per-lane adapter ids (multi-LoRA params; -1 = base).
     Returns (logits [B, V], pool).
     """
-    return _decode_core(model, plus_one, params, pool, tokens, positions,
-                        block_tables, seq_lens, slot_blocks, slot_offsets,
-                        allow_pallas=allow_pallas)
+    with cnn.lora_lanes(lora_lanes):
+        return _decode_core(model, plus_one, params, pool, tokens, positions,
+                            block_tables, seq_lens, slot_blocks, slot_offsets,
+                            allow_pallas=allow_pallas)
 
 
 def sample_tokens(logits, rng, temperature, top_p):
@@ -324,7 +331,8 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    block_tables, live, horizon: int, do_sample: bool = False,
                    eos=-1, rng=None, temperature=1.0, top_p=1.0,
                    budget=None, allow_pallas: bool = True,
-                   fsm_next=None, fsm_ids=None, fsm_states=None):
+                   fsm_next=None, fsm_ids=None, fsm_states=None,
+                   lora_lanes=None):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -395,9 +403,10 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         pos = jnp.where(alive, pos + 1, pos)
         return i + 1, nxt, pos, alive, key, fst, pl_, out
 
-    _, _, _, _, _, _, pool, out_buf = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
-                     live, rng, fsm_states, pool, out_buf))
+    with cnn.lora_lanes(lora_lanes):
+        _, _, _, _, _, _, pool, out_buf = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
+                         live, rng, fsm_states, pool, out_buf))
     return out_buf, pool
 
 
