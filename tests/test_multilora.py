@@ -158,3 +158,30 @@ def test_engine_multilora_validation(setup):
         from vyomai_tpu.layers.adapters import inject_dora
         embed_multi_lora(params, [inject_dora(params,
                                               jax.random.PRNGKey(0))])
+
+
+def test_engine_multilora_tp_matches_single_chip(setup):
+    """Multi-LoRA composes with tensor-parallel serving: replicated stacked
+    factors + Megatron-sharded base on a (1, 2) virtual CPU mesh emit
+    exactly the single-chip multi-tenant tokens."""
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    m, params, adapters = setup
+    prompts = [[3, 17, 42, 9], [5, 11, 2]]
+
+    def run(mesh):
+        eng = ContinuousBatchEngine(m, params, num_blocks=64, block_size=8,
+                                    max_batch=2, max_blocks_per_seq=8,
+                                    max_new_tokens=6, dtype=jnp.float32,
+                                    prefill_buckets=(8, 16), mesh=mesh,
+                                    loras=adapters)
+        sids = [eng.submit(prompts[0], lora_id=1), eng.submit(prompts[1])]
+        out = eng.run()
+        return [out[s] for s in sids]
+
+    with jax.default_device(cpus[0]):
+        single = run(None)
+        mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+        assert run(mesh) == single
