@@ -659,3 +659,61 @@ def test_engine_speculative_rejects_sampling(qwen, draft):
         ContinuousBatchEngine(model, params, draft_model=dmodel,
                               draft_params=dparams, do_sample=True,
                               **_spec_kwargs())
+
+
+def test_engine_logprobs_and_metrics(qwen):
+    """return_logprobs: the engine's per-token logprobs match a dense
+    teacher-forced forward's log-softmax at each generated position; the
+    metrics snapshot is consistent with what actually ran."""
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11]]
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=6,
+                                dtype=jnp.float32, return_logprobs=True)
+    sids = [eng.submit(p) for p in prompts]
+    out = eng.run(with_logprobs=True)
+    for sid, prompt in zip(sids, prompts):
+        toks, lps = out[sid]
+        assert len(toks) == len(lps) == 6
+        full = prompt + toks
+        logits = model.apply(params, jnp.asarray([full])).logits[0]
+        dist = np.asarray(jax.nn.log_softmax(
+            logits.astype(jnp.float32), axis=-1))
+        for i, (t, lp) in enumerate(zip(toks, lps)):
+            want = dist[len(prompt) + i - 1, t]
+            assert abs(lp - want) < 2e-3, (i, lp, want)
+    m = eng.metrics()
+    assert m["requests_submitted"] == 2 and m["requests_completed"] == 2
+    assert m["tokens_generated"] == 12
+    assert m["prompt_tokens"] == 6
+    assert m["prefill_calls"] >= 1 and m["decode_ticks"] >= 1
+    assert m["ttft_mean_s"] > 0 and m["tokens_per_s"] > 0
+    # plain engine rejects the logprobs ask
+    plain = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                  max_batch=2, dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        plain.run(with_logprobs=True)
+
+
+def test_engine_logprobs_sampled_and_guided(qwen):
+    """Sampled + FSM-guided lanes report RAW-model logprobs (convention:
+    unmasked, untempered log-softmax) for the tokens actually chosen."""
+    from vyomai_tpu.generation import fsm_from_token_sequences
+    model, params = qwen
+    V = model.config.vocab_size
+    fsm = fsm_from_token_sequences([[7, 9], [7, 11, 13]], vocab_size=V,
+                                   eos_token_id=2)
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=6,
+                                eos_token_id=2, dtype=jnp.float32,
+                                do_sample=True, temperature=1.3, seed=3,
+                                return_logprobs=True, fsms=[fsm])
+    sid = eng.submit([3, 17, 42], fsm_id=0)
+    toks, lps = eng.run(with_logprobs=True)[sid]
+    assert toks[-1] == 2 and toks[0] == 7
+    full = [3, 17, 42] + toks
+    logits = model.apply(params, jnp.asarray([full])).logits[0]
+    dist = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
+    for i, (t, lp) in enumerate(zip(toks, lps)):
+        want = dist[3 + i - 1, t]
+        assert abs(lp - want) < 2e-3, (i, lp, want)

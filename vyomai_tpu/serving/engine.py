@@ -11,6 +11,7 @@ match, finished harvest) around jitted static-shape device steps:
 Sampling is greedy argmax (the reference's choice).
 """
 
+import time
 from collections import deque
 from typing import Dict, List, Optional, Sequence
 
@@ -24,6 +25,14 @@ from .kv_manager import PagedKVManager, SequenceState
 
 
 _sample_jit = jax.jit(paged_model.sample_tokens)
+
+
+@jax.jit
+def _logprob_jit(logits, tokens):
+    """Raw-model logprob of each chosen token ([B, V], [B]) -> [B] fp32."""
+    dist = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(
+        dist, tokens[:, None].astype(jnp.int32), axis=1)[:, 0]
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -47,7 +56,7 @@ class ContinuousBatchEngine:
                  seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
                  gamma: int = 4, spec_rounds: int = 2, fsms=None,
-                 loras=None):
+                 loras=None, return_logprobs: bool = False):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -82,7 +91,13 @@ class ContinuousBatchEngine:
         stacked on device (``embed_multi_lora``); each decode/prefill step
         gathers per-lane factors and adds two rank-r matmuls per linear.
         Incompatible with speculative decoding (the target verifier does
-        not thread lanes)."""
+        not thread lanes).
+
+        ``return_logprobs``: track each generated token's RAW model
+        log-probability (fp32 log-softmax of unmasked/untempered logits —
+        the serving-API ``logprobs`` convention). Read them via
+        ``run(with_logprobs=True)`` or a finished state's ``logprobs``.
+        Incompatible with speculative decoding."""
         self.model = model
         self.params = params
         self.num_loras = 0
@@ -183,11 +198,25 @@ class ContinuousBatchEngine:
             for i, f in enumerate(self.fsms):
                 stacked[i, :f.num_states] = f.next_state
             self._fsm_next_dev = self._put(stacked)
+        self.return_logprobs = bool(return_logprobs)
+        if self.return_logprobs and draft_model is not None:
+            raise ValueError("return_logprobs is incompatible with "
+                             "speculative decoding (verification emits "
+                             "tokens without per-step distributions)")
         self.waiting: deque = deque()
         self.active: Dict[int, SequenceState] = {}
         self.needs_prefill: deque = deque()
         self.finished: Dict[int, SequenceState] = {}
         self._next_id = 0
+        # observability: running counters + per-request time-to-first-token
+        self.counters = {
+            "requests_submitted": 0, "requests_completed": 0,
+            "prompt_tokens": 0, "cached_prompt_tokens": 0,
+            "tokens_generated": 0, "prefill_calls": 0,
+            "decode_ticks": 0, "spec_ticks": 0, "preemptions": 0,
+        }
+        self._ttft: List[float] = []
+        self._t_start = time.monotonic()
 
     def _put(self, x):
         """Host array -> device. Under a mesh, commit replicated so every
@@ -261,19 +290,47 @@ class ContinuousBatchEngine:
         # keys into a disjoint namespace so prefixes are shared only among
         # requests with the SAME adapter (never with base or each other)
         state.cache_salt = (state.lora_id + 1) << 33
+        state.logprobs = []
+        state.t_submit = time.monotonic()
+        self.counters["requests_submitted"] += 1
+        self.counters["prompt_tokens"] += len(prompt)
         self.waiting.append(state)
         return sid
 
-    def run(self) -> Dict[int, List[int]]:
-        """Drain all requests; returns {seq_id: generated tokens} for the
-        sequences that finished since the last ``run`` (results are
-        consumed — a long-lived engine does not accumulate them)."""
+    def run(self, with_logprobs: bool = False) -> Dict[int, List[int]]:
+        """Drain all requests; returns {seq_id: generated tokens} — or
+        {seq_id: (tokens, logprobs)} with ``with_logprobs=True`` on a
+        ``return_logprobs`` engine — for the sequences that finished since
+        the last ``run`` (results are consumed — a long-lived engine does
+        not accumulate them)."""
+        if with_logprobs and not self.return_logprobs:
+            raise ValueError("engine was built with return_logprobs=False")
         while self.waiting or self.active or self.needs_prefill:
             self.step()
-        done = {sid: s.tokens[s.prompt_len:]
-                for sid, s in self.finished.items()}
+        if with_logprobs:
+            done = {sid: (s.tokens[s.prompt_len:], list(s.logprobs))
+                    for sid, s in self.finished.items()}
+        else:
+            done = {sid: s.tokens[s.prompt_len:]
+                    for sid, s in self.finished.items()}
         self.finished.clear()
         return done
+
+    def metrics(self) -> Dict[str, float]:
+        """Snapshot of serving metrics: the running ``counters`` plus
+        derived rates — ``ttft_mean_s``/``ttft_max_s`` (submit -> first
+        generated token), ``cache_hit_rate`` (prompt tokens served from the
+        radix cache), and ``tokens_per_s`` since engine construction."""
+        out = dict(self.counters)
+        out["ttft_mean_s"] = (sum(self._ttft) / len(self._ttft)
+                              if self._ttft else 0.0)
+        out["ttft_max_s"] = max(self._ttft, default=0.0)
+        out["cache_hit_rate"] = (
+            self.counters["cached_prompt_tokens"]
+            / max(self.counters["prompt_tokens"], 1))
+        out["tokens_per_s"] = self.counters["tokens_generated"] / max(
+            time.monotonic() - self._t_start, 1e-9)
+        return out
 
     def stream(self):
         """Drain all requests, yielding ``(seq_id, token_id, finished)``
@@ -324,6 +381,7 @@ class ContinuousBatchEngine:
                         f"tokens needs {self.kv.blocks_needed(budget)} "
                         f"blocks, pool has {self.kv.num_blocks}")
                 break
+            self.counters["cached_prompt_tokens"] += state.num_cached_tokens
             self.waiting.popleft()
             self.needs_prefill.append(state)
 
@@ -333,6 +391,7 @@ class ContinuousBatchEngine:
         it back at the head of the waiting queue; its generated tokens are
         re-prefilled on re-admission)."""
         victim = max(self.active.values(), key=lambda s: s.seq_id)
+        self.counters["preemptions"] += 1
         self.kv.free(victim, cache_prefix=False)
         self.active.pop(victim.seq_id, None)
         victim.prefill_len = len(victim.tokens)
@@ -402,19 +461,29 @@ class ContinuousBatchEngine:
             _, self.draft_pool = paged_model.prefill(
                 self.draft_model, self.draft_plus_one, self.draft_params,
                 self.draft_pool, *ops)
-        next_tokens = np.asarray(self._pick_tokens(logits, states))
+        self.counters["prefill_calls"] += 1
+        next_tokens, next_lps = self._pick_tokens(logits, states)
         for i, state in enumerate(states):
             if is_final[i]:
                 self.active[state.seq_id] = state
-                self._append_token(state, int(next_tokens[i]))
+                self._append_token(
+                    state, int(next_tokens[i]),
+                    None if next_lps is None else next_lps[i])
             else:  # more chunks to go: KV written, logits discarded
                 state.num_cached_tokens += len(suffixes[i])
                 self.needs_prefill.appendleft(state)
 
-    def _append_token(self, state: SequenceState, tok: int):
+    def _append_token(self, state: SequenceState, tok: int,
+                      logprob: Optional[float] = None):
         """Append a generated token, advancing the request's grammar state
         (host mirror of the device-side FSM threading), then finish-check."""
         state.tokens.append(tok)
+        if len(state.tokens) == state.prompt_len + 1:
+            self._ttft.append(time.monotonic()
+                              - getattr(state, "t_submit", self._t_start))
+        self.counters["tokens_generated"] += 1
+        if self.return_logprobs:
+            state.logprobs.append(0.0 if logprob is None else float(logprob))
         if getattr(state, "fsm_id", None) is not None \
                 and tok != self.eos_token_id:
             state.fsm_state = self.fsms[state.fsm_id].advance(
@@ -434,14 +503,23 @@ class ContinuousBatchEngine:
         return mask
 
     def _pick_tokens(self, logits, states):
+        """(tokens [b], logprobs [b] | None) for one batch of last-position
+        logits (prefill path). Logprobs follow the raw-model convention of
+        ``decode_horizon(with_logprobs=True)``."""
+        raw = logits
         mask = self._fsm_mask(states, logits.shape[0]) if self.fsms else None
         if mask is not None:
             logits = jnp.where(self._put(mask), logits, -1e30)
         if not self.do_sample:
-            return jnp.argmax(logits, axis=-1)
-        self._rng, sub = jax.random.split(self._rng)
-        temps, tps = self._lane_sampling(states, logits.shape[0])
-        return _sample_jit(logits, self._put(sub), temps, tps)
+            toks = jnp.argmax(logits, axis=-1)
+        else:
+            self._rng, sub = jax.random.split(self._rng)
+            temps, tps = self._lane_sampling(states, logits.shape[0])
+            toks = _sample_jit(logits, self._put(sub), temps, tps)
+        if not self.return_logprobs:
+            return np.asarray(toks), None
+        lps = _logprob_jit(raw, toks)
+        return np.asarray(toks), np.asarray(lps)
 
     def _lane_sampling(self, states, b):
         """Per-lane [b] temperature/top_p vectors (per-request overrides,
@@ -510,19 +588,23 @@ class ContinuousBatchEngine:
             for i, state, _ in live:
                 lanes[i] = getattr(state, "lora_id", -1)
             fsm_kw["lora_lanes"] = self._put(lanes)
-        gen, self.pool = paged_model.decode_horizon(
+        self.counters["decode_ticks"] += 1
+        gen, lps, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             self._put(tokens), self._put(positions), self._put(tables),
             self._put(live_mask), horizon, self.do_sample,
             eos=(-1 if self.eos_token_id is None else self.eos_token_id),
             rng=self._put(sub), temperature=temps,
             top_p=tps, budget=self._put(budget),
-            allow_pallas=self._allow_pallas, **fsm_kw)
+            allow_pallas=self._allow_pallas,
+            with_logprobs=self.return_logprobs, **fsm_kw)
         gen = np.asarray(gen)
+        lps = np.asarray(lps) if self.return_logprobs else None
         for i, state, h in live:
             # only the granted steps are backed by allocated blocks
-            for t in gen[i, :h]:
-                self._append_token(state, int(t))
+            for j in range(h):
+                self._append_token(state, int(gen[i, j]),
+                                   None if lps is None else lps[i, j])
                 if state.finished:
                     break
 
@@ -558,6 +640,7 @@ class ContinuousBatchEngine:
             tables[i, :len(state.block_table)] = state.block_table
             live.append((i, state))
 
+        self.counters["spec_ticks"] += 1
         gen, counts, acc, spec, self.pool, self.draft_pool = \
             paged_model.speculative_horizon(
                 self.model, self.draft_model, self.plus_one,
@@ -590,6 +673,7 @@ class ContinuousBatchEngine:
         limit = getattr(state, "max_new", self.max_new_tokens)
         if hit_eos or new >= limit or out_of_blocks:
             state.finished = True
+            self.counters["requests_completed"] += 1
             self.kv.free(state)
             self.active.pop(state.seq_id, None)
             self.finished[state.seq_id] = state

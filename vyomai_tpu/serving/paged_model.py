@@ -326,13 +326,13 @@ def sample_tokens(logits, rng, temperature, top_p):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,),
-         static_argnames=("allow_pallas",))
+         static_argnames=("allow_pallas", "with_logprobs"))
 def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    block_tables, live, horizon: int, do_sample: bool = False,
                    eos=-1, rng=None, temperature=1.0, top_p=1.0,
                    budget=None, allow_pallas: bool = True,
                    fsm_next=None, fsm_ids=None, fsm_states=None,
-                   lora_lanes=None):
+                   lora_lanes=None, with_logprobs: bool = False):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -355,10 +355,17 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     ``fsm_states`` [B] each lane's current FSM state — the mask is one
     gather per step, the state threads through the device loop.
 
-    Returns (generated [B, horizon], pool)."""
+    ``with_logprobs``: also return the RAW model log-probability (fp32
+    log-softmax of the unmasked, untempered logits) of each chosen token —
+    the serving-API ``logprobs`` convention (HF
+    ``compute_transition_scores(normalize_logits=True)`` on unprocessed
+    scores). Dead-lane entries are 0.
+
+    Returns (generated [B, horizon], logprobs [B, horizon] fp32, pool)."""
     b = tokens.shape[0]
     bs = pool["kv"].shape[3]
     out_buf = jnp.zeros((b, horizon), dtype=jnp.int32)
+    lp_buf = jnp.zeros((b, horizon), dtype=jnp.float32)
     eos = jnp.asarray(eos, dtype=jnp.int32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -368,11 +375,11 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         fsm_states = jnp.zeros((b,), jnp.int32)
 
     def cond(carry):
-        i, _, _, alive, _, _, _, _ = carry
+        i, _, _, alive, _, _, _, _, _ = carry
         return (i < horizon) & jnp.any(alive)
 
     def body(carry):
-        i, toks, pos, alive, key, fst, pl_, out = carry
+        i, toks, pos, alive, key, fst, pl_, out, lps = carry
         blk_idx = pos // bs
         slot_blocks = jnp.where(
             alive, jnp.take_along_axis(block_tables, blk_idx[:, None],
@@ -382,6 +389,7 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         logits, pl_ = _decode_core(model, plus_one, params, pl_, toks, pos,
                                    block_tables, seq_lens, slot_blocks,
                                    slot_offsets, allow_pallas=allow_pallas)
+        raw = logits
         if fsm_next is not None:
             con = fsm_ids >= 0
             row = fsm_next[jnp.maximum(fsm_ids, 0),
@@ -395,19 +403,23 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         else:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(alive, nxt, toks)                # freeze dead lanes
+        if with_logprobs:
+            dist = jax.nn.log_softmax(raw.astype(jnp.float32), axis=-1)
+            lp = jnp.take_along_axis(dist, nxt[:, None], axis=1)[:, 0]
+            lps = lps.at[:, i].set(jnp.where(alive, lp, 0.0))
         if fsm_next is not None:
             step = jnp.take_along_axis(row, nxt[:, None], axis=1)[:, 0]
             fst = jnp.where(con & alive, step, fst)
         out = out.at[:, i].set(jnp.where(alive, nxt, 0))
         alive = alive & (nxt != eos) & (i + 1 < budget)
         pos = jnp.where(alive, pos + 1, pos)
-        return i + 1, nxt, pos, alive, key, fst, pl_, out
+        return i + 1, nxt, pos, alive, key, fst, pl_, out, lps
 
     with cnn.lora_lanes(lora_lanes):
-        _, _, _, _, _, _, pool, out_buf = jax.lax.while_loop(
+        _, _, _, _, _, _, pool, out_buf, lp_buf = jax.lax.while_loop(
             cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
-                         live, rng, fsm_states, pool, out_buf))
-    return out_buf, pool
+                         live, rng, fsm_states, pool, out_buf, lp_buf))
+    return out_buf, lp_buf, pool
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 12, 13), donate_argnums=(6, 7),
