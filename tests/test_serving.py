@@ -717,3 +717,34 @@ def test_engine_logprobs_sampled_and_guided(qwen):
     for i, (t, lp) in enumerate(zip(toks, lps)):
         want = dist[3 + i - 1, t]
         assert abs(lp - want) < 2e-3, (i, lp, want)
+
+
+def test_engine_min_p_sampling(qwen):
+    """min-p sampling: tokens below min_p * p_max are never drawn. With
+    min_p=1.0 sampling degenerates to greedy (only the argmax survives)."""
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11]]
+    greedy = ContinuousBatchEngine(model, params, num_blocks=64,
+                                   block_size=8, max_batch=2,
+                                   max_new_tokens=6, dtype=jnp.float32)
+    sids = [greedy.submit(p) for p in prompts]
+    out_g = greedy.run()
+    base = [out_g[s] for s in sids]
+
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=6,
+                                dtype=jnp.float32, do_sample=True,
+                                temperature=2.0, seed=11, min_p=1.0)
+    sids = [eng.submit(p) for p in prompts]
+    out = eng.run()
+    assert [out[s] for s in sids] == base
+    # per-request override: min_p=1.0 lane greedy, min_p=0 lane free
+    eng2 = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                 max_batch=2, max_new_tokens=6,
+                                 dtype=jnp.float32, do_sample=True,
+                                 temperature=3.0, seed=11)
+    s_greedy = eng2.submit(prompts[0], min_p=1.0)
+    s_free = eng2.submit(prompts[1])
+    out2 = eng2.run()
+    assert out2[s_greedy] == base[0]
+    assert len(out2[s_free]) == 6

@@ -24,7 +24,7 @@ from .generation import (  # noqa: F401
     beam_search_generate, beam_sample_generate,
     group_beam_search_generate, generate_hf,
     GreedyProcessor, MultinomialProcessor, TopKProcessor, NucleusProcessor,
-    TopKNucleusProcessor, TokenFSM, fsm_from_token_sequences,
+    TopKNucleusProcessor, MinPProcessor, TokenFSM, fsm_from_token_sequences,
     fsm_from_regex, fsm_from_json_schema, json_schema_to_regex,
     constrained_generate)
 

@@ -69,6 +69,17 @@ def _top_p_mask(logits, top_p: float):
     return jnp.take_along_axis(sorted_logits, inv, axis=-1)
 
 
+def _min_p_mask(logits, min_p):
+    """min-p filtering (Nguyen et al. 2024; vLLM/llama.cpp standard): keep
+    tokens whose probability is at least ``min_p`` times the top token's —
+    an ADAPTIVE cutoff (loose when the model is uncertain, tight when
+    confident), unlike top-k's fixed count or top-p's fixed mass.
+    ``min_p`` may be a scalar or ``[..., 1]``-broadcastable per-lane."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    cutoff = min_p * jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(probs < cutoff, _MASKED, logits)
+
+
 class TopKProcessor(MultinomialProcessor):
     def __init__(self, temperature: float, top_k: int):
         super().__init__(temperature)
@@ -95,6 +106,15 @@ class TopKNucleusProcessor(MultinomialProcessor):
 
     def _process(self, logits):
         return _top_p_mask(_top_k_mask(logits, self.top_k), self.top_p)
+
+
+class MinPProcessor(MultinomialProcessor):
+    def __init__(self, temperature: float, min_p: float):
+        super().__init__(temperature)
+        self.min_p = min_p
+
+    def _process(self, logits):
+        return _min_p_mask(logits, self.min_p)
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,7 @@ class ContinuousBatchEngine:
                  kv_backend: str = "auto", decode_horizon: int = 8,
                  prefill_group: int = 4, do_sample: bool = False,
                  temperature: float = 1.0, top_p: float = 1.0,
-                 seed: int = 0, mesh=None, draft_model=None,
+                 min_p: float = 0.0, seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
                  gamma: int = 4, spec_rounds: int = 2, fsms=None,
                  loras=None, return_logprobs: bool = False):
@@ -137,6 +137,7 @@ class ContinuousBatchEngine:
         self.do_sample = do_sample
         self.temperature = float(temperature)
         self.top_p = float(top_p)
+        self.min_p = float(min_p)
         self._rng = jax.random.PRNGKey(seed)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
@@ -230,6 +231,7 @@ class ContinuousBatchEngine:
                max_new_tokens: Optional[int] = None,
                temperature: Optional[float] = None,
                top_p: Optional[float] = None,
+               min_p: Optional[float] = None,
                fsm_id: Optional[int] = None,
                lora_id: Optional[int] = None) -> int:
         """Queue a request. Per-request overrides (engine defaults when
@@ -283,6 +285,7 @@ class ContinuousBatchEngine:
         state.temperature = (self.temperature if temperature is None
                              else float(temperature))
         state.top_p = self.top_p if top_p is None else float(top_p)
+        state.min_p = self.min_p if min_p is None else float(min_p)
         state.fsm_id = fsm_id
         state.fsm_state = 0
         state.lora_id = -1 if lora_id is None else lora_id
@@ -514,8 +517,8 @@ class ContinuousBatchEngine:
             toks = jnp.argmax(logits, axis=-1)
         else:
             self._rng, sub = jax.random.split(self._rng)
-            temps, tps = self._lane_sampling(states, logits.shape[0])
-            toks = _sample_jit(logits, self._put(sub), temps, tps)
+            temps, tps, mps = self._lane_sampling(states, logits.shape[0])
+            toks = _sample_jit(logits, self._put(sub), temps, tps, mps)
         if not self.return_logprobs:
             return np.asarray(toks), None
         lps = _logprob_jit(raw, toks)
@@ -526,11 +529,13 @@ class ContinuousBatchEngine:
         engine defaults elsewhere). Row i belongs to states[i]."""
         temps = np.full(b, self.temperature, np.float32)
         tps = np.full(b, self.top_p, np.float32)
+        mps = np.full(b, self.min_p, np.float32)
         for i, s in enumerate(states[:b]):
             if s is not None:
                 temps[i] = getattr(s, "temperature", self.temperature)
                 tps[i] = getattr(s, "top_p", self.top_p)
-        return self._put(temps), self._put(tps)
+                mps[i] = getattr(s, "min_p", self.min_p)
+        return self._put(temps), self._put(tps), self._put(mps)
 
     def _decode_batch(self):
         states = [s for s in self.active.values() if not s.finished]
@@ -571,7 +576,7 @@ class ContinuousBatchEngine:
             self._preempt_youngest()
             return
         self._rng, sub = jax.random.split(self._rng)
-        temps, tps = self._lane_sampling(states, b)
+        temps, tps, mps = self._lane_sampling(states, b)
         fsm_kw = {}
         if self.fsms:
             fsm_ids = np.full(b, -1, dtype=np.int32)
@@ -595,7 +600,7 @@ class ContinuousBatchEngine:
             self._put(live_mask), horizon, self.do_sample,
             eos=(-1 if self.eos_token_id is None else self.eos_token_id),
             rng=self._put(sub), temperature=temps,
-            top_p=tps, budget=self._put(budget),
+            top_p=tps, min_p=mps, budget=self._put(budget),
             allow_pallas=self._allow_pallas,
             with_logprobs=self.return_logprobs, **fsm_kw)
         gen = np.asarray(gen)

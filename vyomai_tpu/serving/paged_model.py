@@ -305,23 +305,28 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
                             allow_pallas=allow_pallas)
 
 
-def sample_tokens(logits, rng, temperature, top_p):
-    """Temperature + nucleus (top-p) sampling on device. logits: [B, V];
-    temperature/top_p: f32 scalars or [B] per-lane vectors (per-request
-    sampling params). Returns [B] int32.
+def sample_tokens(logits, rng, temperature, top_p, min_p=0.0):
+    """Temperature + nucleus (top-p) + min-p sampling on device. logits:
+    [B, V]; temperature/top_p/min_p: f32 scalars or [B] per-lane vectors
+    (per-request sampling params; min_p=0 disables, vLLM order: after
+    temperature). Returns [B] int32.
 
-    Reuses ``generation.sampling._top_p_mask`` so serving and the decode
-    loops share one nucleus implementation (same boundary semantics)."""
-    from ..generation.sampling import _top_p_mask
+    Reuses ``generation.sampling`` masks so serving and the decode loops
+    share one implementation (same boundary semantics)."""
+    from ..generation.sampling import _min_p_mask, _top_p_mask
 
     temperature = jnp.asarray(temperature, jnp.float32)
     top_p = jnp.asarray(top_p, jnp.float32)
+    min_p = jnp.asarray(min_p, jnp.float32)
     if temperature.ndim == 1:
         temperature = temperature[:, None]
     if top_p.ndim == 1:
         top_p = top_p[:, None]
+    if min_p.ndim == 1:
+        min_p = min_p[:, None]
     logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
     masked = _top_p_mask(logits, top_p)
+    masked = _min_p_mask(masked, min_p)
     return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
 
@@ -329,7 +334,7 @@ def sample_tokens(logits, rng, temperature, top_p):
          static_argnames=("allow_pallas", "with_logprobs"))
 def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    block_tables, live, horizon: int, do_sample: bool = False,
-                   eos=-1, rng=None, temperature=1.0, top_p=1.0,
+                   eos=-1, rng=None, temperature=1.0, top_p=1.0, min_p=0.0,
                    budget=None, allow_pallas: bool = True,
                    fsm_next=None, fsm_ids=None, fsm_states=None,
                    lora_lanes=None, with_logprobs: bool = False):
@@ -399,7 +404,7 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                                logits.astype(jnp.float32))
         if do_sample:
             key, sub = jax.random.split(key)
-            nxt = sample_tokens(logits, sub, temperature, top_p)
+            nxt = sample_tokens(logits, sub, temperature, top_p, min_p)
         else:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(alive, nxt, toks)                # freeze dead lanes
