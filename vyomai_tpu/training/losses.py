@@ -89,6 +89,52 @@ def clip_loss(image_embeds, text_embeds, logit_scale, *,
     return 0.5 * (li + lt)
 
 
+def group_advantages(rewards, group_size: int, *, eps: float = 1e-4):
+    """GRPO group-relative advantages (DeepSeekMath, Shao et al. 2024):
+    rewards [B] laid out as ``B = n_prompts * group_size`` with each
+    prompt's ``group_size`` rollouts contiguous. Each rollout's advantage
+    is its reward standardized WITHIN its group — no learned value
+    function (the group mean is the baseline). Returns [B] fp32."""
+    r = rewards.astype(jnp.float32).reshape(-1, group_size)
+    mean = r.mean(axis=1, keepdims=True)
+    std = r.std(axis=1, keepdims=True)
+    return ((r - mean) / (std + eps)).reshape(-1)
+
+
+def grpo_loss(policy_logps, old_logps, ref_logps, advantages, mask, *,
+              clip_eps: float = 0.2, kl_beta: float = 0.04):
+    """GRPO objective: PPO-style clipped surrogate with group-relative
+    advantages plus a per-token KL penalty to the frozen reference policy.
+
+    policy_logps/old_logps/ref_logps: [B, T] per-token log-probs of the
+    TAKEN tokens (``token_logprobs``) under the current, rollout-time, and
+    reference policies; advantages: [B] (``group_advantages``); mask:
+    [B, T] 1 where the token belongs to the completion. The KL term uses
+    the k3 estimator ``exp(ref - pi) - (ref - pi) - 1`` (unbiased,
+    non-negative — the GRPO paper's choice). Gradients flow only through
+    ``policy_logps``. Returns (loss, mean_kl)."""
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(m.sum(), 1.0)
+    ratio = jnp.exp(policy_logps - jax.lax.stop_gradient(old_logps))
+    adv = advantages[:, None].astype(jnp.float32)
+    surr = jnp.minimum(
+        ratio * adv,
+        jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv)
+    d = jax.lax.stop_gradient(ref_logps) - policy_logps
+    kl = jnp.exp(d) - d - 1.0
+    loss = -jnp.sum((surr - kl_beta * kl) * m) / denom
+    return loss, jnp.sum(kl * m) / denom
+
+
+def token_logprobs(logits, labels):
+    """Per-token log-probs of ``labels`` under ``logits``, SHIFTED for CLM
+    (position t predicts token t+1): returns [B, L-1] fp32 where column i
+    scores ``labels[:, i+1]``. Pair with a [B, L-1] completion mask."""
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(
+        logp, labels[:, 1:][..., None], axis=-1)[..., 0]
+
+
 def distillation_loss(student_logits, teacher_logits, labels, *,
                       temperature: float = 2.0, alpha: float = 0.5,
                       ignore_index: int = -100):
