@@ -748,3 +748,63 @@ def test_engine_min_p_sampling(qwen):
     out2 = eng2.run()
     assert out2[s_greedy] == base[0]
     assert len(out2[s_free]) == 6
+
+
+def test_engine_stop_sequences(qwen):
+    """Per-request multi-token stop sequences: generation ends when the
+    output ends with any stop; the matched suffix is EXCLUDED (vLLM
+    stop-string semantics)."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9]
+    base_eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                     block_size=8, max_batch=2,
+                                     max_new_tokens=10, dtype=jnp.float32)
+    sid = base_eng.submit(prompt)
+    base = base_eng.run()[sid]
+    assert len(base) == 10
+    # stop on a 2-token suffix of the base output; expected = host replay
+    # of the exclusion semantics (the toy model may repeat tokens, so the
+    # match can fire earlier than its source position)
+    stop = [list(base[2:4])]
+
+    def replay(toks):
+        out = []
+        for t in toks:
+            out.append(t)
+            for seq in stop:
+                if len(out) >= len(seq) and out[-len(seq):] == seq:
+                    return out[:-len(seq)]
+        return out
+
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=10,
+                                dtype=jnp.float32)
+    s1 = eng.submit(prompt, stop=stop)
+    s2 = eng.submit(prompt)                 # unaffected lane
+    out = eng.run()
+    assert out[s1] == replay(base), (out[s1], base)
+    assert len(out[s1]) < len(base)         # it actually stopped early
+    assert out[s2] == base
+    with pytest.raises(ValueError):
+        eng.submit(prompt, stop=[[]])
+
+
+def test_engine_abort(qwen):
+    """abort() removes a request from any stage; blocks are freed (pool
+    back to full) and it never surfaces in results."""
+    model, params = qwen
+    eng = ContinuousBatchEngine(model, params, num_blocks=16, block_size=8,
+                                max_batch=2, max_new_tokens=8,
+                                decode_horizon=2, dtype=jnp.float32)
+    free0 = eng.kv.num_free()
+    s_wait = eng.submit([1, 2, 3])
+    assert eng.abort(s_wait) and not eng.waiting
+    s1 = eng.submit([3, 17, 42, 9])
+    s2 = eng.submit([5, 11, 2])
+    eng.step()   # prefill both + one 2-token decode tick: still active
+    assert eng.abort(s1)
+    assert not eng.abort(s1)                # already gone
+    assert not eng.abort(999)               # unknown
+    out = eng.run()
+    assert s1 not in out and len(out[s2]) == 8
+    assert eng.kv.num_free() == free0       # everything returned

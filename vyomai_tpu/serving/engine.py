@@ -233,7 +233,8 @@ class ContinuousBatchEngine:
                top_p: Optional[float] = None,
                min_p: Optional[float] = None,
                fsm_id: Optional[int] = None,
-               lora_id: Optional[int] = None) -> int:
+               lora_id: Optional[int] = None,
+               stop: Optional[Sequence[Sequence[int]]] = None) -> int:
         """Queue a request. Per-request overrides (engine defaults when
         None): ``max_new_tokens`` (must not exceed the engine's — pool
         budgeting is sized to it), ``temperature``/``top_p`` (only
@@ -242,7 +243,10 @@ class ContinuousBatchEngine:
         index into the engine's ``fsms`` grammar list; the request's
         generated tokens follow that grammar), and ``lora_id`` (multi-LoRA:
         index into the engine's ``loras`` adapter list; None = base
-        model)."""
+        model), and ``stop`` (a list of token-id sequences: generation
+        finishes when the output ends with any of them; the matched stop
+        suffix is EXCLUDED from the result, vLLM stop-string semantics —
+        EOS handling is unchanged and independent)."""
         if not len(prompt):
             raise ValueError("empty prompt (prefill would attend nothing "
                              "and emit an arbitrary first token)")
@@ -277,9 +281,13 @@ class ContinuousBatchEngine:
             if not 0 <= lora_id < self.num_loras:
                 raise ValueError(f"lora_id {lora_id} outside "
                                  f"[0, {self.num_loras})")
+        stop = [list(map(int, seq)) for seq in (stop or [])]
+        if any(not seq for seq in stop):
+            raise ValueError("empty stop sequence (would match immediately)")
         sid = self._next_id
         self._next_id += 1
         state = SequenceState(sid, prompt)
+        state.stop_seqs = stop
         state.max_new = (self.max_new_tokens if max_new_tokens is None
                          else max_new_tokens)
         state.temperature = (self.temperature if temperature is None
@@ -318,6 +326,25 @@ class ContinuousBatchEngine:
                     for sid, s in self.finished.items()}
         self.finished.clear()
         return done
+
+    def abort(self, seq_id: int) -> bool:
+        """Cancel a request wherever it is (waiting, awaiting prefill, or
+        actively decoding). Its blocks are freed immediately (generated-so-
+        far KV still deposits into the radix cache); it never appears in
+        ``run``/``stream`` results. Returns False if the id is unknown or
+        already finished."""
+        for q in (self.waiting, self.needs_prefill):
+            for state in q:
+                if state.seq_id == seq_id:
+                    q.remove(state)
+                    self.kv.release_sequence(state)
+                    return True
+        state = self.active.pop(seq_id, None)
+        if state is None:
+            return False
+        state.finished = True  # decode ticks in flight drop it
+        self.kv.free(state)
+        return True
 
     def metrics(self) -> Dict[str, float]:
         """Snapshot of serving metrics: the running ``counters`` plus
@@ -491,6 +518,20 @@ class ContinuousBatchEngine:
                 and tok != self.eos_token_id:
             state.fsm_state = self.fsms[state.fsm_id].advance(
                 state.fsm_state, tok)
+        for seq in getattr(state, "stop_seqs", ()):
+            gen = state.tokens[state.prompt_len:]
+            if len(gen) >= len(seq) and gen[-len(seq):] == seq:
+                # exclude the stop suffix (vLLM stop-string semantics);
+                # its KV is freed with the sequence
+                del state.tokens[len(state.tokens) - len(seq):]
+                if self.return_logprobs:
+                    del state.logprobs[len(state.logprobs) - len(seq):]
+                state.finished = True
+                self.counters["requests_completed"] += 1
+                self.kv.free(state)
+                self.active.pop(state.seq_id, None)
+                self.finished[state.seq_id] = state
+                return
         self._maybe_finish(state)
 
     def _fsm_mask(self, states, b):
