@@ -808,3 +808,36 @@ def test_engine_abort(qwen):
     out = eng.run()
     assert s1 not in out and len(out[s2]) == 8
     assert eng.kv.num_free() == free0       # everything returned
+
+
+def test_engine_presence_frequency_penalties(qwen):
+    """OpenAI-style output-token penalties: a huge frequency penalty forces
+    all-distinct tokens (the base greedy output repeats); zero penalties
+    leave greedy token-exact vs a default engine."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9]
+    base_eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                     block_size=8, max_batch=2,
+                                     max_new_tokens=8, dtype=jnp.float32)
+    sid = base_eng.submit(prompt)
+    base = base_eng.run()[sid]
+    assert len(set(base)) < len(base), "toy model should repeat tokens"
+
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=8,
+                                dtype=jnp.float32)
+    s_pen = eng.submit(prompt, frequency_penalty=1e4)
+    s_zero = eng.submit(prompt)
+    out = eng.run()
+    assert len(set(out[s_pen])) == len(out[s_pen]), out[s_pen]
+    assert out[s_zero] == base
+    # presence penalty alone also blocks immediate repeats
+    eng2 = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                 max_batch=2, max_new_tokens=8,
+                                 dtype=jnp.float32, presence_penalty=1e4)
+    s3 = eng2.submit(prompt)
+    out3 = eng2.run()[s3]
+    assert len(set(out3)) == len(out3), out3
+    # first decoded token is identical (no output history yet), then paths
+    # diverge once the history penalty engages
+    assert out3[0] == base[0] and out3 != base

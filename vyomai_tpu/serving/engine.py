@@ -53,7 +53,9 @@ class ContinuousBatchEngine:
                  kv_backend: str = "auto", decode_horizon: int = 8,
                  prefill_group: int = 4, do_sample: bool = False,
                  temperature: float = 1.0, top_p: float = 1.0,
-                 min_p: float = 0.0, seed: int = 0, mesh=None, draft_model=None,
+                 min_p: float = 0.0, presence_penalty: float = 0.0,
+                 frequency_penalty: float = 0.0,
+                 seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
                  gamma: int = 4, spec_rounds: int = 2, fsms=None,
                  loras=None, return_logprobs: bool = False):
@@ -138,6 +140,8 @@ class ContinuousBatchEngine:
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.min_p = float(min_p)
+        self.presence_penalty = float(presence_penalty)
+        self.frequency_penalty = float(frequency_penalty)
         self._rng = jax.random.PRNGKey(seed)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
@@ -232,6 +236,8 @@ class ContinuousBatchEngine:
                temperature: Optional[float] = None,
                top_p: Optional[float] = None,
                min_p: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None,
                fsm_id: Optional[int] = None,
                lora_id: Optional[int] = None,
                stop: Optional[Sequence[Sequence[int]]] = None) -> int:
@@ -239,7 +245,11 @@ class ContinuousBatchEngine:
         None): ``max_new_tokens`` (must not exceed the engine's — pool
         budgeting is sized to it), ``temperature``/``top_p`` (only
         meaningful on a ``do_sample=True`` engine — the decode batch
-        threads them as per-lane vectors), ``fsm_id`` (guided decoding:
+        threads them as per-lane vectors),
+        ``presence_penalty``/``frequency_penalty`` (OpenAI semantics over
+        output tokens: ``logit[t] -= presence * seen(t) + frequency *
+        count(t)`` — discourage reuse; work with greedy AND sampling),
+        ``fsm_id`` (guided decoding:
         index into the engine's ``fsms`` grammar list; the request's
         generated tokens follow that grammar), and ``lora_id`` (multi-LoRA:
         index into the engine's ``loras`` adapter list; None = base
@@ -294,6 +304,11 @@ class ContinuousBatchEngine:
                              else float(temperature))
         state.top_p = self.top_p if top_p is None else float(top_p)
         state.min_p = self.min_p if min_p is None else float(min_p)
+        state.presence_penalty = (self.presence_penalty if presence_penalty
+                                  is None else float(presence_penalty))
+        state.frequency_penalty = (self.frequency_penalty if
+                                   frequency_penalty is None
+                                   else float(frequency_penalty))
         state.fsm_id = fsm_id
         state.fsm_state = 0
         state.lora_id = -1 if lora_id is None else lora_id
@@ -551,6 +566,22 @@ class ContinuousBatchEngine:
         logits (prefill path). Logprobs follow the raw-model convention of
         ``decode_horizon(with_logprobs=True)``."""
         raw = logits
+        b = logits.shape[0]
+        pps = np.zeros(b, np.float32)
+        fps = np.zeros(b, np.float32)
+        for i, st in enumerate(states[:b]):
+            if st is not None:
+                pps[i] = getattr(st, "presence_penalty", 0.0)
+                fps[i] = getattr(st, "frequency_penalty", 0.0)
+        if pps.any() or fps.any():
+            counts = np.zeros((b, self.cfg.vocab_size), np.float32)
+            for i, st in enumerate(states[:b]):
+                if st is not None and len(st.tokens) > st.prompt_len:
+                    np.add.at(counts[i],
+                              np.asarray(st.tokens[st.prompt_len:]), 1)
+            logits = (logits.astype(jnp.float32)
+                      - self._put(pps[:, None] * (counts > 0))
+                      - self._put(fps[:, None] * counts))
         mask = self._fsm_mask(states, logits.shape[0]) if self.fsms else None
         if mask is not None:
             logits = jnp.where(self._put(mask), logits, -1e30)
@@ -634,6 +665,22 @@ class ContinuousBatchEngine:
             for i, state, _ in live:
                 lanes[i] = getattr(state, "lora_id", -1)
             fsm_kw["lora_lanes"] = self._put(lanes)
+        pps = np.zeros(b, np.float32)
+        fps = np.zeros(b, np.float32)
+        for i, state, _ in live:
+            pps[i] = getattr(state, "presence_penalty", 0.0)
+            fps[i] = getattr(state, "frequency_penalty", 0.0)
+        if pps.any() or fps.any():
+            # OpenAI-style penalties: counts over OUTPUT tokens so far,
+            # updated in-loop on device as the horizon emits more
+            counts = np.zeros((b, self.cfg.vocab_size), np.int32)
+            for i, state, _ in live:
+                gen = np.asarray(state.tokens[state.prompt_len:])
+                if len(gen):
+                    np.add.at(counts[i], gen, 1)
+            fsm_kw.update(token_counts=self._put(counts),
+                          presence_penalty=self._put(pps),
+                          frequency_penalty=self._put(fps))
         self.counters["decode_ticks"] += 1
         gen, lps, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,

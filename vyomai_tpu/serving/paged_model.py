@@ -337,7 +337,9 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    eos=-1, rng=None, temperature=1.0, top_p=1.0, min_p=0.0,
                    budget=None, allow_pallas: bool = True,
                    fsm_next=None, fsm_ids=None, fsm_states=None,
-                   lora_lanes=None, with_logprobs: bool = False):
+                   lora_lanes=None, with_logprobs: bool = False,
+                   token_counts=None, presence_penalty=0.0,
+                   frequency_penalty=0.0):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -360,6 +362,13 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     ``fsm_states`` [B] each lane's current FSM state — the mask is one
     gather per step, the state threads through the device loop.
 
+    Penalties (OpenAI semantics, over OUTPUT tokens only):
+    ``token_counts`` [B, V] int32 counts of already-generated tokens per
+    lane (the engine rebuilds it per tick; updated in-loop as tokens
+    emit), ``presence_penalty``/``frequency_penalty`` scalars or [B]
+    per-lane — ``logits[t] -= presence * (count[t] > 0)
+    + frequency * count[t]``. Logprobs stay raw-model (unpenalized).
+
     ``with_logprobs``: also return the RAW model log-probability (fp32
     log-softmax of the unmasked, untempered logits) of each chosen token —
     the serving-API ``logprobs`` convention (HF
@@ -378,13 +387,22 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         budget = jnp.full((b,), horizon, dtype=jnp.int32)
     if fsm_states is None:
         fsm_states = jnp.zeros((b,), jnp.int32)
+    if token_counts is None:
+        token_counts = jnp.zeros((b, 0), jnp.int32)  # disabled sentinel
+    penalize = token_counts.shape[1] > 0
+    pp = jnp.asarray(presence_penalty, jnp.float32)
+    fp = jnp.asarray(frequency_penalty, jnp.float32)
+    if pp.ndim == 1:
+        pp = pp[:, None]
+    if fp.ndim == 1:
+        fp = fp[:, None]
 
     def cond(carry):
-        i, _, _, alive, _, _, _, _, _ = carry
+        i, _, _, alive, _, _, _, _, _, _ = carry
         return (i < horizon) & jnp.any(alive)
 
     def body(carry):
-        i, toks, pos, alive, key, fst, pl_, out, lps = carry
+        i, toks, pos, alive, key, fst, pl_, out, lps, cnt = carry
         blk_idx = pos // bs
         slot_blocks = jnp.where(
             alive, jnp.take_along_axis(block_tables, blk_idx[:, None],
@@ -395,6 +413,9 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                                    block_tables, seq_lens, slot_blocks,
                                    slot_offsets, allow_pallas=allow_pallas)
         raw = logits
+        if penalize:
+            c = cnt.astype(jnp.float32)
+            logits = logits.astype(jnp.float32) - pp * (c > 0) - fp * c
         if fsm_next is not None:
             con = fsm_ids >= 0
             row = fsm_next[jnp.maximum(fsm_ids, 0),
@@ -415,15 +436,19 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         if fsm_next is not None:
             step = jnp.take_along_axis(row, nxt[:, None], axis=1)[:, 0]
             fst = jnp.where(con & alive, step, fst)
+        if penalize:
+            # EOS is terminal, counting it is harmless; dead lanes frozen
+            cnt = cnt.at[jnp.arange(b), nxt].add(alive.astype(jnp.int32))
         out = out.at[:, i].set(jnp.where(alive, nxt, 0))
         alive = alive & (nxt != eos) & (i + 1 < budget)
         pos = jnp.where(alive, pos + 1, pos)
-        return i + 1, nxt, pos, alive, key, fst, pl_, out, lps
+        return i + 1, nxt, pos, alive, key, fst, pl_, out, lps, cnt
 
     with cnn.lora_lanes(lora_lanes):
-        _, _, _, _, _, _, pool, out_buf, lp_buf = jax.lax.while_loop(
+        _, _, _, _, _, _, pool, out_buf, lp_buf, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
-                         live, rng, fsm_states, pool, out_buf, lp_buf))
+                         live, rng, fsm_states, pool, out_buf, lp_buf,
+                         token_counts))
     return out_buf, lp_buf, pool
 
 
