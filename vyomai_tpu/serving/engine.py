@@ -284,6 +284,13 @@ class ContinuousBatchEngine:
             if self.eos_token_id is None:
                 raise ValueError("guided decoding needs eos_token_id (EOS "
                                  "terminates a completed grammar)")
+        if self.draft_model is not None and (
+                presence_penalty or frequency_penalty or
+                self.presence_penalty or self.frequency_penalty):
+            raise ValueError(
+                "presence/frequency penalties are unsupported with "
+                "speculative decoding (the verifier emits multi-token "
+                "blocks without per-step count threading)")
         if lora_id is not None:
             if not self.num_loras:
                 raise ValueError("engine has no loras (pass loras=[...] at "
