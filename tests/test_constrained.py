@@ -385,3 +385,28 @@ def test_engine_json_schema_guided(model):
     assert out[-1] == EOS
     text = "".join(toks[t] or "" for t in out[:-1])
     assert json.loads(text)["a"] in (0, 1, 10), text
+
+
+def test_token_strings_from_hf():
+    """Lift a real (in-memory) HF fast tokenizer: specials banned, byte
+    fragments banned, normal tokens decode to their text; the result feeds
+    fsm_from_regex directly."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<pad>": 0, "<eos>": 1, "a": 2, "b": 3, "ab": 4, "1": 5,
+             "23": 6, "-": 7, ".": 8}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<pad>"))
+    tok.pre_tokenizer = pre_tokenizers.WhitespaceSplit()
+    hf = PreTrainedTokenizerFast(tokenizer_object=tok,
+                                 pad_token="<pad>", eos_token="<eos>")
+    from vyomai_tpu.generation import token_strings_from_hf
+    strings = token_strings_from_hf(hf)
+    assert strings[0] is None and strings[1] is None      # specials banned
+    assert strings[2] == "a" and strings[4] == "ab" and strings[6] == "23"
+    fsm = fsm_from_regex(r"-?\d+(\.\d+)?", strings, eos_token_id=1)
+    s = 0
+    for t in [7, 5, 8, 6]:          # "-1.23"
+        s = fsm.advance(s, t)
+    assert fsm.accepting[s]

@@ -16,5 +16,5 @@ from .stopping import (  # noqa: F401
     KeywordsStoppingCriteria, generate_until)
 from .constrained import (  # noqa: F401
     TokenFSM, fsm_from_token_sequences, fsm_from_regex,
-    fsm_from_json_schema, json_schema_to_regex,
+    fsm_from_json_schema, json_schema_to_regex, token_strings_from_hf,
     constrained_generate, apply_fsm_mask)

@@ -578,6 +578,29 @@ def json_schema_to_regex(schema: dict, *, _defs=None, _depth: int = 0,
                      "anyOf)")
 
 
+def token_strings_from_hf(tokenizer, vocab_size: Optional[int] = None):
+    """Per-token decoded strings for :func:`fsm_from_regex` /
+    :func:`fsm_from_json_schema` from a HuggingFace tokenizer.
+
+    Each id is decoded ALONE (the byte-level-BPE-safe way to get its
+    standalone text). Banned (``None``): special tokens, empty decodes,
+    and tokens containing U+FFFD — a lone continuation byte of a multi-byte
+    UTF-8 character cannot participate in a character-level DFA walk (the
+    grammar operates on text, not bytes; multi-byte characters still work
+    through tokens that carry the whole character)."""
+    n = vocab_size if vocab_size is not None else len(tokenizer)
+    special = set(getattr(tokenizer, "all_special_ids", ()) or ())
+    out: List[Optional[str]] = []
+    for i in range(n):
+        if i in special:
+            out.append(None)
+            continue
+        text = tokenizer.decode([i], skip_special_tokens=False,
+                                clean_up_tokenization_spaces=False)
+        out.append(text if text and "�" not in text else None)
+    return out
+
+
 def fsm_from_json_schema(schema: dict,
                          token_strings: Sequence[Optional[str]],
                          eos_token_id: int) -> TokenFSM:
