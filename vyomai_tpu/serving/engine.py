@@ -222,6 +222,7 @@ class ContinuousBatchEngine:
         }
         self._ttft: List[float] = []
         self._t_start = time.monotonic()
+        self._families: Dict[int, list] = {}  # best_of rollout groups
 
     def _put(self, x):
         """Host array -> device. Under a mesh, commit replicated so every
@@ -240,7 +241,8 @@ class ContinuousBatchEngine:
                frequency_penalty: Optional[float] = None,
                fsm_id: Optional[int] = None,
                lora_id: Optional[int] = None,
-               stop: Optional[Sequence[Sequence[int]]] = None) -> int:
+               stop: Optional[Sequence[Sequence[int]]] = None,
+               best_of: int = 1) -> int:
         """Queue a request. Per-request overrides (engine defaults when
         None): ``max_new_tokens`` (must not exceed the engine's — pool
         budgeting is sized to it), ``temperature``/``top_p`` (only
@@ -256,7 +258,11 @@ class ContinuousBatchEngine:
         model), and ``stop`` (a list of token-id sequences: generation
         finishes when the output ends with any of them; the matched stop
         suffix is EXCLUDED from the result, vLLM stop-string semantics —
-        EOS handling is unchanged and independent)."""
+        EOS handling is unchanged and independent), and ``best_of``
+        (OpenAI semantics: sample ``best_of`` completions and return only
+        the one with the highest MEAN token logprob — requires a
+        ``do_sample=True, return_logprobs=True`` engine; the rollouts ride
+        the same continuous batch and share the radix-cached prompt)."""
         if not len(prompt):
             raise ValueError("empty prompt (prefill would attend nothing "
                              "and emit an arbitrary first token)")
@@ -301,6 +307,15 @@ class ContinuousBatchEngine:
         stop = [list(map(int, seq)) for seq in (stop or [])]
         if any(not seq for seq in stop):
             raise ValueError("empty stop sequence (would match immediately)")
+        if best_of < 1:
+            raise ValueError(f"best_of must be >= 1, got {best_of}")
+        if best_of > 1:
+            if not self.do_sample:
+                raise ValueError("best_of > 1 needs do_sample=True "
+                                 "(identical greedy rollouts are pointless)")
+            if not self.return_logprobs:
+                raise ValueError("best_of > 1 needs return_logprobs=True "
+                                 "(rollouts are ranked by mean logprob)")
         sid = self._next_id
         self._next_id += 1
         state = SequenceState(sid, prompt)
@@ -325,9 +340,28 @@ class ContinuousBatchEngine:
         state.cache_salt = (state.lora_id + 1) << 33
         state.logprobs = []
         state.t_submit = time.monotonic()
+        state.family = None
         self.counters["requests_submitted"] += 1
         self.counters["prompt_tokens"] += len(prompt)
         self.waiting.append(state)
+        if best_of > 1:
+            # siblings are ordinary requests in the same continuous batch;
+            # the LAST one to finish triggers the family pick
+            state.family = sid
+            self._families[sid] = [state]
+            for _ in range(best_of - 1):
+                sib_id = self._next_id
+                self._next_id += 1
+                sib = SequenceState(sib_id, prompt)
+                for attr in ("max_new", "temperature", "top_p", "min_p",
+                             "presence_penalty", "frequency_penalty",
+                             "fsm_id", "fsm_state", "lora_id", "cache_salt",
+                             "stop_seqs", "t_submit"):
+                    setattr(sib, attr, getattr(state, attr))
+                sib.logprobs = []
+                sib.family = sid
+                self._families[sid].append(sib)
+                self.waiting.append(sib)
         return sid
 
     def run(self, with_logprobs: bool = False) -> Dict[int, List[int]]:
@@ -355,6 +389,13 @@ class ContinuousBatchEngine:
         far KV still deposits into the radix cache); it never appears in
         ``run``/``stream`` results. Returns False if the id is unknown or
         already finished."""
+        fam = self._families.pop(seq_id, None)
+        if fam is not None:   # best_of: cancel every rollout of the family
+            for member in fam:
+                member.family = None
+                if not member.finished:
+                    self.abort(member.seq_id)
+            return True
         for q in (self.waiting, self.needs_prefill):
             for state in q:
                 if state.seq_id == seq_id:
@@ -400,6 +441,12 @@ class ContinuousBatchEngine:
             self.step()
             for src in (self.active, self.finished):
                 for sid, s in list(src.items()):
+                    if src is self.active and \
+                            getattr(s, "family", None) is not None:
+                        # best_of rollouts stream nothing until the family
+                        # resolves (losers are discarded wholesale; only
+                        # the winner ever reaches ``finished``)
+                        continue
                     start = emitted.get(sid, s.prompt_len)
                     fresh = s.tokens[start:]
                     emitted[sid] = start + len(fresh)
@@ -776,7 +823,25 @@ class ContinuousBatchEngine:
             self.counters["requests_completed"] += 1
             self.kv.free(state)
             self.active.pop(state.seq_id, None)
-            self.finished[state.seq_id] = state
+            if getattr(state, "family", None) is not None:
+                self._maybe_resolve_family(state.family)
+            else:
+                self.finished[state.seq_id] = state
+
+    def _maybe_resolve_family(self, fam_id: int):
+        """When every best_of rollout of a family has finished, surface
+        only the winner (highest mean token logprob, OpenAI best_of) under
+        the ORIGINAL submit id; losers are dropped."""
+        fam = self._families.get(fam_id)
+        if fam is None or not all(s.finished for s in fam):
+            return
+        def score(s):
+            lps = s.logprobs or [float("-inf")]
+            return sum(lps) / len(lps)
+        winner = max(fam, key=score)
+        winner.seq_id = fam_id          # surface under the submit id
+        self.finished[fam_id] = winner
+        del self._families[fam_id]
 
     def step(self):
         """One scheduler tick: admit -> drain prefills -> decode batch.
