@@ -185,3 +185,20 @@ def test_engine_multilora_tp_matches_single_chip(setup):
         single = run(None)
         mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
         assert run(mesh) == single
+
+
+def test_engine_score_with_adapter(setup):
+    """score(lora_id=i) == dense scoring under merge_adapters(params, i)."""
+    m, params, adapters = setup
+    eng = ContinuousBatchEngine(m, params, num_blocks=32, block_size=8,
+                                max_batch=2, dtype=jnp.float32,
+                                prefill_buckets=(8, 16), loras=adapters)
+    prompt = [3, 17, 42, 9, 5]
+    lps = eng.score(prompt, lora_id=1)
+    merged = merge_adapters(params, adapters[1])
+    logits = m.apply(merged, jnp.asarray([prompt])).logits[0]
+    dist = np.asarray(jax.nn.log_softmax(logits.astype(np.float32), -1))
+    for i in range(4):
+        assert abs(lps[i] - dist[i, prompt[i + 1]]) < 1e-3
+    # base scoring differs from adapter scoring
+    assert not np.allclose(eng.score(prompt), lps, atol=1e-3)

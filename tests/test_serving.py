@@ -912,3 +912,24 @@ def test_engine_abort_family(qwen):
     out = eng.run()
     assert sid not in out and not out
     assert eng.kv.num_free() == free0
+
+
+def test_engine_score_prompt_logprobs(qwen):
+    """engine.score == dense teacher-forced log-softmax at each position;
+    bucket padding does not leak into the scores."""
+    model, params = qwen
+    eng = ContinuousBatchEngine(model, params, num_blocks=32, block_size=8,
+                                max_batch=2, dtype=jnp.float32,
+                                prefill_buckets=(8, 16))
+    prompt = [3, 17, 42, 9, 5]
+    lps = eng.score(prompt)
+    assert len(lps) == 4
+    logits = model.apply(params, jnp.asarray([prompt])).logits[0]
+    dist = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
+    for i in range(4):
+        assert abs(lps[i] - dist[i, prompt[i + 1]]) < 1e-4
+    # same values at a different pad bucket
+    lps2 = eng.score(prompt + [11, 2, 7, 8, 1, 4])[:4]
+    np.testing.assert_allclose(lps2, lps, atol=1e-4)
+    with pytest.raises(ValueError):
+        eng.score([5])

@@ -13,6 +13,7 @@ Sampling is greedy argmax (the reference's choice).
 
 import time
 from collections import deque
+from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -25,6 +26,20 @@ from .kv_manager import PagedKVManager, SequenceState
 
 
 _sample_jit = jax.jit(paged_model.sample_tokens)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _score_jit(model, params, ids, lanes):
+    """Teacher-forced per-token logprobs over a padded [1, T] prompt:
+    position i scores token i+1 (``lanes`` [1]: multi-LoRA adapter id,
+    -1 = base). Returns [T-1] fp32 (pad region junk — the caller slices
+    to the true length)."""
+    from ..core import nn as cnn
+    with cnn.lora_lanes(lanes):
+        logits = model.apply(params, ids).logits.astype(jnp.float32)
+    dist = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    return jnp.take_along_axis(
+        dist, ids[:, 1:][..., None], axis=-1)[0, :, 0]
 
 
 @jax.jit
@@ -408,6 +423,28 @@ class ContinuousBatchEngine:
         state.finished = True  # decode ticks in flight drop it
         self.kv.free(state)
         return True
+
+    def score(self, prompt: Sequence[int],
+              lora_id: Optional[int] = None) -> List[float]:
+        """Prompt logprobs (the vLLM ``prompt_logprobs`` / perplexity-
+        scoring role): raw-model log-probability of each prompt token given
+        its prefix — ``len(prompt) - 1`` floats (the first token has no
+        prefix). ``lora_id`` scores under that adapter (multi-LoRA engines;
+        None = base). Synchronous, dense teacher-forced forward, padded to
+        the engine's prefill buckets so repeated calls never recompile."""
+        prompt = list(prompt)
+        if len(prompt) < 2:
+            raise ValueError("need >= 2 tokens (the first is unscored)")
+        if lora_id is not None and not 0 <= lora_id < self.num_loras:
+            raise ValueError(f"lora_id {lora_id} outside "
+                             f"[0, {self.num_loras})")
+        t_pad = _bucket(len(prompt), self.prefill_buckets)
+        ids = np.zeros((1, t_pad), dtype=np.int32)
+        ids[0, :len(prompt)] = prompt
+        lanes = np.full((1,), -1 if lora_id is None else lora_id, np.int32)
+        lps = _score_jit(self.model, self.params, self._put(ids),
+                         self._put(lanes))
+        return np.asarray(lps)[:len(prompt) - 1].tolist()
 
     def metrics(self) -> Dict[str, float]:
         """Snapshot of serving metrics: the running ``counters`` plus
