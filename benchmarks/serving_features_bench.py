@@ -80,7 +80,7 @@ def main():
 
     # grammar: {"label":<int 0-99>,"ok":<bool>} lifted to a toy token map
     # over the REAL vocab size (ids 10-59 spell the JSON alphabet)
-    alphabet = list('{}[]":,-0123456789truefalsenul')
+    alphabet = list('{}[]":,-0123456789abcdefghijklmnopqrstuvwxyz')
     tok_strings = [None] * VOCAB
     for i, ch in enumerate(sorted(set(alphabet))):
         tok_strings[10 + i] = ch

@@ -43,6 +43,27 @@ def _score_jit(model, params, ids, lanes):
 
 
 @jax.jit
+def _pack_i32_f32(ints, floats):
+    """Pack an int32 and a float32 array (same shape) into one int32
+    array along axis 1 for a SINGLE host fetch — each device->host fetch
+    pays a full tunnel round trip on this rig, so two fetches per decode
+    tick measurably tax serving throughput (bitcast, not cast: the host
+    reinterprets the second half via ``.view(np.float32)``)."""
+    return jnp.concatenate(
+        [ints.astype(jnp.int32),
+         jax.lax.bitcast_convert_type(floats.astype(jnp.float32),
+                                      jnp.int32)], axis=1)
+
+
+@jax.jit
+def _pack_i32x4(gen, counts, acc, spec):
+    """[B, W] gen + three [B] int vectors -> one [B, W+3] int32 array
+    (single fetch for the speculative tick's four results)."""
+    cols = [v.astype(jnp.int32)[:, None] for v in (counts, acc, spec)]
+    return jnp.concatenate([gen.astype(jnp.int32)] + cols, axis=1)
+
+
+@jax.jit
 def _logprob_jit(logits, tokens):
     """Raw-model logprob of each chosen token ([B, V], [B]) -> [B] fp32."""
     dist = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -685,7 +706,8 @@ class ContinuousBatchEngine:
         if not self.return_logprobs:
             return np.asarray(toks), None
         lps = _logprob_jit(raw, toks)
-        return np.asarray(toks), np.asarray(lps)
+        packed = np.asarray(_pack_i32_f32(toks[:, None], lps[:, None]))
+        return packed[:, 0], packed[:, 1:].view(np.float32)[:, 0]
 
     def _lane_sampling(self, states, b):
         """Per-lane [b] temperature/top_p vectors (per-request overrides,
@@ -782,8 +804,14 @@ class ContinuousBatchEngine:
             top_p=tps, min_p=mps, budget=self._put(budget),
             allow_pallas=self._allow_pallas,
             with_logprobs=self.return_logprobs, **fsm_kw)
-        gen = np.asarray(gen)
-        lps = np.asarray(lps) if self.return_logprobs else None
+        if self.return_logprobs:
+            packed = np.asarray(_pack_i32_f32(gen, lps))
+            h_w = packed.shape[1] // 2
+            gen = packed[:, :h_w]
+            lps = packed[:, h_w:].view(np.float32)
+        else:
+            gen = np.asarray(gen)
+            lps = None
         for i, state, h in live:
             # only the granted steps are backed by allocated blocks
             for j in range(h):
@@ -835,10 +863,11 @@ class ContinuousBatchEngine:
                 eos=(-1 if self.eos_token_id is None else self.eos_token_id),
                 budget=self._put(budget),
                 allow_pallas=self._allow_pallas)
-        gen = np.asarray(gen)
-        counts = np.asarray(counts)
-        acc = np.asarray(acc)
-        spec = np.asarray(spec)
+        # ONE host fetch for all four results (each fetch is a full
+        # tunnel round trip — see _pack_i32_f32)
+        packed = np.asarray(_pack_i32x4(gen, counts, acc, spec))
+        gen = packed[:, :-3]
+        counts, acc, spec = packed[:, -3], packed[:, -2], packed[:, -1]
         for i, state in live:
             self.spec_stats["accepted"] += int(acc[i])
             self.spec_stats["speculated"] += int(spec[i])

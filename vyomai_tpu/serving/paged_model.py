@@ -430,8 +430,11 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(alive, nxt, toks)                # freeze dead lanes
         if with_logprobs:
-            dist = jax.nn.log_softmax(raw.astype(jnp.float32), axis=-1)
-            lp = jnp.take_along_axis(dist, nxt[:, None], axis=1)[:, 0]
+            # logit[chosen] - logsumexp: no [B, V] log-softmax materialized
+            # (the full-distribution write was the measured cost driver)
+            r32 = raw.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(r32, axis=-1)
+            lp = jnp.take_along_axis(r32, nxt[:, None], axis=1)[:, 0] - lse
             lps = lps.at[:, i].set(jnp.where(alive, lp, 0.0))
         if fsm_next is not None:
             step = jnp.take_along_axis(row, nxt[:, None], axis=1)[:, 0]
