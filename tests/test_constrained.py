@@ -410,3 +410,61 @@ def test_token_strings_from_hf():
     for t in [7, 5, 8, 6]:          # "-1.23"
         s = fsm.advance(s, t)
     assert fsm.accepting[s]
+
+
+def test_regex_lift_property_fuzz():
+    """Property fuzz over random regexes x random toy vocabularies: every
+    token path the lifted FSM accepts (bounded walk) decodes to a Python
+    ``re.fullmatch`` of the pattern, and every FSM state can still reach
+    acceptance (dead-end pruning invariant)."""
+    rng = np.random.default_rng(0)
+    ALPHA = "abc01"
+    PIECES = ["a", "b", "c", "0", "1", "[ab]", "[^c]", r"\d", ".",
+              "(ab|c)", "(a|b0)"]
+    QUANTS = ["", "*", "+", "?", "{2}", "{1,3}"]
+    checked = 0
+    for trial in range(40):
+        n = int(rng.integers(1, 5))
+        pat = "".join(str(rng.choice(PIECES)) + str(rng.choice(QUANTS))
+                      for _ in range(n))
+        # random vocab: single chars + random 2-3 char fragments
+        vocab = [None] + list(ALPHA)
+        for _ in range(6):
+            ln = int(rng.integers(2, 4))
+            vocab.append("".join(rng.choice(list(ALPHA), size=ln)))
+        eos = len(vocab)
+        vocab.append("<eos>")
+        try:
+            fsm = fsm_from_regex(pat, vocab, eos)
+        except ValueError:
+            continue  # pattern unreachable in this alphabet: fine
+        # bounded DFS over accepted paths
+        seen, stack = [], [(0, "")]
+        while stack and len(seen) < 500:
+            s, text = stack.pop()
+            if len(text) > 8:
+                continue
+            row = fsm.next_state[s]
+            for tok in np.nonzero(row >= 0)[0]:
+                if tok == eos:
+                    seen.append(text)
+                else:
+                    stack.append((int(row[tok]), text + vocab[tok]))
+        for text in seen:
+            assert re.fullmatch(pat, text), (pat, text)
+            checked += 1
+        # pruning invariant: from EVERY state some path reaches acceptance
+        n_states = fsm.num_states
+        reach = set(np.nonzero(fsm.accepting)[0].tolist())
+        changed = True
+        while changed:
+            changed = False
+            for s in range(n_states):
+                if s in reach:
+                    continue
+                nxt = set(fsm.next_state[s][fsm.next_state[s] >= 0].tolist())
+                if nxt & reach:
+                    reach.add(s)
+                    changed = True
+        assert reach == set(range(n_states)), pat
+    assert checked > 200, f"fuzz too weak: only {checked} strings checked"

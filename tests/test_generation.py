@@ -299,3 +299,28 @@ def test_suppress_and_forced_token_processors():
     assert all(float(forced[0, i]) < -1e19 for i in range(8) if i != 3)
     off = apply_forced_token(logits, 3, jnp.asarray(False))
     np.testing.assert_array_equal(np.asarray(off), np.asarray(logits))
+
+
+def test_generate_hf_min_p():
+    """min_p=1.0 sampling degenerates to greedy (only the argmax survives
+    the adaptive cutoff); min_p=0 is a no-op vs plain sampling."""
+    import vyomai_tpu as vt
+    from vyomai_tpu.generation import generate_hf
+    cfg = vt.EncoderConfig(hidden_size=32, num_attention_heads=2,
+                           num_key_value_heads=2, num_hidden_layers=2,
+                           vocab_size=64, max_position_embeddings=64,
+                           intermediate_size=64)
+    m = vt.DecoderModel(cfg, pos_embedding_type="rope",
+                        attention_type="gqa")
+    params = m.init(jax.random.PRNGKey(0))
+    ids = jnp.array([[3, 17, 42]], dtype=jnp.int32)
+    greedy = generate_hf(m, params, ids, max_new_tokens=8)
+    forced = generate_hf(m, params, ids, max_new_tokens=8, do_sample=True,
+                         temperature=3.0, min_p=1.0,
+                         rng=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(forced))
+    a = generate_hf(m, params, ids, max_new_tokens=8, do_sample=True,
+                    temperature=3.0, rng=jax.random.PRNGKey(5))
+    b = generate_hf(m, params, ids, max_new_tokens=8, do_sample=True,
+                    temperature=3.0, min_p=0.0, rng=jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

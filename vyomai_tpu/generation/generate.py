@@ -92,13 +92,15 @@ def generate(model, params, tokenize_text, max_new_tokens: int = 3,
                              bool(do_sample), bool(use_cache))
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 13))
+@partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11, 12, 14))
 def _generate_hf(model, params, idx, max_new_tokens: int, do_sample: bool,
                  rng, temperature: float, top_k: int, top_p: float,
+                 min_p: float,
                  repetition_penalty: float, no_repeat_ngram_size: int,
                  min_new_tokens: int, eos_ids, pad_token_id: int):
-    from .sampling import (_top_k_mask, _top_p_mask, apply_min_new_tokens,
-                           apply_no_repeat_ngram, apply_repetition_penalty)
+    from .sampling import (_min_p_mask, _top_k_mask, _top_p_mask,
+                           apply_min_new_tokens, apply_no_repeat_ngram,
+                           apply_repetition_penalty)
     bsz, prompt_len = idx.shape
     total_len = prompt_len + max_new_tokens
     tokens = jnp.full((bsz, total_len), pad_token_id, dtype=jnp.int32)
@@ -131,6 +133,8 @@ def _generate_hf(model, params, idx, max_new_tokens: int, do_sample: bool,
             logits = _top_k_mask(logits, top_k)
         if top_p < 1.0:
             logits = _top_p_mask(logits, top_p)
+        if min_p > 0.0:
+            logits = _min_p_mask(logits, min_p)
         return jax.random.categorical(r, logits, axis=-1).astype(jnp.int32)
 
     eos_arr = None if eos_ids is None else \
@@ -170,7 +174,7 @@ def _generate_hf(model, params, idx, max_new_tokens: int, do_sample: bool,
 
 def generate_hf(model, params, input_ids, *, max_new_tokens: int = 32,
                 do_sample: bool = False, temperature: float = 1.0,
-                top_k: int = 0, top_p: float = 1.0,
+                top_k: int = 0, top_p: float = 1.0, min_p: float = 0.0,
                 repetition_penalty: float = 1.0,
                 no_repeat_ngram_size: int = 0, min_new_tokens: int = 0,
                 eos_token_id=None, pad_token_id: int = 0, rng=None):
@@ -178,7 +182,7 @@ def generate_hf(model, params, input_ids, *, max_new_tokens: int = 32,
     missing item #2 — the reference gets these strategies for free from
     ``GenerationMixin``; reference ``models/custom_transformer.py:606-747``).
 
-    Supports greedy and temperature/top-k/top-p sampling with repetition
+    Supports greedy and temperature/top-k/top-p/min-p sampling with repetition
     penalty, n-gram blocking, min-length EOS suppression, and per-sequence
     EOS early exit (finished lanes emit ``pad_token_id``). For beam
     variants see ``beam_search_generate`` / ``beam_sample_generate``.
@@ -194,7 +198,7 @@ def generate_hf(model, params, input_ids, *, max_new_tokens: int = 32,
     return _generate_hf(model, params, jnp.asarray(input_ids, jnp.int32),
                         int(max_new_tokens), bool(do_sample), rng,
                         float(temperature), int(top_k), float(top_p),
-                        float(repetition_penalty),
+                        float(min_p), float(repetition_penalty),
                         int(no_repeat_ngram_size), int(min_new_tokens),
                         eos, int(pad_token_id))
 
