@@ -11,7 +11,7 @@ functions as static structure.
 """
 
 from dataclasses import dataclass, field, replace
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -170,6 +170,10 @@ class QwenConfig:
     max_position_embeddings: int = 40960
     rms_norm_eps: float = 1e-06
     rope_theta: float = 1000000.0
+    # long-context RoPE scaling (HF ``rope_scaling`` dict: rope_type
+    # linear | dynamic | yarn + factor, see layers.positional.rope_freqs);
+    # None = vanilla RoPE
+    rope_scaling: Optional[dict] = None
     attention_bias: bool = False
     qk_norm: bool = True
     tie_word_embeddings: bool = True

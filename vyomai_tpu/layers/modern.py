@@ -41,7 +41,8 @@ def modern_attention_init(key, config, dtype=jnp.float32):
 
 def modern_attention_apply(p, hidden, config, *, freqs=None, mask=None,
                            causal=False, cache_kv: Optional[Tuple] = None,
-                           start_pos=0, rms_eps: float = 1e-6):
+                           start_pos=0, rms_eps: float = 1e-6,
+                           rope_scale: float = 1.0):
     """Pre-norm attention body (caller applies the input norm + residual).
     Returns (attn_out, new_cache_kv)."""
     b, l, _ = hidden.shape
@@ -57,7 +58,7 @@ def modern_attention_apply(p, hidden, config, *, freqs=None, mask=None,
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     if freqs is not None:
-        q, k = apply_rotary_pos_emb(q, k, freqs)
+        q, k = apply_rotary_pos_emb(q, k, freqs, scale=rope_scale)
 
     if cache_kv is not None:
         k_buf, v_buf = cache_kv
@@ -115,7 +116,8 @@ def modern_layer_init(key, config, dtype=jnp.float32):
 def modern_layer_apply(p, hidden, config, *, freqs=None, mask=None,
                        causal=False, cache_kv=None, start_pos=0,
                        rms_eps: float = 1e-6, rms_plus_one: bool = False,
-                       mlp_act: str = "silu", moe_train: bool = False):
+                       mlp_act: str = "silu", moe_train: bool = False,
+                       rope_scale: float = 1.0):
     """x -> x + attn(norm(x)); h -> h + mlp(norm(h)).
 
     Returns ``(out, kv)`` for a dense MLP, ``(out, kv, aux_loss)`` when the
@@ -127,7 +129,8 @@ def modern_layer_apply(p, hidden, config, *, freqs=None, mask=None,
                           plus_one=rms_plus_one)
     attn_out, new_kv = modern_attention_apply(
         p["self_attn"], normed, config, freqs=freqs, mask=mask, causal=causal,
-        cache_kv=cache_kv, start_pos=start_pos, rms_eps=rms_eps)
+        cache_kv=cache_kv, start_pos=start_pos, rms_eps=rms_eps,
+        rope_scale=rope_scale)
     hidden = hidden + attn_out
     normed = cnn.rms_norm(p["post_attention_layernorm"], hidden, eps=rms_eps,
                           plus_one=rms_plus_one)

@@ -17,7 +17,7 @@ precomputed as constants, not params, so they fold into the jitted graph.
 """
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,13 +64,71 @@ def sinusoidal_table(max_len: int, dim: int, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def rope_freqs(max_len: int, head_dim: int, theta: float = 10000.0,
-               dtype=jnp.float32):
+               dtype=jnp.float32, scaling: Optional[dict] = None):
     """Precompute freqs [1, max_len, head_dim // 2]
-    (reference ``RotaryEmbedding.forward``)."""
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    (reference ``RotaryEmbedding.forward``).
+
+    ``scaling`` enables long-context RoPE scaling (HF ``rope_scaling``
+    dict convention; beyond the reference):
+    - ``{"rope_type": "linear", "factor": f}`` — position interpolation
+      (Chen et al. 2023): angles at position p equal unscaled p / f.
+    - ``{"rope_type": "dynamic", "factor": f}`` — fixed NTK-aware base
+      rescale ``theta * f**(D / (D - 2))`` (high frequencies kept, low
+      stretched).
+    - ``{"rope_type": "yarn", "factor": f,
+       "original_max_position_embeddings": L0, ...}`` — YaRN (Peng et al.
+      2023): per-dimension ramp between interpolated and extrapolated
+      inv-freqs; pair with :func:`rope_attention_factor` for the
+      attention-temperature mscale the paper prescribes.
+    """
+    half = jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+    inv_freq = 1.0 / (theta ** (half / head_dim))
+    if scaling:
+        typ = scaling.get("rope_type", scaling.get("type", "linear"))
+        factor = float(scaling.get("factor", 1.0))
+        if typ == "linear":
+            inv_freq = inv_freq / factor
+        elif typ in ("dynamic", "ntk"):
+            base = theta * factor ** (head_dim / (head_dim - 2))
+            inv_freq = 1.0 / (base ** (half / head_dim))
+        elif typ == "yarn":
+            l0 = float(scaling.get("original_max_position_embeddings",
+                                   max_len))
+            beta_fast = float(scaling.get("beta_fast", 32.0))
+            beta_slow = float(scaling.get("beta_slow", 1.0))
+
+            def corr_dim(beta):   # rotations -> dim index (YaRN eq. 17-18)
+                return (head_dim
+                        * math.log(l0 / (beta * 2 * math.pi))
+                        / (2 * math.log(theta)))
+
+            low = max(math.floor(corr_dim(beta_fast)), 0)
+            high = min(math.ceil(corr_dim(beta_slow)), head_dim // 2 - 1)
+            ramp = jnp.clip((jnp.arange(head_dim // 2, dtype=jnp.float32)
+                             - low) / max(high - low, 1e-3), 0.0, 1.0)
+            extrapolate = 1.0 - ramp   # 1 where frequencies stay unscaled
+            inv_freq = (inv_freq / factor * (1.0 - extrapolate)
+                        + inv_freq * extrapolate)
+        else:
+            raise ValueError(f"unknown rope_type {typ!r} "
+                             "(linear | dynamic | yarn)")
     t = jnp.arange(max_len, dtype=jnp.float32)
     freqs = jnp.einsum("i,j->ij", t, inv_freq)
     return freqs.astype(dtype)[None, :, :]
+
+
+def rope_attention_factor(scaling: Optional[dict]) -> float:
+    """YaRN attention-temperature mscale: cos/sin are multiplied by
+    ``0.1 * ln(factor) + 1`` (or an explicit ``attention_factor``).
+    1.0 for every other (or no) scaling type."""
+    if not scaling:
+        return 1.0
+    typ = scaling.get("rope_type", scaling.get("type", "linear"))
+    if typ != "yarn":
+        return 1.0
+    if "attention_factor" in scaling:
+        return float(scaling["attention_factor"])
+    return 0.1 * math.log(float(scaling.get("factor", 1.0))) + 1.0
 
 
 def rotate_half(x):
@@ -78,13 +136,18 @@ def rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def apply_rotary_pos_emb(q, k, freqs, unsqueeze_dim: int = 1
+def apply_rotary_pos_emb(q, k, freqs, unsqueeze_dim: int = 1,
+                         scale: float = 1.0
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HF-style rotary application. ``freqs``: [1, L, head_dim//2];
-    q, k: [B, H, L, D]."""
+    q, k: [B, H, L, D]. ``scale``: YaRN attention mscale multiplying
+    cos/sin (:func:`rope_attention_factor`)."""
     emb = jnp.concatenate([freqs, freqs], axis=-1)        # [1, L, D]
     cos = jnp.cos(emb).astype(q.dtype)
     sin = jnp.sin(emb).astype(q.dtype)
+    if scale != 1.0:
+        cos = cos * jnp.asarray(scale, q.dtype)
+        sin = sin * jnp.asarray(scale, q.dtype)
     cos = jnp.expand_dims(cos, unsqueeze_dim)             # [1, 1, L, D]
     sin = jnp.expand_dims(sin, unsqueeze_dim)
     q_out = q * cos + rotate_half(q) * sin

@@ -27,9 +27,13 @@ class ModelForCausalLM:
 
     def __init__(self, config: QwenConfig) -> None:
         self.config = config
+        scaling = getattr(config, "rope_scaling", None)
         self.emb_freq = pos.rope_freqs(config.max_position_embeddings,
                                        config.head_dim,
-                                       theta=config.rope_theta)
+                                       theta=config.rope_theta,
+                                       scaling=scaling)
+        # YaRN attention mscale (1.0 otherwise); serving reads it too
+        self.rope_scale = pos.rope_attention_factor(scaling)
 
     def init(self, key, dtype=jnp.float32):
         cfg = self.config
@@ -87,7 +91,8 @@ class ModelForCausalLM:
             out = modern_layer_apply(
                 lp, h, cfg, freqs=freqs, mask=mask, causal=causal,
                 cache_kv=(ck, cv), start_pos=start_pos,
-                rms_eps=cfg.rms_norm_eps, moe_train=train)
+                rms_eps=cfg.rms_norm_eps, moe_train=train,
+                rope_scale=self.rope_scale)
             if moe:
                 h, kv, aux = out
                 return h, (*kv, aux)
@@ -96,7 +101,8 @@ class ModelForCausalLM:
         def body_nocache(h, lp):
             out = modern_layer_apply(
                 lp, h, cfg, freqs=freqs, mask=mask, causal=causal,
-                rms_eps=cfg.rms_norm_eps, moe_train=train)
+                rms_eps=cfg.rms_norm_eps, moe_train=train,
+                rope_scale=self.rope_scale)
             if moe:
                 return out[0], out[2]
             return out[0], None

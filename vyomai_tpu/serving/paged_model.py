@@ -124,8 +124,9 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     # per-token RoPE tables [N, Tp, D]
     freqs = jnp.take(emb_freq[0], positions.reshape(-1), axis=0)
     emb = jnp.concatenate([freqs, freqs], axis=-1).reshape(n, t_pad, 1, -1)
-    cos = jnp.cos(emb)
-    sin = jnp.sin(emb)
+    rs = getattr(model, "rope_scale", 1.0)   # YaRN attention mscale
+    cos = jnp.cos(emb) * rs
+    sin = jnp.sin(emb) * rs
 
     quant = pool["kv"].dtype == jnp.int8
 
@@ -253,8 +254,9 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
                              eps=cfg.rms_norm_eps)
         freqs = jnp.take(emb_freq[0], positions, axis=0)         # [B, D/2]
         emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None, :]
-        cos = jnp.cos(emb).astype(q.dtype)
-        sin = jnp.sin(emb).astype(q.dtype)
+        rs = getattr(model, "rope_scale", 1.0)   # YaRN attention mscale
+        cos = (jnp.cos(emb) * rs).astype(q.dtype)
+        sin = (jnp.sin(emb) * rs).astype(q.dtype)
         q = q * cos + rotate_half(q) * sin
         k = k * cos + rotate_half(k) * sin
         written = write_kv(pkv, k, v, slot_blocks, slot_offsets, scales=psc)
