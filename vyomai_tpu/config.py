@@ -174,6 +174,10 @@ class QwenConfig:
     # linear | dynamic | yarn + factor, see layers.positional.rope_freqs);
     # None = vanilla RoPE
     rope_scaling: Optional[dict] = None
+    # Mistral-style sliding-window attention: each query attends only the
+    # last ``sliding_window`` positions (banded causal mask; None = full
+    # causal). Applies to the dense, cached and paged-serving paths.
+    sliding_window: Optional[int] = None
     attention_bias: bool = False
     qk_norm: bool = True
     tie_word_embeddings: bool = True

@@ -31,6 +31,20 @@ def bidirectional_mask(attention_mask, dtype=jnp.float32):
     return additive(attention_mask[:, None, None, :], dtype)
 
 
+def banded_causal_mask(seq_len: int, window: int, attention_mask=None,
+                       dtype=jnp.float32):
+    """Sliding-window causal mask: query i attends keys
+    ``(i - window, i]`` (Mistral SWA band). Optional [B, L] pad mask.
+    Returns additive [B|1, 1, L, L]."""
+    q_pos = jnp.arange(seq_len)[:, None]
+    k_pos = jnp.arange(seq_len)[None, :]
+    band = (k_pos <= q_pos) & (k_pos > q_pos - window)
+    if attention_mask is not None:
+        m = band[None] & (attention_mask[:, None, :] != 0)
+        return additive(m[:, None], dtype)
+    return additive(band[None, None], dtype)
+
+
 def causal_mask(seq_len: int, attention_mask=None, start_pos: int = 0,
                 batch_size: int = 1, dtype=jnp.float32):
     """Causal mask for a decoder block of ``seq_len`` queries whose first
@@ -59,7 +73,7 @@ def causal_mask(seq_len: int, attention_mask=None, start_pos: int = 0,
 
 def causal_mask_static_kv(seq_len: int, kv_capacity: int, start_pos,
                           attention_mask=None, batch_size: int = 1,
-                          dtype=jnp.float32):
+                          dtype=jnp.float32, window=None):
     """Causal mask for queries at ``[start_pos, start_pos + seq_len)`` against
     a full static KV buffer of width ``kv_capacity``.
 
@@ -78,6 +92,9 @@ def causal_mask_static_kv(seq_len: int, kv_capacity: int, start_pos,
     q_pos = start_pos + jnp.arange(seq_len)[:, None]      # [Lq, 1]
     k_pos = jnp.arange(kv_capacity)[None, :]              # [1, K]
     causal = k_pos <= q_pos                               # [Lq, K]
+    if window is not None:
+        # sliding-window band: only the last ``window`` positions attend
+        causal = causal & (k_pos > q_pos - window)
     if attention_mask is not None:
         pad = attention_mask != 0                         # [B, Lpad]
         lpad = pad.shape[-1]

@@ -75,10 +75,17 @@ class ModelForCausalLM:
                                              seqlen, axis=1)
 
         causal = False
+        window = getattr(cfg, "sliding_window", None)
         if cache is not None:
             kv_cap = cache["k"].shape[3]
             mask = causal_mask_static_kv(seqlen, kv_cap, start_pos,
-                                         attention_mask, batch_size=bsz)
+                                         attention_mask, batch_size=bsz,
+                                         window=window)
+        elif window is not None:
+            # sliding-window band as an explicit mask (causal=False: the
+            # band replaces the triangular mask entirely)
+            from ..core.masks import banded_causal_mask
+            mask = banded_causal_mask(seqlen, window, attention_mask)
         else:
             mask = None
             if attention_mask is not None:

@@ -89,7 +89,7 @@ def gather_kv(pool, tables, h_kv: int, scales=None):
 
 
 def paged_attention_decode(q, pool, block_tables, seq_lens, h_kv: int,
-                           scales=None):
+                           scales=None, window=None):
     """Single-token decode attention over paged KV (XLA fallback).
 
     q: [B, H, D]; pool: [NB, 2, BS, width]; block_tables: [B, MAXB] int32
@@ -112,6 +112,8 @@ def paged_attention_decode(q, pool, block_tables, seq_lens, h_kv: int,
                         k.astype(jnp.float32)) * scale
     t_pos = jnp.arange(maxb * bs)[None, :]
     valid = t_pos < seq_lens[:, None]
+    if window is not None:   # sliding window: only the last ``window`` keys
+        valid = valid & (t_pos >= seq_lens[:, None] - window)
     scores = jnp.where(valid[:, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bht,bhtd->bhd", probs, v.astype(jnp.float32))

@@ -118,8 +118,11 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     t_ctx = maxb * bs
     k_pos = jnp.arange(t_ctx)[None, None, :]
     q_abs = positions[:, :, None]
-    attn_mask = jnp.where(
-        (k_pos <= q_abs) & (k_pos < ctx_len[:, None, None]), 0.0, NEG_INF)
+    ok = (k_pos <= q_abs) & (k_pos < ctx_len[:, None, None])
+    window = getattr(cfg, "sliding_window", None)
+    if window is not None:   # Mistral-style band over the paged context
+        ok = ok & (k_pos > q_abs - window)
+    attn_mask = jnp.where(ok, 0.0, NEG_INF)
 
     # per-token RoPE tables [N, Tp, D]
     freqs = jnp.take(emb_freq[0], positions.reshape(-1), axis=0)
@@ -230,9 +233,11 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
     if plus_one:
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
 
-    use_pallas = allow_pallas and paged_decode_pallas.supported(
-        jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
-        pool["kv"][0], cfg.num_key_value_heads)
+    window = getattr(cfg, "sliding_window", None)
+    use_pallas = allow_pallas and window is None and \
+        paged_decode_pallas.supported(
+            jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
+            pool["kv"][0], cfg.num_key_value_heads)
     quant = pool["kv"].dtype == jnp.int8
 
     def body(h, xs):
@@ -266,7 +271,7 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
                 q, pkv, block_tables, seq_lens, nkv, psc)        # [B, H, D]
         else:
             attn = paged_attention_decode(q, pkv, block_tables, seq_lens,
-                                          nkv, psc)
+                                          nkv, psc, window=window)
         attn = attn.reshape(b, -1)
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
