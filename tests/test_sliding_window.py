@@ -78,3 +78,26 @@ def test_swa_engine_matches_dense():
         dense = generate(m, params, jnp.asarray([p]), max_new_tokens=8,
                          use_cache=True)
         assert out[sid] == np.asarray(dense)[0, len(p):].tolist()
+
+
+def test_qwen_config_from_hf():
+    from vyomai_tpu.interop.hf_import import qwen_config_from_hf
+    hf = {"vocab_size": 151936, "hidden_size": 2048,
+          "intermediate_size": 11008, "num_hidden_layers": 36,
+          "num_attention_heads": 16, "num_key_value_heads": 2,
+          "max_position_embeddings": 40960, "rms_norm_eps": 1e-6,
+          "rope_theta": 1000000.0, "model_type": "qwen3",
+          "tie_word_embeddings": True, "eos_token_id": 151645,
+          "sliding_window": 4096, "use_sliding_window": False,
+          "rope_scaling": {"rope_type": "yarn", "factor": 4.0,
+                           "original_max_position_embeddings": 32768},
+          "head_dim": 128}
+    cfg = qwen_config_from_hf(hf)
+    assert cfg.head_dim == 128 and cfg.qk_norm and cfg.tie_word_embeddings
+    assert cfg.sliding_window is None        # gate off -> inactive
+    assert cfg.rope_scaling["rope_type"] == "yarn"
+    cfg2 = qwen_config_from_hf({**hf, "use_sliding_window": True})
+    assert cfg2.sliding_window == 4096
+    # models build and scale from it
+    m = vt.ModelForCausalLM(cfg)
+    assert m.rope_scale > 1.0

@@ -191,6 +191,40 @@ def import_got_ocr2(sd, config) -> dict:
     }
 
 
+def qwen_config_from_hf(hf: dict):
+    """Map a HF ``config.json`` dict (Qwen2/Qwen3 architectures) to
+    :class:`vyomai_tpu.QwenConfig` — including the long-context fields:
+    ``rope_scaling`` passes through verbatim (linear/dynamic/yarn, see
+    ``layers.positional.rope_freqs``) and ``sliding_window`` engages only
+    when HF's ``use_sliding_window`` gate is on (HF ships the field set
+    but inactive on many checkpoints)."""
+    from ..config import QwenConfig
+    head_dim = hf.get("head_dim") or (
+        hf["hidden_size"] // hf["num_attention_heads"])
+    window = hf.get("sliding_window") if hf.get("use_sliding_window") \
+        else None
+    return QwenConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads",
+                                   hf["num_attention_heads"]),
+        head_dim=head_dim,
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 1e6),
+        rope_scaling=hf.get("rope_scaling"),
+        sliding_window=window,
+        attention_bias=hf.get("attention_bias", False),
+        qk_norm="qwen3" in str(hf.get("model_type", "")).lower(),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        pad_token_id=hf.get("pad_token_id") or 0,
+        eos_token_id=hf.get("eos_token_id", -1),
+    )
+
+
 def import_qwen(sd, config, prefix: str = "model") -> dict:
     layers = [_modern_layer(sd, f"{prefix}.layers.{i}",
                             qk_norm=getattr(config, "qk_norm", False)
