@@ -240,3 +240,89 @@ def test_auto_dispatch_follows_lowering_platform():
             lambda a: jnp.sum(sdpa(a, jnp.asarray(k), jnp.asarray(v),
                                    causal=True))))(jnp.asarray(q))
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("window", [16, 64, 200])
+def test_sliding_window_matches_banded_bias(qkv, window):
+    """In-kernel sliding window (band mask + pre-window block skip) ==
+    explicit banded-bias reference, forward and gradients — including a
+    window that prunes most kv blocks (16 at L=256) and one wider than a
+    block (200)."""
+    from vyomai_tpu.core.masks import banded_causal_mask
+    q, k, v = qkv
+    band = banded_causal_mask(L, window)
+
+    with jax.default_matmul_precision("highest"):
+        ref = _xla(q, k, v, band)
+        out = fa.flash_attention_bias(q, k, v, None, causal=True,
+                                      window=window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    def f_win(q_, k_, v_):
+        return jnp.sum(fa.flash_attention_bias(
+            q_, k_, v_, None, causal=True, window=window) ** 2)
+
+    def f_ref(q_, k_, v_):
+        set_sdpa_impl("xla")
+        r = jnp.sum(sdpa(q_, k_, v_, band) ** 2)
+        set_sdpa_impl("auto")
+        return r
+
+    with jax.default_matmul_precision("highest"):
+        gw = jax.grad(f_win, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gw, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_sliding_window_gqa_and_pad_shim():
+    """Window composes with GQA grouping and the arbitrary-length pad
+    shim (L=77 is not a block multiple)."""
+    from vyomai_tpu.core.masks import banded_causal_mask
+    lq = 77
+    q = jax.random.normal(jax.random.PRNGKey(3), (1, 4, lq, 64))
+    k = jax.random.normal(jax.random.PRNGKey(4), (1, 2, lq, 64))
+    v = jax.random.normal(jax.random.PRNGKey(5), (1, 2, lq, 64))
+    band = banded_causal_mask(lq, 10)
+    with jax.default_matmul_precision("highest"):
+        ref = _xla(q, repeat_kv(k, 2), repeat_kv(v, 2), band)
+        out = fa.flash_attention_bias(q, k, v, None, causal=True, window=10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_sliding_window_remapped_grids_fwd_bwd():
+    """Force small blocks so the WINDOWED grid remap engages (nkw < nk,
+    nqw < nq): forward + dq/dk/dv vs the banded XLA reference."""
+    from vyomai_tpu.core.masks import banded_causal_mask
+    lq, win, bqk = 128, 24, 16
+    q = jax.random.normal(jax.random.PRNGKey(7), (2, 4, lq, 64))
+    k = jax.random.normal(jax.random.PRNGKey(8), (2, 2, lq, 64))
+    v = jax.random.normal(jax.random.PRNGKey(9), (2, 2, lq, 64))
+    band = banded_causal_mask(lq, win)
+    # remap must engage: nk=8, nkw=(24+16-2)//16+2=4; nq=8, nqw=(16+24+16-2)//16+1=4
+    with jax.default_matmul_precision("highest"):
+        out, lse = fa._fwd(q, k, v, None, True, 0, win,
+                           block_q=bqk, block_k=bqk)
+        ref = _xla(q, repeat_kv(k, 2), repeat_kv(v, 2), band)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    do = jax.random.normal(jax.random.PRNGKey(10), out.shape)
+    with jax.default_matmul_precision("highest"):
+        dq, dk, dv = fa._bwd(q, k, v, None, True, 0, out, lse, do,
+                             window=win, block_q=bqk, block_k=bqk)
+
+        def ref_fn(q_, k_, v_):
+            set_sdpa_impl("xla")
+            r = jnp.sum(sdpa(q_, repeat_kv(k_, 2), repeat_kv(v_, 2), band)
+                        * do)
+            set_sdpa_impl("auto")
+            return r
+
+        rq, rk, rv = jax.grad(ref_fn, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               atol=5e-5, rtol=1e-4)

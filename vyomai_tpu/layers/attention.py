@@ -58,7 +58,7 @@ def _flash_shapes_ok(q, k, mask) -> bool:
         return False
 
 
-def sdpa(q, k, v, mask=None, *, causal: bool = False):
+def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None):
     """Scaled dot-product attention. q: [B,H,Lq,D]; k,v: [B,H,Lk,D];
     mask: additive, broadcastable to [B,H,Lq,Lk]. ``causal=True`` applies
     the triangular mask (queries aligned to the end of the kv range) —
@@ -76,23 +76,25 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False):
         def flash_path(*args):
             qq, kk, vv = args[:3]
             mm = args[3] if len(args) > 3 else None
-            return fa.flash_attention_bias(qq, kk, vv, mm, causal=causal)
+            return fa.flash_attention_bias(qq, kk, vv, mm, causal=causal,
+                                           window=window)
 
         def xla_path(*args):
             qq, kk, vv = args[:3]
             mm = args[3] if len(args) > 3 else None
-            return _sdpa_xla(qq, kk, vv, mm, causal=causal)
+            return _sdpa_xla(qq, kk, vv, mm, causal=causal, window=window)
 
         args = (q, k, v) if mask is None else (q, k, v, mask)
         return jax.lax.platform_dependent(*args, tpu=flash_path,
                                           default=xla_path)
     if impl == "flash":
         from ..ops import flash_attention as fa
-        return fa.flash_attention_bias(q, k, v, mask, causal=causal)
-    return _sdpa_xla(q, k, v, mask, causal=causal)
+        return fa.flash_attention_bias(q, k, v, mask, causal=causal,
+                                       window=window)
+    return _sdpa_xla(q, k, v, mask, causal=causal, window=window)
 
 
-def _sdpa_xla(q, k, v, mask=None, *, causal: bool = False):
+def _sdpa_xla(q, k, v, mask=None, *, causal: bool = False, window=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
@@ -102,7 +104,10 @@ def _sdpa_xla(q, k, v, mask=None, *, causal: bool = False):
         lq, lk = q.shape[2], k.shape[2]
         q_pos = (lk - lq) + jnp.arange(lq)[:, None]
         k_pos = jnp.arange(lk)[None, :]
-        scores = scores + jnp.where(k_pos <= q_pos, 0.0, NEG_INF_F)
+        ok = k_pos <= q_pos
+        if window is not None:   # sliding-window band
+            ok = ok & (k_pos > q_pos - window)
+        scores = scores + jnp.where(ok, 0.0, NEG_INF_F)
     # Clamp so stacked masks don't overflow to -inf (keeps fully-masked
     # rows at a finite uniform softmax, matching the reference).
     scores = jnp.maximum(scores, NEG_INF_F)

@@ -75,7 +75,9 @@ def modern_attention_apply(p, hidden, config, *, freqs=None, mask=None,
 
     n_rep = nh // nkv
     out = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), mask,
-               causal=causal)
+               causal=causal,
+               window=getattr(config, "sliding_window", None)
+               if causal else None)
     out = _merge_heads(out)
     return cnn.linear(p["o_proj"], out), cache_kv
 

@@ -81,12 +81,10 @@ class ModelForCausalLM:
             mask = causal_mask_static_kv(seqlen, kv_cap, start_pos,
                                          attention_mask, batch_size=bsz,
                                          window=window)
-        elif window is not None:
-            # sliding-window band as an explicit mask (causal=False: the
-            # band replaces the triangular mask entirely)
-            from ..core.masks import banded_causal_mask
-            mask = banded_causal_mask(seqlen, window, attention_mask)
         else:
+            # uncached: causal (+ sliding window) applied IN-KERNEL by
+            # sdpa — no O(L^2) mask materialization; the flash path skips
+            # both future and pre-window blocks
             mask = None
             if attention_mask is not None:
                 from ..core.masks import bidirectional_mask

@@ -101,38 +101,62 @@ def supported_shapes(q, k, mask) -> bool:
     return True
 
 
-def _causal_block_mask(iq, ik, bq, bk, q_offset):
+def _causal_block_mask(iq, ik, bq, bk, q_offset, window=None):
     """Additive causal mask for the (iq, ik) block. ``q_offset`` is the
     absolute position of query row 0 — ``lk - lq`` when queries are aligned
     to the *end* of the kv range (the standard case), and unchanged when
     the wrapper pads lq/lk up to block multiples (padded key positions then
-    sit in the causal future of every real query)."""
+    sit in the causal future of every real query). ``window`` adds the
+    sliding-window lower bound (k > q - window)."""
     q_pos = q_offset + iq * bq + jax.lax.broadcasted_iota(
         jnp.int32, (bq, bk), 0)
     k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    return jnp.where(k_pos <= q_pos, 0.0, NEG_INF)
+    ok = k_pos <= q_pos
+    if window is not None:
+        ok = ok & (k_pos > q_pos - window)
+    return jnp.where(ok, 0.0, NEG_INF)
 
 
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _win_top_block(iq, bq, bk, q_offset):
+    """Last kv block intersecting q block ``iq``'s causal range."""
+    return (q_offset + iq * bq + bq - 1) // bk
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale, num_kv_blocks, bq, bk,
-                q_offset, causal):
+                q_offset, causal, window=None, win_blocks=None):
     iq = pl.program_id(2)
-    ik = pl.program_id(3)
+    ikg = pl.program_id(3)
+    if win_blocks is not None:
+        # windowed grid: dim 3 walks only the ``win_blocks`` kv blocks that
+        # can intersect q block iq's band — DMA AND compute are O(window),
+        # not O(Lk) (a pl.when skip alone still prefetches every block)
+        ik = _win_top_block(iq, bq, bk, q_offset) - (win_blocks - 1) + ikg
+        last = ikg == win_blocks - 1
+    else:
+        ik = ikg
+        last = ikg == num_kv_blocks - 1
 
-    @pl.when(ik == 0)
+    @pl.when(ikg == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
     # Causal: a block is live unless every key position exceeds every query
-    # position. Skipped blocks issue no MXU work.
+    # position; with a sliding window, also unless every key precedes every
+    # query's band (k_max <= q_min - window). Skipped blocks issue no MXU
+    # work.
     if causal:
         live = ik * bk <= q_offset + iq * bq + bq - 1
+        if window is not None:
+            live &= ik * bk + bk - 1 > q_offset + iq * bq - window
+        if win_blocks is not None:
+            live &= ik >= 0          # clipped index map fetched a dummy
     else:
         live = True
 
@@ -144,7 +168,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale         # [BQ, BK]
         if causal:
-            s = s + _causal_block_mask(iq, ik, bq, bk, q_offset)
+            s = s + _causal_block_mask(iq, ik, bq, bk, q_offset, window)
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
 
@@ -162,7 +186,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         m_ref[:] = m_new
         l_ref[:] = l_new
 
-    @pl.when(ik == num_kv_blocks - 1)
+    @pl.when(last)
     def _emit():
         l = l_ref[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -171,19 +195,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                             jnp.log(l_safe))[:, 0]
 
 
-def _bias_spec(bias, bq, bk, order):
+def _bias_spec(bias, bq, bk, order, win=None):
     bh = bias.shape[1]
     brow = bias.shape[2]
 
     def idx(b_, h_, i1, i2):
         iq, ik = (i1, i2) if order == "q" else (i2, i1)
+        if win is not None:   # windowed kv grid: remap ik to the band
+            nkw, _, nk, bq_, q_off = win
+            ik = jnp.clip(_win_top_block(iq, bq_, bk, q_off)
+                          - (nkw - 1) + ik, 0, nk - 1)
         return (b_, 0 if bh == 1 else h_, 0 if brow == 1 else iq, ik)
 
     rows = 1 if brow == 1 else bq
     return pl.BlockSpec((1, 1, rows, bk), idx, memory_space=pltpu.VMEM)
 
 
-def _fwd(q, k, v, bias, causal, q_offset, block_q=None, block_k=None):
+def _fwd(q, k, v, bias, causal, q_offset, window=None, block_q=None,
+         block_k=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
@@ -194,21 +223,34 @@ def _fwd(q, k, v, bias, causal, q_offset, block_q=None, block_k=None):
     nq, nk = lq // bq, lk // bk
     scale = 1.0 / (d ** 0.5)
 
+    # windowed causal: walk only the kv blocks that can intersect each q
+    # block's band (constant count), with index maps clipped into range —
+    # out-of-range fetches land on block 0 and are skipped by liveness
+    nkw = None
+    if causal and window is not None:
+        nkw = min(nk, (window + bq - 2) // bk + 2)
+    if nkw == nk:
+        nkw = None   # window covers everything: plain sweep
+
+    def k_index(b_, h_, iq, ikg):
+        if nkw is None:
+            return (b_, h_ // group, ikg, 0)
+        ik = _win_top_block(iq, bq, bk, q_offset) - (nkw - 1) + ikg
+        return (b_, h_ // group, jnp.clip(ik, 0, nk - 1), 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, d),
-                     lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, d),
-                     lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d), k_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d), k_index, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     kw = dict(scale=scale, num_kv_blocks=nk, bq=bq, bk=bk,
-              q_offset=q_offset, causal=causal)
+              q_offset=q_offset, causal=causal, window=window,
+              win_blocks=nkw)
     if bias is not None:
-        in_specs.append(_bias_spec(bias, bq, bk, "q"))
+        in_specs.append(_bias_spec(bias, bq, bk, "q", win=(
+            None if nkw is None else (nkw, nq, nk, bq, q_offset))))
         args.append(bias)
         kern = functools.partial(_fwd_kernel, **kw)
     else:
@@ -218,7 +260,7 @@ def _fwd(q, k, v, bias, causal, q_offset, block_q=None, block_k=None):
 
     out, lse = pl.pallas_call(
         kern,
-        grid=(b, h, nq, nk),
+        grid=(b, h, nq, nkw if nkw is not None else nk),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
@@ -248,13 +290,13 @@ def _fwd(q, k, v, bias, causal, q_offset, block_q=None, block_k=None):
 # ---------------------------------------------------------------------------
 
 def _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik, *, scale, bq, bk,
-                 q_offset, causal):
+                 q_offset, causal, window=None):
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     if causal:
-        s = s + _causal_block_mask(iq, ik, bq, bk, q_offset)
+        s = s + _causal_block_mask(iq, ik, bq, bk, q_offset, window)
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
     return jnp.exp(s - lse_ref[0, 0, 0][:, None])              # [BQ, BK]
@@ -262,21 +304,31 @@ def _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik, *, scale, bq, bk,
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_acc, *, scale, num_kv_blocks, bq, bk,
-                   q_offset, causal):
+                   q_offset, causal, window=None, win_blocks=None):
     iq = pl.program_id(2)
-    ik = pl.program_id(3)
+    ikg = pl.program_id(3)
+    if win_blocks is not None:   # windowed kv sweep (see _fwd_kernel)
+        ik = _win_top_block(iq, bq, bk, q_offset) - (win_blocks - 1) + ikg
+        last = ikg == win_blocks - 1
+    else:
+        ik = ikg
+        last = ikg == num_kv_blocks - 1
 
-    @pl.when(ik == 0)
+    @pl.when(ikg == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     live = (ik * bk <= q_offset + iq * bq + bq - 1) if causal else True
+    if causal and window is not None:
+        live &= ik * bk + bk - 1 > q_offset + iq * bq - window
+    if win_blocks is not None:
+        live &= ik >= 0
 
     @pl.when(live)
     def _compute():
         p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
                          scale=scale, bq=bq, bk=bk, q_offset=q_offset,
-                         causal=causal)
+                         causal=causal, window=window)
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
@@ -286,14 +338,20 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dq_acc[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
-    @pl.when(ik == num_kv_blocks - 1)
+    @pl.when(last)
     def _emit():
         dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
 
 
+def _win_base_q(ik, bq, bk, q_offset):
+    """First q block whose causal range can include kv block ``ik``."""
+    return (ik * bk - q_offset) // bq
+
+
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q_blocks,
-                    group, bq, bk, q_offset, causal):
+                    group, bq, bk, q_offset, causal, window=None,
+                    win_qblocks=None):
     """Grid (B, H_kv, nk, nq*group): for each kv block, the innermost sweep
     visits every (q head in the GQA group, q block) pair and accumulates
     dk/dv for the group in VMEM scratch — one [B, H_kv, Lk, D] HBM write
@@ -301,7 +359,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     less dkv HBM traffic, the expensive half of training at GQA group 4)."""
     ik = pl.program_id(2)
     t = pl.program_id(3)
-    iq = t % num_q_blocks                 # q block (fast-varying)
+    if win_qblocks is not None:
+        # windowed q sweep: per kv block only the q blocks whose band can
+        # reach it (t enumerates (group, q-block-in-window))
+        iq = _win_base_q(ik, bq, bk, q_offset) + t % win_qblocks
+        nq_live = num_q_blocks
+    else:
+        iq = t % num_q_blocks             # q block (fast-varying)
+        nq_live = None
 
     @pl.when(t == 0)
     def _init():
@@ -309,12 +374,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     live = (ik * bk <= q_offset + iq * bq + bq - 1) if causal else True
+    if causal and window is not None:
+        live &= ik * bk + bk - 1 > q_offset + iq * bq - window
+    if win_qblocks is not None:
+        live &= (iq >= 0) & (iq < nq_live)
 
     @pl.when(live)
     def _compute():
         p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
                          scale=scale, bq=bq, bk=bk, q_offset=q_offset,
-                         causal=causal)
+                         causal=causal, window=window)
         q = q_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
@@ -326,14 +395,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                          preferred_element_type=jnp.float32)
 
-    @pl.when(t == num_q_blocks * group - 1)
+    @pl.when(t == (win_qblocks if win_qblocks is not None
+                   else num_q_blocks) * group - 1)
     def _emit():
         dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
-         block_k=None):
+def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
+         block_q=None, block_k=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
@@ -344,13 +414,29 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
     nq, nk = lq // bq, lk // bk
     scale = 1.0 / (d ** 0.5)
 
+    # windowed sweeps (see _fwd): kv blocks per q block, q blocks per kv
+    nkw = nqw = None
+    if causal and window is not None:
+        nkw = min(nk, (window + bq - 2) // bk + 2)
+        nqw = min(nq, (bk + window + bq - 2) // bq + 1)
+        if nkw == nk:
+            nkw = None
+        if nqw == nq:
+            nqw = None
+
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, :, None, :]                     # [B, H, 1, Lq]
 
+    def _kmap(iq, ik):
+        if nkw is None:
+            return ik
+        return jnp.clip(_win_top_block(iq, bq, bk, q_offset)
+                        - (nkw - 1) + ik, 0, nk - 1)
+
     def specs_q():
-        """dq pass: grid (B, H, nq, nk)."""
+        """dq pass: grid (B, H, nq, nk | nkw)."""
         qi = lambda b_, h_, iq, ik: (b_, h_, iq, 0)
-        ki = lambda b_, h_, iq, ik: (b_, h_ // group, ik, 0)
+        ki = lambda b_, h_, iq, ik: (b_, h_ // group, _kmap(iq, ik), 0)
         li = lambda b_, h_, iq, ik: (b_, h_, 0, iq)
         sp = [
             pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),
@@ -358,7 +444,8 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
             pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
         ]
         if bias is not None:
-            sp.append(_bias_spec(bias, bq, bk, "q"))
+            sp.append(_bias_spec(bias, bq, bk, "q", win=(
+                None if nkw is None else (nkw, nq, nk, bq, q_offset))))
         sp += [
             pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),   # do
             pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # lse
@@ -366,12 +453,22 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
         ]
         return sp
 
+    nq_t = nqw if nqw is not None else nq   # q blocks per kv in the t sweep
+
+    def _qmap(ik, t):
+        iq = t % nq_t
+        if nqw is None:
+            return iq
+        return jnp.clip(_win_base_q(ik, bq, bk, q_offset) + iq, 0, nq - 1)
+
     def specs_kv():
-        """dkv pass: grid (B, H_kv, nk, nq*group); the innermost index t
-        enumerates (q head in group: t // nq, q block: t % nq)."""
-        qi = lambda b_, hk, ik, t: (b_, hk * group + t // nq, t % nq, 0)
+        """dkv pass: grid (B, H_kv, nk, (nq|nqw)*group); the innermost
+        index t enumerates (q head in group: t // nq_t, q block)."""
+        qi = lambda b_, hk, ik, t: (b_, hk * group + t // nq_t,
+                                    _qmap(ik, t), 0)
         ki = lambda b_, hk, ik, t: (b_, hk, ik, 0)
-        li = lambda b_, hk, ik, t: (b_, hk * group + t // nq, 0, t % nq)
+        li = lambda b_, hk, ik, t: (b_, hk * group + t // nq_t, 0,
+                                    _qmap(ik, t))
         sp = [
             pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM),
@@ -380,8 +477,8 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
         if bias is not None:
             bh, brow = bias.shape[1], bias.shape[2]
             bi = lambda b_, hk, ik, t: (
-                b_, 0 if bh == 1 else hk * group + t // nq,
-                0 if brow == 1 else t % nq, ik)
+                b_, 0 if bh == 1 else hk * group + t // nq_t,
+                0 if brow == 1 else _qmap(ik, t), ik)
             rows = 1 if brow == 1 else bq
             sp.append(pl.BlockSpec((1, 1, rows, bk), bi,
                                    memory_space=pltpu.VMEM))
@@ -393,26 +490,28 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
         return sp
 
     args = [q, k, v] + ([bias] if bias is not None else []) + [do, lse, delta]
-    kw = dict(scale=scale, bq=bq, bk=bk, q_offset=q_offset, causal=causal)
+    kw = dict(scale=scale, bq=bq, bk=bk, q_offset=q_offset, causal=causal,
+              window=window)
 
     if bias is not None:
-        dq_kern = functools.partial(_bwd_dq_kernel, num_kv_blocks=nk, **kw)
+        dq_kern = functools.partial(_bwd_dq_kernel, num_kv_blocks=nk,
+                                    win_blocks=nkw, **kw)
         dkv_kern = functools.partial(_bwd_dkv_kernel, num_q_blocks=nq,
-                                     group=group, **kw)
+                                     group=group, win_qblocks=nqw, **kw)
     else:
         dq_kern = functools.partial(
             lambda qr, kr, vr, dor, lr, der, dqr, acc, **kw2:
             _bwd_dq_kernel(qr, kr, vr, None, dor, lr, der, dqr, acc, **kw2),
-            num_kv_blocks=nk, **kw)
+            num_kv_blocks=nk, win_blocks=nkw, **kw)
         dkv_kern = functools.partial(
             lambda qr, kr, vr, dor, lr, der, dkr, dvr, ka, va, **kw2:
             _bwd_dkv_kernel(qr, kr, vr, None, dor, lr, der, dkr, dvr,
                             ka, va, **kw2),
-            num_q_blocks=nq, group=group, **kw)
+            num_q_blocks=nq, group=group, win_qblocks=nqw, **kw)
 
     dq = pl.pallas_call(
         dq_kern,
-        grid=(b, h, nq, nk),
+        grid=(b, h, nq, nkw if nkw is not None else nk),
         in_specs=specs_q(),
         out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda b_, h_, iq, ik: (b_, h_, iq, 0),
@@ -428,7 +527,7 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
     # dk/dv accumulated over the GQA group IN-KERNEL: written [B, H_kv, ...]
     dk, dv = pl.pallas_call(
         dkv_kern,
-        grid=(b, h_kv, nk, nq * group),
+        grid=(b, h_kv, nk, nq_t * group),
         in_specs=specs_kv(),
         out_specs=[
             pl.BlockSpec((1, 1, bk, d),
@@ -456,20 +555,21 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, block_q=None,
 # custom_vjp wrappers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, bias, causal, q_offset):
-    out, _ = _fwd(q, k, v, bias, causal, q_offset)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, bias, causal, q_offset, window=None):
+    out, _ = _fwd(q, k, v, bias, causal, q_offset, window)
     return out
 
 
-def _flash_fwd(q, k, v, bias, causal, q_offset):
-    out, lse = _fwd(q, k, v, bias, causal, q_offset)
+def _flash_fwd(q, k, v, bias, causal, q_offset, window=None):
+    out, lse = _fwd(q, k, v, bias, causal, q_offset, window)
     return out, (q, k, v, bias, out, lse)
 
 
-def _flash_bwd(causal, q_offset, res, do):
+def _flash_bwd(causal, q_offset, window, res, do):
     q, k, v, bias, out, lse = res
-    dq, dk, dv = _bwd(q, k, v, bias, causal, q_offset, out, lse, do)
+    dq, dk, dv = _bwd(q, k, v, bias, causal, q_offset, out, lse, do,
+                      window=window)
     dbias = None if bias is None else jnp.zeros_like(bias)
     return dq, dk, dv, dbias
 
@@ -485,13 +585,16 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def flash_attention_bias(q, k, v, bias, *, causal: bool = False):
+def flash_attention_bias(q, k, v, bias, *, causal: bool = False,
+                         window=None):
     """Flash attention with an additive mask/bias (non-differentiable).
 
     q: [B, H, Lq, D]; k, v: [B, H_kv, Lk, D];
     bias: [B, 1|H, 1|Lq, Lk] or None. ``causal=True`` adds the triangular
     mask in-kernel (queries aligned to the end of the kv range) and skips
-    future blocks.
+    future blocks; ``window`` (with causal) adds the sliding-window band
+    and ALSO skips fully-pre-window blocks, so long-context SWA sweeps
+    O(window) keys per query block instead of O(Lk).
 
     Arbitrary lengths are handled by a pad-and-mask shim: lq/lk are padded
     up to the block multiple, padded keys are masked (by the causal mask
@@ -505,7 +608,7 @@ def flash_attention_bias(q, k, v, bias, *, causal: bool = False):
     mult = _pad_multiple()
     lq_pad, lk_pad = _round_up(lq, mult), _round_up(lk, mult)
     if lq_pad == lq and lk_pad == lk:
-        return _flash(q, k, v, bias, causal, q_offset)
+        return _flash(q, k, v, bias, causal, q_offset, window)
 
     dq_, dk_ = lq_pad - lq, lk_pad - lk
     q = jnp.pad(q, ((0, 0), (0, 0), (0, dq_), (0, 0)))
@@ -523,7 +626,7 @@ def flash_attention_bias(q, k, v, bias, *, causal: bool = False):
         # key tail must be masked for the real queries
         tail = (jnp.arange(lk_pad) >= lk)[None, None, None, :]
         bias = jnp.where(tail, NEG_INF, 0.0).astype(jnp.float32)
-    out = _flash(q, k, v, bias, causal, q_offset)
+    out = _flash(q, k, v, bias, causal, q_offset, window)
     return out[:, :, :lq] if dq_ else out
 
 
