@@ -92,3 +92,38 @@ def test_kernel_int8_matches_xla_fallback():
     # and both sit close to the unquantized attention (int8 noise bounded)
     full = paged_attention_decode(q, pool_f, bt, seq_lens, H_KV)
     np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=0.05)
+
+
+@pytest.mark.parametrize("window", [5, 16, 40])
+def test_kernel_sliding_window_matches_xla(window):
+    """Windowed decode kernel (sweep starts at the band's first block) ==
+    XLA fallback with the same window, across uneven context lengths —
+    including a window smaller than one block (5 < BS=8), block-spanning
+    (16) and wider-than-context (40 > 33)."""
+    q, pool, bt, seq_lens = _setup(seed=3)
+    out = pdp.paged_attention_decode_pallas(q, pool, bt, seq_lens, H_KV,
+                                            window=window)
+    ref = paged_attention_decode(q, pool, bt, seq_lens, H_KV, window=window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)
+
+
+def test_kernel_sliding_window_int8(int8_pool=None):
+    """Window composes with the int8 pool dequant path."""
+    from vyomai_tpu.ops.paged_attention import write_kv
+    q, pool, bt, seq_lens = _setup(seed=4)
+    pool_q = jnp.zeros((NB, 2, BS, H_KV * D), jnp.int8)
+    scales = jnp.ones((NB, 2, BS), jnp.float32)
+    # quantize the fp pool row-wise through the canonical writer
+    k_rows = pool[:, 0].reshape(-1, H_KV, D)
+    v_rows = pool[:, 1].reshape(-1, H_KV, D)
+    blocks = jnp.repeat(jnp.arange(NB), BS)
+    offs = jnp.tile(jnp.arange(BS), NB)
+    pool_q, scales = write_kv(pool_q, k_rows, v_rows, blocks, offs,
+                              scales=scales)
+    out = pdp.paged_attention_decode_pallas(q, pool_q, bt, seq_lens, H_KV,
+                                            scales=scales, window=12)
+    ref = paged_attention_decode(q, pool_q, bt, seq_lens, H_KV,
+                                 scales=scales, window=12)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4 if not ON_TPU else 2e-2)

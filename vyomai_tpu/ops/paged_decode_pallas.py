@@ -37,7 +37,7 @@ def set_interpret(flag: bool) -> None:
 
 
 def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
-            kv_sc, sem, *, bs, h, width, nslots):
+            kv_sc, sem, *, bs, h, width, nslots, window=None):
     """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D).
 
     Int8 pools (``scale_ref`` not None, [NB, 2, BS] f32 resident in VMEM —
@@ -61,6 +61,12 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
     # past the table (the XLA fallback masks the same way) — without this
     # the DMA would fetch from a garbage block index
     nblocks = jnp.minimum(pl.cdiv(seq_len, bs), bt_ref.shape[1])
+    # sliding window: the sweep starts at the band's first block — blocks
+    # fully before (seq_len - window) are neither fetched nor computed
+    if window is not None:
+        j0 = jnp.maximum(seq_len - window, 0) // bs
+    else:
+        j0 = jnp.int32(0)
 
     def dma(slot, j):
         blk = bt_ref[b, j]
@@ -69,9 +75,9 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
 
     # prologue: fill all but one slot
     for jj in range(nslots - 1):
-        @pl.when(jj < nblocks)
+        @pl.when(j0 + jj < nblocks)
         def _(jj=jj):
-            dma(jj, jj).start()
+            dma((j0 + jj) % nslots, j0 + jj).start()
 
     q = qexp_ref[0].astype(jnp.float32)                # [H, width], prescaled
 
@@ -94,7 +100,10 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
             sc = scale_ref[bt_ref[b, j]]               # [2, BS]
             s = s * sc[0:1, :]
         pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        s = jnp.where(pos < seq_len, s, NEG_INF)
+        ok = pos < seq_len
+        if window is not None:
+            ok = ok & (pos >= seq_len - window)
+        s = jnp.where(ok, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(jnp.maximum(m, m_cur), -1e30)
         p = jnp.exp(s - m_new)
@@ -110,7 +119,7 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
     m0 = jnp.full((h, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((h, 1), jnp.float32)
     a0 = jnp.zeros((h, width), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(j0, nblocks, body, (m0, l0, a0))
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
@@ -119,7 +128,7 @@ _NSLOTS = 4  # DMA pipeline depth (see _kernel docstring — 4 swept best)
 
 
 def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
-                                  h_kv: int, scales=None):
+                                  h_kv: int, scales=None, window=None):
     """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout);
     block_tables: [B, MAXB] int32; seq_lens: [B] int32; scales:
     [NB, 2, BS] f32 per-row dequant scales, required for int8 pools (see
@@ -141,12 +150,12 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     if quant:
         assert scales is not None, "int8 pool needs its scales sidecar"
         kern = functools.partial(_kernel, bs=bs, h=h, width=width,
-                                 nslots=nslots)
+                                 nslots=nslots, window=window)
     else:
         kern = functools.partial(
             lambda bt, ln, qe, pr, o, sc_, sm, **kw:
             _kernel(bt, ln, qe, None, pr, o, sc_, sm, **kw),
-            bs=bs, h=h, width=width, nslots=nslots)
+            bs=bs, h=h, width=width, nslots=nslots, window=window)
 
     in_specs = [
         pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),

@@ -234,10 +234,9 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
 
     window = getattr(cfg, "sliding_window", None)
-    use_pallas = allow_pallas and window is None and \
-        paged_decode_pallas.supported(
-            jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
-            pool["kv"][0], cfg.num_key_value_heads)
+    use_pallas = allow_pallas and paged_decode_pallas.supported(
+        jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
+        pool["kv"][0], cfg.num_key_value_heads)
     quant = pool["kv"].dtype == jnp.int8
 
     def body(h, xs):
@@ -268,7 +267,8 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         pkv, psc = written if quant else (written, None)
         if use_pallas:
             attn = paged_decode_pallas.paged_attention_decode_pallas(
-                q, pkv, block_tables, seq_lens, nkv, psc)        # [B, H, D]
+                q, pkv, block_tables, seq_lens, nkv, psc,
+                window=window)                                   # [B, H, D]
         else:
             attn = paged_attention_decode(q, pkv, block_tables, seq_lens,
                                           nkv, psc, window=window)
