@@ -127,3 +127,17 @@ def test_kernel_sliding_window_int8(int8_pool=None):
                                  scales=scales, window=12)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4 if not ON_TPU else 2e-2)
+
+
+@pytest.mark.parametrize("window,sinks", [(8, 4), (16, 8), (5, 9), (40, 3)])
+def test_kernel_window_with_sinks(window, sinks):
+    """Two-range sweep (sink blocks + band blocks) == XLA fallback with
+    the same window+sinks — incl. sinks > window and band overlapping the
+    sink blocks."""
+    q, pool, bt, seq_lens = _setup(seed=5)
+    out = pdp.paged_attention_decode_pallas(q, pool, bt, seq_lens, H_KV,
+                                            window=window, sinks=sinks)
+    ref = paged_attention_decode(q, pool, bt, seq_lens, H_KV,
+                                 window=window, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)

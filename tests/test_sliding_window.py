@@ -101,3 +101,28 @@ def test_qwen_config_from_hf():
     # models build and scale from it
     m = vt.ModelForCausalLM(cfg)
     assert m.rope_scale > 1.0
+
+
+def test_attention_sinks_streaming_invariants():
+    """StreamingLLM sinks: cached == uncached, engine == dense, sink
+    positions attendable from everywhere (logits differ from plain SWA),
+    and a pure-window model differs once context exceeds the window."""
+    cfg = vt.QwenConfig(**KW, sliding_window=4, attention_sinks=2)
+    m = vt.ModelForCausalLM(cfg)
+    params = m.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    ids = jnp.array([[3, 17, 42, 9, 5, 11, 2, 8, 4, 1]], dtype=jnp.int32)
+
+    cached = generate(m, params, ids, max_new_tokens=8, use_cache=True)
+    uncached = generate(m, params, ids, max_new_tokens=8, use_cache=False)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(uncached))
+
+    eng = ContinuousBatchEngine(m, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=8,
+                                dtype=jnp.float32)
+    sid = eng.submit(np.asarray(ids)[0].tolist())
+    assert eng.run()[sid] == np.asarray(cached)[0, 10:].tolist()
+
+    plain = vt.ModelForCausalLM(vt.QwenConfig(**KW, sliding_window=4))
+    lp = np.asarray(plain.apply(params, ids).logits[0, -1])
+    ls = np.asarray(m.apply(params, ids).logits[0, -1])
+    assert not np.allclose(lp, ls, atol=1e-4), "sinks must change attention"

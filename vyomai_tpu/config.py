@@ -178,6 +178,11 @@ class QwenConfig:
     # last ``sliding_window`` positions (banded causal mask; None = full
     # causal). Applies to the dense, cached and paged-serving paths.
     sliding_window: Optional[int] = None
+    # StreamingLLM attention sinks: with a sliding window, the FIRST
+    # ``attention_sinks`` positions stay attendable from everywhere
+    # (Xiao et al. 2023 — initial tokens soak up outsized attention mass;
+    # dropping them degrades windowed generation). 0 = plain window.
+    attention_sinks: int = 0
     attention_bias: bool = False
     qk_norm: bool = True
     tie_word_embeddings: bool = True

@@ -32,13 +32,14 @@ def bidirectional_mask(attention_mask, dtype=jnp.float32):
 
 
 def banded_causal_mask(seq_len: int, window: int, attention_mask=None,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, sinks: int = 0):
     """Sliding-window causal mask: query i attends keys
-    ``(i - window, i]`` (Mistral SWA band). Optional [B, L] pad mask.
+    ``(i - window, i]`` (Mistral SWA band) plus the first ``sinks``
+    positions (StreamingLLM attention sinks). Optional [B, L] pad mask.
     Returns additive [B|1, 1, L, L]."""
     q_pos = jnp.arange(seq_len)[:, None]
     k_pos = jnp.arange(seq_len)[None, :]
-    band = (k_pos <= q_pos) & (k_pos > q_pos - window)
+    band = (k_pos <= q_pos) & ((k_pos > q_pos - window) | (k_pos < sinks))
     if attention_mask is not None:
         m = band[None] & (attention_mask[:, None, :] != 0)
         return additive(m[:, None], dtype)
@@ -73,7 +74,7 @@ def causal_mask(seq_len: int, attention_mask=None, start_pos: int = 0,
 
 def causal_mask_static_kv(seq_len: int, kv_capacity: int, start_pos,
                           attention_mask=None, batch_size: int = 1,
-                          dtype=jnp.float32, window=None):
+                          dtype=jnp.float32, window=None, sinks: int = 0):
     """Causal mask for queries at ``[start_pos, start_pos + seq_len)`` against
     a full static KV buffer of width ``kv_capacity``.
 
@@ -93,8 +94,9 @@ def causal_mask_static_kv(seq_len: int, kv_capacity: int, start_pos,
     k_pos = jnp.arange(kv_capacity)[None, :]              # [1, K]
     causal = k_pos <= q_pos                               # [Lq, K]
     if window is not None:
-        # sliding-window band: only the last ``window`` positions attend
-        causal = causal & (k_pos > q_pos - window)
+        # sliding-window band: only the last ``window`` positions attend;
+        # ``sinks`` initial positions stay attendable (StreamingLLM)
+        causal = causal & ((k_pos > q_pos - window) | (k_pos < sinks))
     if attention_mask is not None:
         pad = attention_mask != 0                         # [B, Lpad]
         lpad = pad.shape[-1]

@@ -76,11 +76,18 @@ class ModelForCausalLM:
 
         causal = False
         window = getattr(cfg, "sliding_window", None)
+        sinks = getattr(cfg, "attention_sinks", 0)
         if cache is not None:
             kv_cap = cache["k"].shape[3]
             mask = causal_mask_static_kv(seqlen, kv_cap, start_pos,
                                          attention_mask, batch_size=bsz,
-                                         window=window)
+                                         window=window, sinks=sinks)
+        elif window is not None and sinks:
+            # window + sinks: explicit mask (the in-kernel band has no
+            # sink notch); plain SWA stays on the in-kernel fast path
+            from ..core.masks import banded_causal_mask
+            mask = banded_causal_mask(seqlen, window, attention_mask,
+                                      sinks=sinks)
         else:
             # uncached: causal (+ sliding window) applied IN-KERNEL by
             # sdpa — no O(L^2) mask materialization; the flash path skips

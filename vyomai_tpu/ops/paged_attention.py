@@ -89,7 +89,7 @@ def gather_kv(pool, tables, h_kv: int, scales=None):
 
 
 def paged_attention_decode(q, pool, block_tables, seq_lens, h_kv: int,
-                           scales=None, window=None):
+                           scales=None, window=None, sinks: int = 0):
     """Single-token decode attention over paged KV (XLA fallback).
 
     q: [B, H, D]; pool: [NB, 2, BS, width]; block_tables: [B, MAXB] int32
@@ -113,7 +113,10 @@ def paged_attention_decode(q, pool, block_tables, seq_lens, h_kv: int,
     t_pos = jnp.arange(maxb * bs)[None, :]
     valid = t_pos < seq_lens[:, None]
     if window is not None:   # sliding window: only the last ``window`` keys
-        valid = valid & (t_pos >= seq_lens[:, None] - window)
+        band = t_pos >= seq_lens[:, None] - window
+        if sinks:             # StreamingLLM: first ``sinks`` stay visible
+            band = band | (t_pos < sinks)
+        valid = valid & band
     scores = jnp.where(valid[:, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bht,bhtd->bhd", probs, v.astype(jnp.float32))

@@ -37,7 +37,8 @@ def set_interpret(flag: bool) -> None:
 
 
 def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
-            kv_sc, sem, *, bs, h, width, nslots, window=None):
+            kv_sc, sem, *, bs, h, width, nslots, window=None,
+            sinks: int = 0):
     """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D).
 
     Int8 pools (``scale_ref`` not None, [NB, 2, BS] f32 resident in VMEM —
@@ -61,23 +62,36 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
     # past the table (the XLA fallback masks the same way) — without this
     # the DMA would fetch from a garbage block index
     nblocks = jnp.minimum(pl.cdiv(seq_len, bs), bt_ref.shape[1])
-    # sliding window: the sweep starts at the band's first block — blocks
-    # fully before (seq_len - window) are neither fetched nor computed
+    # sliding window: the sweep covers [0, n_sink) sink blocks
+    # (StreamingLLM) then the band's blocks [start, nblocks) — blocks
+    # between sinks and band are neither fetched nor computed. The loop
+    # index j stays DENSE (pipeline slots = j % nslots); ``phys`` maps it
+    # to the physical block.
     if window is not None:
         j0 = jnp.maximum(seq_len - window, 0) // bs
+        n_sink = jnp.minimum(jnp.int32((sinks + bs - 1) // bs), nblocks) \
+            if sinks else jnp.int32(0)
+        start = jnp.clip(jnp.maximum(j0, n_sink), n_sink, nblocks)
+        total = n_sink + (nblocks - start)
+
+        def phys(j):
+            return jnp.where(j < n_sink, j, start + (j - n_sink))
     else:
-        j0 = jnp.int32(0)
+        total = nblocks
+
+        def phys(j):
+            return j
 
     def dma(slot, j):
-        blk = bt_ref[b, j]
+        blk = bt_ref[b, phys(j)]
         return pltpu.make_async_copy(pool_ref.at[blk], kv_sc.at[slot],
                                      sem.at[slot])
 
     # prologue: fill all but one slot
     for jj in range(nslots - 1):
-        @pl.when(j0 + jj < nblocks)
+        @pl.when(jj < total)
         def _(jj=jj):
-            dma((j0 + jj) % nslots, j0 + jj).start()
+            dma(jj % nslots, jj).start()
 
     q = qexp_ref[0].astype(jnp.float32)                # [H, width], prescaled
 
@@ -87,22 +101,26 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
 
         # top up the pipeline: block j+nslots-1 goes into the slot freed
         # at iteration j-1
-        @pl.when(j + nslots - 1 < nblocks)
+        @pl.when(j + nslots - 1 < total)
         def _():
             dma((j + nslots - 1) % nslots, j + nslots - 1).start()
 
         dma(slot, j).wait()
+        jp = phys(j)
         k = kv_sc[slot, 0].astype(jnp.float32)         # [BS, width]
         v = kv_sc[slot, 1].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [H, BS]
         if scale_ref is not None:
-            sc = scale_ref[bt_ref[b, j]]               # [2, BS]
+            sc = scale_ref[bt_ref[b, jp]]              # [2, BS]
             s = s * sc[0:1, :]
-        pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        pos = jp * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         ok = pos < seq_len
         if window is not None:
-            ok = ok & (pos >= seq_len - window)
+            band = pos >= seq_len - window
+            if sinks:
+                band = band | (pos < sinks)
+            ok = ok & band
         s = jnp.where(ok, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(jnp.maximum(m, m_cur), -1e30)
@@ -119,7 +137,7 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
     m0 = jnp.full((h, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((h, 1), jnp.float32)
     a0 = jnp.zeros((h, width), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(j0, nblocks, body, (m0, l0, a0))
+    m, l, acc = jax.lax.fori_loop(0, total, body, (m0, l0, a0))
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
@@ -128,7 +146,8 @@ _NSLOTS = 4  # DMA pipeline depth (see _kernel docstring — 4 swept best)
 
 
 def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
-                                  h_kv: int, scales=None, window=None):
+                                  h_kv: int, scales=None, window=None,
+                                  sinks: int = 0):
     """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout);
     block_tables: [B, MAXB] int32; seq_lens: [B] int32; scales:
     [NB, 2, BS] f32 per-row dequant scales, required for int8 pools (see
@@ -150,12 +169,13 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     if quant:
         assert scales is not None, "int8 pool needs its scales sidecar"
         kern = functools.partial(_kernel, bs=bs, h=h, width=width,
-                                 nslots=nslots, window=window)
+                                 nslots=nslots, window=window, sinks=sinks)
     else:
         kern = functools.partial(
             lambda bt, ln, qe, pr, o, sc_, sm, **kw:
             _kernel(bt, ln, qe, None, pr, o, sc_, sm, **kw),
-            bs=bs, h=h, width=width, nslots=nslots, window=window)
+            bs=bs, h=h, width=width, nslots=nslots, window=window,
+            sinks=sinks)
 
     in_specs = [
         pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),

@@ -120,8 +120,12 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     q_abs = positions[:, :, None]
     ok = (k_pos <= q_abs) & (k_pos < ctx_len[:, None, None])
     window = getattr(cfg, "sliding_window", None)
-    if window is not None:   # Mistral-style band over the paged context
-        ok = ok & (k_pos > q_abs - window)
+    if window is not None:   # Mistral band (+ StreamingLLM sinks)
+        band = k_pos > q_abs - window
+        sinks = getattr(cfg, "attention_sinks", 0)
+        if sinks:
+            band = band | (k_pos < sinks)
+        ok = ok & band
     attn_mask = jnp.where(ok, 0.0, NEG_INF)
 
     # per-token RoPE tables [N, Tp, D]
@@ -267,11 +271,12 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         pkv, psc = written if quant else (written, None)
         if use_pallas:
             attn = paged_decode_pallas.paged_attention_decode_pallas(
-                q, pkv, block_tables, seq_lens, nkv, psc,
-                window=window)                                   # [B, H, D]
+                q, pkv, block_tables, seq_lens, nkv, psc, window=window,
+                sinks=getattr(cfg, "attention_sinks", 0))        # [B, H, D]
         else:
-            attn = paged_attention_decode(q, pkv, block_tables, seq_lens,
-                                          nkv, psc, window=window)
+            attn = paged_attention_decode(
+                q, pkv, block_tables, seq_lens, nkv, psc, window=window,
+                sinks=getattr(cfg, "attention_sinks", 0))
         attn = attn.reshape(b, -1)
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
