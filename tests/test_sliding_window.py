@@ -126,3 +126,105 @@ def test_attention_sinks_streaming_invariants():
     lp = np.asarray(plain.apply(params, ids).logits[0, -1])
     ls = np.asarray(m.apply(params, ids).logits[0, -1])
     assert not np.allclose(lp, ls, atol=1e-4), "sinks must change attention"
+
+
+def test_release_prewindow_manager_unit():
+    """Manager-level: prewindow release frees owned blocks only (cached
+    prefix + sink blocks survive), leaves -1 holes, disables radix deposit,
+    and the final free() never double-frees."""
+    from vyomai_tpu.serving.kv_manager import PagedKVManager, SequenceState
+    kv = PagedKVManager(num_blocks=12, block_size=4)
+    s = SequenceState(0, list(range(1, 17)))     # 16 tokens = 4 blocks
+    assert kv.allocate(s, 16)
+    free_before = kv.num_free()
+    # free blocks 1.. before block 3, keeping 1 sink block
+    n = kv.release_prewindow(s, first_live_block=3, keep_blocks=1)
+    assert n == 2 and s.has_holes
+    assert s.block_table[1] == -1 and s.block_table[2] == -1
+    assert s.block_table[0] >= 0 and s.block_table[3] >= 0
+    assert kv.num_free() == free_before + 2
+    n2 = kv.release_prewindow(s, first_live_block=3, keep_blocks=1)
+    assert n2 == 0                                # idempotent
+    kv.free(s)                                    # no deposit, no doublefree
+    assert kv.num_free() == 12
+    assert not kv.radix_root.children             # holed: nothing cached
+
+
+def test_window_freeing_bounds_pool_usage():
+    """Two concurrent long generations whose FULL-attention footprint
+    exceeds the pool run preemption-free under a window (out-of-band
+    blocks recycle), and stay token-exact vs dense windowed decode."""
+    cfg = vt.QwenConfig(**KW, sliding_window=16)
+    m = vt.ModelForCausalLM(cfg)
+    params = m.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, 60, size=40)) for _ in range(2)]
+
+    def run(model):
+        eng = ContinuousBatchEngine(model, params, num_blocks=14,
+                                    block_size=8, max_batch=2,
+                                    max_blocks_per_seq=12,
+                                    max_new_tokens=40, decode_horizon=4,
+                                    dtype=jnp.float32, kv_backend="python",
+                                    prefill_buckets=(64,))
+        sids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        return [out[s] for s in sids], eng
+
+    outs, eng = run(m)
+    assert eng.counters["preemptions"] == 0, \
+        "window freeing should prevent pool thrash"
+    assert eng.kv.num_free() == 14
+    for toks, p in zip(outs, prompts):
+        dense = generate(m, params, jnp.asarray([p]), max_new_tokens=40,
+                         use_cache=True)
+        assert toks == np.asarray(dense)[0, len(p):].tolist(), \
+            "freeing changed tokens"
+    # same pool WITHOUT a window: footprint 2 x 10 blocks > 14 forces
+    # preemption (both still finish, serially)
+    m_full = vt.ModelForCausalLM(vt.QwenConfig(**KW))
+    outs_full, eng_full = run(m_full)
+    assert eng_full.counters["preemptions"] > 0
+    assert all(len(t) == 40 for t in outs_full)
+
+
+def test_window_freeing_with_sinks_and_radix():
+    """A radix-cached shared prefix survives another sequence's prewindow
+    reclaim (cached nodes are never freed as holes), while that sequence's
+    OWN out-of-band blocks do recycle; everything stays dense-exact.
+
+    Deposit rules: a sequence that ever holed never deposits, so the
+    prefix enters the cache via a SHORT request that finishes inside its
+    window."""
+    cfg = vt.QwenConfig(**KW, sliding_window=24)
+    m = vt.ModelForCausalLM(cfg)
+    params = m.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    shared = list(range(1, 27))                   # 3 whole blocks at bs=8
+    eng = ContinuousBatchEngine(m, params, num_blocks=32, block_size=8,
+                                max_batch=2, max_blocks_per_seq=10,
+                                max_new_tokens=40, decode_horizon=4,
+                                dtype=jnp.float32, kv_backend="python")
+    a = eng.submit(shared + [30, 31], max_new_tokens=2)   # stays in-window
+    out_a = eng.run()[a]
+    # long request: radix-matches the prefix, then holes its own blocks
+    b = eng.submit(shared + [40, 41])
+    free_mid = None
+    sid_state = None
+    while eng.waiting or eng.active or eng.needs_prefill:
+        eng.step()
+        for st in eng.active.values():
+            sid_state = st
+    out_b = eng.finished[b].tokens[28:]
+    eng.finished.clear()
+    assert sid_state is not None and sid_state.has_holes, \
+        "long windowed sequence should have reclaimed blocks"
+    for sid_out, tail, n in ((out_a, [30, 31], 2), (out_b, [40, 41], 40)):
+        dense = generate(m, params, jnp.asarray([shared + tail]),
+                         max_new_tokens=n, use_cache=True)
+        assert sid_out == np.asarray(dense)[0, 28:].tolist()
+    # the shared prefix is still radix-cached (holes freed only OWNED
+    # blocks, never the cached nodes)
+    from vyomai_tpu.serving.kv_manager import SequenceState
+    st = SequenceState(99, shared + [50])
+    assert eng.kv.match_prefix(st) >= 16
+    eng.kv.release_sequence(st)

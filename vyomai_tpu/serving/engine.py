@@ -259,6 +259,14 @@ class ContinuousBatchEngine:
         self._ttft: List[float] = []
         self._t_start = time.monotonic()
         self._families: Dict[int, list] = {}  # best_of rollout groups
+        # sliding-window memory reclaim: blocks behind the band are freed
+        # as the sequence advances (python manager only — the native
+        # backend keeps the plain always-grow tables)
+        self._window_free = None
+        win = getattr(self.cfg, "sliding_window", None)
+        if win is not None and isinstance(self.kv, PagedKVManager):
+            sinks = getattr(self.cfg, "attention_sinks", 0)
+            self._window_free = (int(win), -(-sinks // block_size))
 
     def _put(self, x):
         """Host array -> device. Under a mesh, commit replicated so every
@@ -736,6 +744,14 @@ class ContinuousBatchEngine:
 
         live = []
         for i, state in enumerate(states[:b]):
+            if self._window_free is not None:
+                # reclaim blocks no future step can attend (band start only
+                # advances) BEFORE allocating this tick's grant
+                w, keep = self._window_free
+                if len(state.tokens) > w:
+                    self.kv.release_prewindow(
+                        state, (len(state.tokens) - w) // self.block_size,
+                        keep)
             pos = len(state.tokens) - 1  # position of the latest token
             # budget the whole horizon up front so in-graph slot arithmetic
             # never walks off the block table; cap by table capacity

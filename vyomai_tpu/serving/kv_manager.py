@@ -56,6 +56,10 @@ class SequenceState:
         self.cached_nodes: List[RadixNode] = []   # matched radix nodes
         self.num_cached_tokens = 0                # tokens covered by them
         self.finished = False
+        # sliding-window serving: True once out-of-window blocks were freed
+        # (the block table then contains -1 holes and the sequence must not
+        # deposit into the radix cache — its chunk->block chain is broken)
+        self.has_holes = False
 
     def __len__(self):
         return len(self.tokens)
@@ -172,17 +176,48 @@ class PagedKVManager:
         return owned blocks to the free list (nothing is cached)."""
         for node in state.cached_nodes:
             self._release(node)
-        self.free_blocks.extend(state.block_table[len(state.cached_nodes):])
+        self.free_blocks.extend(
+            b for b in state.block_table[len(state.cached_nodes):]
+            if b >= 0)
         state.block_table = []
         state.cached_nodes = []
         state.num_cached_tokens = 0
+
+    def release_prewindow(self, state: SequenceState,
+                          first_live_block: int,
+                          keep_blocks: int = 0) -> int:
+        """Sliding-window serving memory reclaim: free this sequence's
+        OWNED blocks strictly before ``first_live_block`` — positions no
+        future step of this sequence can attend (the band only moves
+        forward). The first ``keep_blocks`` blocks (attention sinks) and
+        radix-cached prefix blocks are never touched. Freed table entries
+        become ``-1`` holes: reads never reach them (the decode kernel
+        starts at the band; the XLA fallback masks), writes only target
+        the current position, and a holed sequence is excluded from radix
+        deposit. Returns the number of blocks freed."""
+        start = max(len(state.cached_nodes), keep_blocks)
+        freed = 0
+        for i in range(start, min(first_live_block,
+                                  len(state.block_table))):
+            b = state.block_table[i]
+            if b >= 0:
+                self.free_blocks.append(b)
+                state.block_table[i] = -1
+                freed += 1
+        if freed:
+            state.has_holes = True
+        return freed
 
     def free(self, state: SequenceState, *, cache_prefix: bool = True):
         """Release a finished sequence's blocks (see ownership protocol)."""
         n_cached = len(state.cached_nodes)
         for node in state.cached_nodes:
             self._release(node)
-        owned = state.block_table[n_cached:]
+        if getattr(state, "has_holes", False):
+            # out-of-window blocks were already freed: the chunk->block
+            # chain is broken, so never deposit (freeing only, below)
+            cache_prefix = False
+        owned = [b for b in state.block_table[n_cached:] if b >= 0]
         # Only tokens whose KV was actually WRITTEN may be cached: the
         # engine appends each sampled token before the step that writes its
         # KV, so a finished sequence's final token has no pool entry —
