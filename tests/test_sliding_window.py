@@ -228,3 +228,33 @@ def test_window_freeing_with_sinks_and_radix():
     st = SequenceState(99, shared + [50])
     assert eng.kv.match_prefix(st) >= 16
     eng.kv.release_sequence(st)
+
+
+def test_swa_composes_with_tp_and_int8_pool():
+    """Compose matrix: windowed model on a (1,2) TP mesh and on an int8
+    paged pool both emit the single-chip bf16-pool engine's greedy tokens."""
+    from jax.sharding import Mesh
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        import pytest
+        pytest.skip("needs 2 virtual CPU devices")
+    cfg = vt.QwenConfig(**KW, sliding_window=6, attention_sinks=2)
+    m = vt.ModelForCausalLM(cfg)
+    params = m.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [[3, 17, 42, 9, 5, 11, 2, 8], [4, 8, 1]]
+
+    def run(**kw):
+        kw.setdefault("dtype", jnp.float32)
+        eng = ContinuousBatchEngine(m, params, num_blocks=64, block_size=8,
+                                    max_batch=2, max_blocks_per_seq=8,
+                                    max_new_tokens=6,
+                                    prefill_buckets=(8, 16), **kw)
+        sids = [eng.submit(p) for p in prompts]
+        out = eng.run()
+        return [out[s] for s in sids]
+
+    with jax.default_device(cpus[0]):
+        base = run()
+        mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+        assert run(mesh=mesh) == base
+        assert run(dtype=jnp.int8) == base
