@@ -468,3 +468,24 @@ def test_regex_lift_property_fuzz():
                     changed = True
         assert reach == set(range(n_states)), pat
     assert checked > 200, f"fuzz too weak: only {checked} strings checked"
+
+
+def test_regex_lift_prunes_token_level_dead_ends():
+    """A char-reachable state with NO token continuation must be pruned
+    (code-review r3): vocab has '34' but no lone '3'/'4', so '3' and
+    '3+4' are char-expressible but token-impossible, while '34' works."""
+    with pytest.raises(ValueError):
+        fsm_from_regex("3", TOKEN_STRINGS, EOS)       # no token spells '3'
+    with pytest.raises(ValueError):
+        fsm_from_regex("3a", TOKEN_STRINGS, EOS)      # '34' overshoots
+    fsm = fsm_from_regex("34", TOKEN_STRINGS, EOS)    # token 11 = '34'
+    s = fsm.advance(0, 11)
+    assert fsm.accepting[s]
+    # partial dead branches pruned, live branch kept: 'a(34|q)' -> only 34
+    fsm2 = fsm_from_regex("a(34|0x)", TOKEN_STRINGS, EOS)
+    s2 = fsm2.advance(0, 1)                           # 'a'
+    allowed = set(np.nonzero(fsm2.allowed(s2))[0])
+    assert 11 in allowed and 8 not in allowed         # '0' leads nowhere
+    # invariant: every state allows at least one token (or is accepting)
+    for st in range(fsm2.num_states):
+        assert fsm2.accepting[st] or (fsm2.next_state[st] >= 0).any()

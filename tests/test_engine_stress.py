@@ -86,7 +86,10 @@ def test_engine_randomized_schedule(model, seed, backend):
         assert sid in out, (sid, kind)
         toks = out[sid]
         limit = kw.get("max_new_tokens", 12)
-        assert 0 < len(toks) <= limit, (sid, kind, toks)
+        # stop-kind can LEGITIMATELY produce zero tokens: a first-token
+        # stop match truncates to empty (vLLM exclusion semantics)
+        floor = 0 if kind == "stop" else 1
+        assert floor <= len(toks) <= limit, (sid, kind, toks)
         if kind == "plain" and "max_new_tokens" not in kw:
             dense = generate(m, params, jnp.asarray([prompt]),
                              max_new_tokens=12, use_cache=True)

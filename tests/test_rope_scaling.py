@@ -31,17 +31,52 @@ def test_linear_scaling_is_position_interpolation():
 
 
 def test_dynamic_ntk_base_rescale():
-    f = 2.0
-    scaled = np.asarray(pos.rope_freqs(
-        8, DIM, theta=THETA,
-        scaling={"rope_type": "dynamic", "factor": f}))[0]
-    base_prime = THETA * f ** (DIM / (DIM - 2))
+    """HF dynamic-NTK convention: identity within the original window,
+    length-rescaled base beyond it (evaluated at the static table len)."""
+    f, l0, table = 2.0, 64, 256
+    scaling = {"rope_type": "dynamic", "factor": f,
+               "original_max_position_embeddings": l0}
+    scaled = np.asarray(pos.rope_freqs(table, DIM, theta=THETA,
+                                       scaling=scaling))[0]
+    base_prime = THETA * (f * table / l0 - (f - 1)) ** (DIM / (DIM - 2))
     inv = 1.0 / (base_prime ** (np.arange(0, DIM, 2) / DIM))
     np.testing.assert_allclose(scaled[3], 3 * inv, rtol=1e-5)
     # highest frequency (dim 0) is preserved, lowest stretched
-    base = _unscaled(8)
+    base = _unscaled(table)
     np.testing.assert_allclose(scaled[3, 0], base[3, 0], rtol=1e-6)
     assert scaled[3, -1] < base[3, -1]
+    # identity when the table fits in the original window (HF: no rescale
+    # at seq_len <= max_position_embeddings)
+    within = np.asarray(pos.rope_freqs(
+        l0, DIM, theta=THETA,
+        scaling={"rope_type": "dynamic", "factor": f,
+                 "original_max_position_embeddings": l0}))[0]
+    np.testing.assert_allclose(within, _unscaled(l0), rtol=1e-6)
+
+
+def test_dynamic_ntk_matches_hf_transformers():
+    """Inverse frequencies vs HF's own dynamic-NTK rope init."""
+    try:
+        from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    except ImportError:
+        pytest.skip("transformers rope utils unavailable")
+
+    class _Cfg:
+        rope_theta = THETA
+        head_dim = DIM
+        hidden_size = DIM * 4
+        num_attention_heads = 4
+        max_position_embeddings = 64
+        rope_scaling = {"rope_type": "dynamic", "factor": 2.0}
+
+    table = 256
+    hf_inv, _ = ROPE_INIT_FUNCTIONS["dynamic"](_Cfg(), device="cpu",
+                                               seq_len=table)
+    ours = np.asarray(pos.rope_freqs(
+        table, DIM, theta=THETA,
+        scaling={"rope_type": "dynamic", "factor": 2.0,
+                 "original_max_position_embeddings": 64}))[0]
+    np.testing.assert_allclose(ours[1], hf_inv.numpy(), rtol=1e-5)
 
 
 def test_yarn_matches_hf_transformers():

@@ -933,3 +933,66 @@ def test_engine_score_prompt_logprobs(qwen):
     np.testing.assert_allclose(lps2, lps, atol=1e-4)
     with pytest.raises(ValueError):
         eng.score([5])
+
+
+def test_stop_sequences_with_best_of(qwen):
+    """A best_of rollout finishing via a stop sequence routes through
+    family resolution (code-review r3): exactly the submit id surfaces,
+    and completion is counted once per SUBMIT, not per rollout."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9]
+    # greedy reference tells us which tokens appear -> a stop that WILL hit
+    probe = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                  max_batch=4, max_new_tokens=8,
+                                  dtype=jnp.float32)
+    ref = probe.run() if not probe.submit(prompt) else probe.run()
+    stop = [[list(ref.values())[0][1]]]
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=4, max_new_tokens=8,
+                                dtype=jnp.float32, do_sample=True,
+                                temperature=0.05, seed=3,   # near-greedy
+                                return_logprobs=True)
+    sid = eng.submit(prompt, best_of=3, stop=stop)
+    out = eng.run()
+    assert list(out) == [sid], out
+    m = eng.metrics()
+    assert m["requests_submitted"] == 1
+    assert m["requests_completed"] == 1, "family must count once"
+
+
+def test_stream_never_retracts_stop_truncated_tokens(qwen):
+    """stream() with a multi-token stop: yielded tokens are never
+    retracted by the truncation, the last yielded token carries
+    finished=True, and the stream equals run()-style results."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9]
+    base = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                 max_batch=2, max_new_tokens=10,
+                                 decode_horizon=1, dtype=jnp.float32)
+    sid0 = base.submit(prompt)
+    full = base.run()[sid0]
+    stop = [list(full[3:5])]
+
+    def replay(toks):
+        out = []
+        for t in toks:
+            out.append(t)
+            for seq in stop:
+                if len(out) >= len(seq) and out[-len(seq):] == seq:
+                    return out[:-len(seq)]
+        return out
+
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=2, max_new_tokens=10,
+                                decode_horizon=1, dtype=jnp.float32)
+    sid = eng.submit(prompt, stop=stop)
+    got, done_seen = [], False
+    for s, tok, done in eng.stream():
+        assert s == sid and not done_seen
+        if tok is None:            # zero-token completion sentinel
+            assert done, "None token only ever carries finished=True"
+        else:
+            got.append(tok)
+        done_seen = done
+    assert done_seen, "completion event must fire"
+    assert got == replay(full), (got, full)

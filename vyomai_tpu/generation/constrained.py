@@ -419,10 +419,40 @@ def fsm_from_regex(pattern: str, token_strings: Sequence[Optional[str]],
                 cur = nxt
             if ok:
                 next_state[s, tok] = cur
-    for s in range(n_states):
+    # Prune TOKEN-level dead ends: the char DFA was pruned against the
+    # alphabet, but a char-reachable state can still be a dead end after
+    # the lift (no TOKEN spells any continuation — e.g. the only token
+    # containing '3' is '34' but the grammar needs a lone '3'). Without
+    # this, a guided lane can strand in a state where every token is
+    # banned (engine crash / wraparound in the jitted loop).
+    live = set(np.nonzero(accepting)[0].tolist()) if any(accepting) else set()
+    changed = True
+    while changed:
+        changed = False
+        for s in range(n_states):
+            if s in live:
+                continue
+            row = next_state[s]
+            if any(int(t) in live for t in row[row >= 0]):
+                live.add(s)
+                changed = True
+    if 0 not in live:
+        raise ValueError("regex matches nothing expressible with these "
+                         "TOKENS (char-level reachable, but no token "
+                         "sequence spells a complete match)")
+    remap = {s: i for i, s in enumerate(sorted(live))}
+    keep = sorted(live)
+    pruned = np.full((len(keep), vocab), -1, dtype=np.int32)
+    for new_s, old_s in enumerate(keep):
+        for tok in np.nonzero(next_state[old_s] >= 0)[0]:
+            dst = int(next_state[old_s, tok])
+            if dst in live:
+                pruned[new_s, tok] = remap[dst]
+    accepting = [accepting[s] for s in keep]
+    for s in range(len(keep)):
         if accepting[s]:
-            next_state[s, eos_token_id] = s
-    return TokenFSM(next_state, np.asarray(accepting, bool))
+            pruned[s, eos_token_id] = s
+    return TokenFSM(pruned, np.asarray(accepting, bool))
 
 
 # ---------------------------------------------------------------------------

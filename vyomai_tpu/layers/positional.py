@@ -72,9 +72,14 @@ def rope_freqs(max_len: int, head_dim: int, theta: float = 10000.0,
     dict convention; beyond the reference):
     - ``{"rope_type": "linear", "factor": f}`` — position interpolation
       (Chen et al. 2023): angles at position p equal unscaled p / f.
-    - ``{"rope_type": "dynamic", "factor": f}`` — fixed NTK-aware base
-      rescale ``theta * f**(D / (D - 2))`` (high frequencies kept, low
-      stretched).
+    - ``{"rope_type": "dynamic", "factor": f,
+       "original_max_position_embeddings": L0}`` — dynamic NTK (HF
+      convention): the base rescales with sequence length,
+      ``theta * (f * L / L0 - (f - 1)) ** (D / (D - 2))``, and is the
+      identity at ``L <= L0``. Static-shape analogue: evaluated once at
+      the table length ``max_len`` (the worst case the table must
+      cover), so pass ``L0`` (default ``max_len`` — identity) when the
+      table extends past the pretrained window.
     - ``{"rope_type": "yarn", "factor": f,
        "original_max_position_embeddings": L0, ...}`` — YaRN (Peng et al.
       2023): per-dimension ramp between interpolated and extrapolated
@@ -89,7 +94,11 @@ def rope_freqs(max_len: int, head_dim: int, theta: float = 10000.0,
         if typ == "linear":
             inv_freq = inv_freq / factor
         elif typ in ("dynamic", "ntk"):
-            base = theta * factor ** (head_dim / (head_dim - 2))
+            l0 = float(scaling.get("original_max_position_embeddings",
+                                   max_len))
+            seq_len = max(float(max_len), l0)
+            base = theta * (factor * seq_len / l0
+                            - (factor - 1.0)) ** (head_dim / (head_dim - 2))
             inv_freq = 1.0 / (base ** (half / head_dim))
         elif typ == "yarn":
             l0 = float(scaling.get("original_max_position_embeddings",

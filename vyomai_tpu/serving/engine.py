@@ -514,11 +514,25 @@ class ContinuousBatchEngine:
                         # the winner ever reaches ``finished``)
                         continue
                     start = emitted.get(sid, s.prompt_len)
-                    fresh = s.tokens[start:]
+                    hold = 0
+                    if src is self.active and getattr(s, "stop_seqs", None):
+                        # a stop match TRUNCATES up to max(len(stop))
+                        # tokens; holding that many back guarantees a
+                        # yielded token is never retracted and at least
+                        # one token remains to carry finished=True
+                        hold = max(len(q) for q in s.stop_seqs)
+                    end = len(s.tokens) - hold
+                    fresh = s.tokens[start:end] if end > start else []
                     emitted[sid] = start + len(fresh)
                     for i, tok in enumerate(fresh):
                         done = s.finished and start + i + 1 == len(s.tokens)
                         yield sid, int(tok), done
+                    if src is self.finished and not fresh:
+                        # a stop match truncated back to (or before) the
+                        # emitted boundary: zero unstreamed tokens remain,
+                        # so deliver completion as a (sid, None, True)
+                        # sentinel (vLLM's empty final chunk)
+                        yield sid, None, True
             for sid in [sid for sid, s in self.finished.items()
                         if emitted.get(sid, 0) >= len(s.tokens)]:
                 del self.finished[sid]
@@ -661,13 +675,22 @@ class ContinuousBatchEngine:
                 del state.tokens[len(state.tokens) - len(seq):]
                 if self.return_logprobs:
                     del state.logprobs[len(state.logprobs) - len(seq):]
-                state.finished = True
-                self.counters["requests_completed"] += 1
-                self.kv.free(state)
-                self.active.pop(state.seq_id, None)
-                self.finished[state.seq_id] = state
+                self._finish(state)
                 return
         self._maybe_finish(state)
+
+    def _finish(self, state: SequenceState):
+        """Shared completion bookkeeping: free blocks, route best_of
+        rollouts through family resolution (a family counts as ONE
+        completed request, at resolution), surface singles directly."""
+        state.finished = True
+        self.kv.free(state)
+        self.active.pop(state.seq_id, None)
+        if getattr(state, "family", None) is not None:
+            self._maybe_resolve_family(state.family)
+        else:
+            self.counters["requests_completed"] += 1
+            self.finished[state.seq_id] = state
 
     def _fsm_mask(self, states, b):
         """[b, V] bool allow-mask for a batch row list (True everywhere for
@@ -901,14 +924,7 @@ class ContinuousBatchEngine:
             self.max_blocks_per_seq * self.block_size
         limit = getattr(state, "max_new", self.max_new_tokens)
         if hit_eos or new >= limit or out_of_blocks:
-            state.finished = True
-            self.counters["requests_completed"] += 1
-            self.kv.free(state)
-            self.active.pop(state.seq_id, None)
-            if getattr(state, "family", None) is not None:
-                self._maybe_resolve_family(state.family)
-            else:
-                self.finished[state.seq_id] = state
+            self._finish(state)
 
     def _maybe_resolve_family(self, fam_id: int):
         """When every best_of rollout of a family has finished, surface
@@ -922,6 +938,7 @@ class ContinuousBatchEngine:
             return sum(lps) / len(lps)
         winner = max(fam, key=score)
         winner.seq_id = fam_id          # surface under the submit id
+        self.counters["requests_completed"] += 1   # one per SUBMIT
         self.finished[fam_id] = winner
         del self._families[fam_id]
 
