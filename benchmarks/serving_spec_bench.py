@@ -57,17 +57,24 @@ DRAFT_CFG = vt.QwenConfig(
     eos_token_id=-1, tie_word_embeddings=True)
 
 
-def synthetic_batch(rng: np.random.Generator, batch: int, seq: int):
-    """x_{t+1} = (7 * x_t + 3) mod ACTIVE — deterministic, learnable."""
+def synthetic_batch(rng: np.random.Generator, batch: int, seq: int,
+                    active: int = ACTIVE):
+    """x_{t+1} = (7 * x_t + 3) mod active — deterministic, learnable.
+
+    ``active`` sets the cycle length: 499 (prime, long cycle) for the
+    draft-model bench; a small modulus (short cycle) for the ngram bench,
+    whose prompt-lookup proposer needs the output to revisit bigrams —
+    the self-repetitive regime ngram speculation is for."""
     x = np.empty((batch, seq), dtype=np.int32)
-    x[:, 0] = rng.integers(0, ACTIVE, size=batch)
+    x[:, 0] = rng.integers(0, active, size=batch)
     for t in range(1, seq):
-        x[:, t] = (7 * x[:, t - 1] + 3) % ACTIVE
+        x[:, t] = (7 * x[:, t - 1] + 3) % active
     return x
 
 
 def train(model, steps: int, batch: int = 8, seq: int = 64,
-          lr: float = 1e-3, warmup: int = 50, seed: int = 0):
+          lr: float = 1e-3, warmup: int = 50, seed: int = 0,
+          active: int = ACTIVE):
     params = model.init(jax.random.PRNGKey(seed), dtype=jnp.bfloat16)
 
     def loss_fn(p, b, rng):
@@ -81,7 +88,7 @@ def train(model, steps: int, batch: int = 8, seq: int = 64,
     key = jax.random.PRNGKey(seed)
     loss = None
     for _ in range(steps):
-        ids = jnp.asarray(synthetic_batch(rng, batch, seq))
+        ids = jnp.asarray(synthetic_batch(rng, batch, seq, active))
         state, m = step(state, {"ids": ids}, key)
         loss = m["loss"]
     return jax.device_get(state.params), float(loss)  # fetch = true sync
@@ -96,25 +103,43 @@ def main():
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--speculator", choices=("draft", "ngram"),
+                    default="draft")
+    ap.add_argument("--active", type=int, default=None,
+                    help="synthetic vocab modulus (cycle length); default "
+                         "499 for draft, 41 for ngram")
     args = ap.parse_args()
+    active = args.active or (499 if args.speculator == "draft" else 41)
 
     target = vt.ModelForCausalLM(TARGET_CFG)
-    draft = vt.ModelForCausalLM(DRAFT_CFG)
     t0 = time.perf_counter()
-    t_params, t_loss = train(target, args.steps, lr=3e-4, warmup=100, seed=0)
-    d_params, d_loss = train(draft, args.steps, lr=1e-3, seed=1)
-    print(f"[train] {args.steps} steps each: target loss {t_loss:.3f}, "
-          f"draft loss {d_loss:.3f} ({time.perf_counter() - t0:.0f}s)")
+    t_params, t_loss = train(target, args.steps, lr=3e-4, warmup=100,
+                             seed=0, active=active)
+    d_params = draft = None
+    if args.speculator == "draft":
+        draft = vt.ModelForCausalLM(DRAFT_CFG)
+        d_params, d_loss = train(draft, args.steps, lr=1e-3, seed=1,
+                                 active=active)
+        print(f"[train] {args.steps} steps each: target loss {t_loss:.3f}, "
+              f"draft loss {d_loss:.3f} ({time.perf_counter() - t0:.0f}s)")
+    else:
+        print(f"[train] {args.steps} steps: target loss {t_loss:.3f} "
+              f"(mod {active}, {time.perf_counter() - t0:.0f}s)")
 
     rng = np.random.default_rng(7)
     prompts = [list(row) for row in
-               synthetic_batch(rng, args.requests, args.prompt)]
+               synthetic_batch(rng, args.requests, args.prompt, active)]
     kw = dict(num_blocks=256, block_size=64, max_batch=args.batch,
               max_blocks_per_seq=4, max_new_tokens=args.new,
               prefill_buckets=(32, 64), eos_token_id=VOCAB - 1)
 
-    def run(with_draft: bool):
-        if with_draft:
+    def run(with_spec: bool):
+        if with_spec and args.speculator == "ngram":
+            eng = ContinuousBatchEngine(target, t_params,
+                                        ngram_speculation=True,
+                                        gamma=args.gamma,
+                                        spec_rounds=args.rounds, **kw)
+        elif with_spec:
             eng = ContinuousBatchEngine(target, t_params, draft_model=draft,
                                         draft_params=d_params,
                                         gamma=args.gamma,
@@ -129,7 +154,7 @@ def main():
         dt = time.perf_counter() - t0
         n = sum(len(v) for v in out.values())
         acc = None
-        if with_draft and eng.spec_stats["speculated"]:
+        if with_spec and eng.spec_stats["speculated"]:
             acc = eng.spec_stats["accepted"] / eng.spec_stats["speculated"]
         return n / dt, out, acc
 
@@ -140,10 +165,11 @@ def main():
     assert spec_out == plain_out, "speculative output drifted from greedy"
     print(f"[plain]       {plain_tps:.0f} tokens/s (horizon 64)")
     print(f"[speculative] {spec_tps:.0f} tokens/s "
-          f"(gamma={args.gamma}, rounds={args.rounds}, "
+          f"({args.speculator}, gamma={args.gamma}, rounds={args.rounds}, "
           f"acceptance={acc:.2f})")
     print(json.dumps({
         "metric": "serving_speculative",
+        "speculator": args.speculator,
         "spec_tokens_per_sec": round(spec_tps, 1),
         "plain_tokens_per_sec": round(plain_tps, 1),
         "speedup": round(spec_tps / plain_tps, 3),

@@ -93,7 +93,8 @@ class ContinuousBatchEngine:
                  frequency_penalty: float = 0.0,
                  seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
-                 gamma: int = 4, spec_rounds: int = 2, fsms=None,
+                 gamma: int = 4, spec_rounds: int = 2,
+                 ngram_speculation: bool = False, fsms=None,
                  loras=None, return_logprobs: bool = False):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
@@ -112,6 +113,17 @@ class ContinuousBatchEngine:
         indexed by the same block tables. Greedy only (token-exact vs the
         non-speculative engine); acceptance totals accumulate in
         ``spec_stats``.
+
+        ``ngram_speculation=True`` enables DRAFTER-FREE speculative
+        decoding by prompt lookup (vLLM's ngram speculator, in-graph):
+        each decode tick runs up to ``spec_rounds`` rounds of (propose
+        ``gamma`` tokens from the sequence's own history by bigram match
+        -> one multi-token target verification) on device
+        (``paged_model.ngram_horizon``) — no draft model, no second pool,
+        and the proposer costs one vectorized compare+gather per round.
+        Shines on self-repetitive outputs (summarization, code, structured
+        extraction). Greedy only, token-exact vs the plain engine; same
+        incompatibilities as draft-model speculation.
 
         ``fsms``: a list of ``generation.constrained.TokenFSM`` grammars
         for guided decoding — a request submitted with ``fsm_id=i`` only
@@ -138,9 +150,14 @@ class ContinuousBatchEngine:
         Incompatible with speculative decoding."""
         self.model = model
         self.params = params
+        self.ngram_speculation = bool(ngram_speculation)
+        if self.ngram_speculation and draft_model is not None:
+            raise ValueError("pick ONE speculator: draft_model or "
+                             "ngram_speculation")
+        speculative = draft_model is not None or self.ngram_speculation
         self.num_loras = 0
         if loras:
-            if draft_model is not None:
+            if speculative:
                 raise ValueError("multi-LoRA serving is incompatible with "
                                  "speculative decoding")
             from ..layers.adapters import embed_multi_lora
@@ -188,17 +205,18 @@ class ContinuousBatchEngine:
         self.spec_rounds = max(1, int(spec_rounds))
         self.spec_stats = {"accepted": 0, "speculated": 0}
         self.draft_pool = None
-        if draft_model is not None:
+        if speculative:
             if do_sample:
                 raise ValueError(
                     "speculative serving is greedy-only (token-exactness "
                     "vs the plain engine); do_sample=True is unsupported")
+            if self.gamma < 1:
+                raise ValueError("gamma must be >= 1")
+        if draft_model is not None:
             if draft_model.config.vocab_size != self.cfg.vocab_size:
                 raise ValueError(
                     f"draft vocab {draft_model.config.vocab_size} != target "
                     f"vocab {self.cfg.vocab_size}")
-            if self.gamma < 1:
-                raise ValueError("gamma must be >= 1")
             self.draft_pool = paged_model.init_pool(
                 draft_model.config, num_blocks, block_size, dtype=dtype)
         self.mesh = mesh
@@ -225,7 +243,7 @@ class ContinuousBatchEngine:
         self.fsms = list(fsms) if fsms else None
         self._fsm_next_dev = None
         if self.fsms:
-            if draft_model is not None:
+            if speculative:
                 raise ValueError("guided decoding (fsms) is incompatible "
                                  "with speculative decoding")
             for f in self.fsms:
@@ -240,7 +258,7 @@ class ContinuousBatchEngine:
                 stacked[i, :f.num_states] = f.next_state
             self._fsm_next_dev = self._put(stacked)
         self.return_logprobs = bool(return_logprobs)
-        if self.return_logprobs and draft_model is not None:
+        if self.return_logprobs and speculative:
             raise ValueError("return_logprobs is incompatible with "
                              "speculative decoding (verification emits "
                              "tokens without per-step distributions)")
@@ -334,7 +352,7 @@ class ContinuousBatchEngine:
             if self.eos_token_id is None:
                 raise ValueError("guided decoding needs eos_token_id (EOS "
                                  "terminates a completed grammar)")
-        if self.draft_model is not None and (
+        if (self.draft_model is not None or self.ngram_speculation) and (
                 presence_penalty or frequency_penalty or
                 self.presence_penalty or self.frequency_penalty):
             raise ValueError(
@@ -916,6 +934,64 @@ class ContinuousBatchEngine:
                 if state.finished:
                     break
 
+    def _ngram_decode_batch(self):
+        """Prompt-lookup speculative decode tick (drafter-free): ships each
+        lane's token history to the device once per tick; the bigram
+        proposer + verification rounds run in-graph
+        (``paged_model.ngram_horizon``). Falls back to a plain decode tick
+        under pool pressure exactly like ``_spec_decode_batch``."""
+        states = [s for s in self.active.values() if not s.finished]
+        if not states:
+            return
+        b = self.max_batch
+        gp1 = self.gamma + 1
+        hl = self.max_blocks_per_seq * self.block_size
+        tokens2 = np.zeros((b, 2), dtype=np.int32)
+        positions = np.zeros(b, dtype=np.int32)
+        live_mask = np.zeros(b, dtype=bool)
+        budget = np.zeros(b, dtype=np.int32)
+        tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
+        history = np.full((b, hl), -1, dtype=np.int32)
+        hist_len = np.zeros(b, dtype=np.int32)
+        live = []
+        for i, state in enumerate(states[:b]):
+            pos = len(state.tokens) - 1
+            cap = self.max_blocks_per_seq * self.block_size - pos
+            r = min(self.spec_rounds, cap // gp1)
+            while r >= 1 and not self.kv.allocate(state, pos + r * gp1):
+                r //= 2  # pool pressure: shrink the grant
+            if r < 1:
+                self._decode_batch()
+                return
+            tokens2[i] = (state.tokens[-2], state.tokens[-1])
+            positions[i] = pos
+            live_mask[i] = True
+            budget[i] = r * gp1
+            tables[i, :len(state.block_table)] = state.block_table
+            history[i, :len(state.tokens)] = state.tokens
+            hist_len[i] = len(state.tokens)
+            live.append((i, state))
+
+        self.counters["spec_ticks"] += 1
+        gen, counts, acc, spec, self.pool = paged_model.ngram_horizon(
+            self.model, self.plus_one, self.params, self.pool,
+            self._put(tokens2), self._put(positions), self._put(tables),
+            self._put(live_mask), self._put(history), self._put(hist_len),
+            self.gamma, self.spec_rounds,
+            eos=(-1 if self.eos_token_id is None else self.eos_token_id),
+            budget=self._put(budget), allow_pallas=self._allow_pallas)
+        packed = np.asarray(_pack_i32x4(gen, counts, acc, spec))
+        gen = packed[:, :-3]
+        counts, acc, spec = packed[:, -3], packed[:, -2], packed[:, -1]
+        for i, state in live:
+            self.spec_stats["accepted"] += int(acc[i])
+            self.spec_stats["speculated"] += int(spec[i])
+            # tokens past max_new are dropped by the finish check's break
+            for t in gen[i, :counts[i]]:
+                self._append_token(state, int(t))
+                if state.finished:
+                    break
+
     def _maybe_finish(self, state: SequenceState):
         new = len(state.tokens) - state.prompt_len
         hit_eos = (self.eos_token_id is not None
@@ -957,5 +1033,7 @@ class ContinuousBatchEngine:
             self._try_admit()
         if self.draft_model is not None:
             self._spec_decode_batch()
+        elif self.ngram_speculation:
+            self._ngram_decode_batch()
         else:
             self._decode_batch()

@@ -467,6 +467,18 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     return out_buf, lp_buf, pool
 
 
+def _slot_of(block_tables, bs, p, alive):
+    """Pool write targets for absolute positions p ([B] or [B, T]);
+    dead lanes -> block -1 (dropped by the scatter)."""
+    pp = p if p.ndim == 2 else p[:, None]
+    blk = jnp.take_along_axis(block_tables, pp // bs, axis=1)
+    blk = jnp.where(alive[:, None], blk, -1)
+    off = pp % bs
+    if p.ndim == 1:
+        return blk[:, 0], off[:, 0]
+    return blk, off
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 12, 13), donate_argnums=(6, 7),
          static_argnames=("allow_pallas",))
 def speculative_horizon(model, draft_model, plus_one: bool,
@@ -520,15 +532,7 @@ def speculative_horizon(model, draft_model, plus_one: bool,
     rows = jnp.arange(b)[:, None]
 
     def slot_of(p, alive):
-        """Pool write targets for absolute positions p ([B] or [B, T]);
-        dead lanes -> block -1 (dropped by the scatter)."""
-        pp = p if p.ndim == 2 else p[:, None]
-        blk = jnp.take_along_axis(block_tables, pp // bs, axis=1)
-        blk = jnp.where(alive[:, None], blk, -1)
-        off = pp % bs
-        if p.ndim == 1:
-            return blk[:, 0], off[:, 0]
-        return blk, off
+        return _slot_of(block_tables, bs, p, alive)
 
     def cond(carry):
         r, _, _, alive = carry[0], carry[1], carry[2], carry[3]
@@ -613,3 +617,139 @@ def speculative_horizon(model, draft_model, plus_one: bool,
     (_, _, _, _, _, counts, acc, spec, out, pool, draft_pool) = \
         jax.lax.while_loop(cond, body, carry)
     return out, counts, acc, spec, pool, draft_pool
+
+
+@partial(jax.jit, static_argnums=(0, 1, 10, 11), donate_argnums=(3,),
+         static_argnames=("allow_pallas",))
+def ngram_horizon(model, plus_one: bool, params, pool, tokens2, positions,
+                  block_tables, live, history, hist_len, gamma: int,
+                  rounds: int, eos=-1, budget=None,
+                  allow_pallas: bool = True):
+    """Drafter-free speculative decode by PROMPT LOOKUP (n-gram): up to
+    ``rounds`` rounds of (propose ``gamma`` tokens from the sequence's own
+    history -> one multi-token target verification) fully on device.
+
+    vLLM's ngram speculator proposes on the host between engine steps; here
+    the bigram lookup is IN-GRAPH (one vectorized compare + gather over a
+    per-lane history buffer), so several speculation rounds run per
+    dispatch — on the axon tunnel each host round-trip costs ~25 ms, which
+    a host-side proposer would pay per round. Greedy only; output is
+    token-exact vs the non-speculative engine (every proposal is verified
+    by the target's own argmax, exactly ``speculative_horizon``'s
+    acceptance rule — reference ``speculative_decoding.py:85-245`` with the
+    drafter replaced by suffix matching).
+
+    Per round and lane (batched):
+
+    - propose: find the latest PRIOR occurrence of the current bigram
+      ``(prev, last)`` in ``history`` and propose the ``gamma`` tokens that
+      followed it; if the bigram never occurred, propose ``last`` repeated
+      (greedy loops are the common no-match case, and misproposals only
+      cost verify FLOPs already being spent);
+    - verify: the target scores all ``gamma + 1`` positions in one
+      ``_multi_core`` pass (writing its KV as it goes) and accepts the
+      longest proposed prefix matching its own argmax, then emits its
+      correction token;
+    - commit: accepted tokens are appended to the in-graph history so the
+      NEXT round's lookup sees them.
+
+    Rollback is free (``speculative_horizon``'s scheme): slots past the
+    accepted point hold stale KV that the next round's verification — or
+    the next plain decode tick — rewrites before any read.
+
+    tokens2: [B, 2] last two committed tokens; positions: [B] the latest
+    token's absolute position; history: [B, HL] committed tokens (prompt +
+    generated, -1 padded); hist_len: [B] valid history length; budget: [B]
+    granted new-token slots beyond ``positions``. Returns (emitted
+    [B, rounds*(gamma+1)], counts [B], accepted [B], speculated [B], pool).
+    """
+    b = tokens2.shape[0]
+    bs = pool["kv"].shape[3]
+    hl = history.shape[1]
+    gp1 = gamma + 1
+    width = rounds * gp1
+    eos = jnp.asarray(eos, jnp.int32)
+    if budget is None:
+        budget = jnp.full((b,), width, dtype=jnp.int32)
+    out0 = jnp.zeros((b, width), dtype=jnp.int32)
+    zeros = jnp.zeros((b,), dtype=jnp.int32)
+    iota = jnp.arange(gp1)[None, :]
+    rows = jnp.arange(b)[:, None]
+    j_idx = jnp.arange(hl - 1)[None, :]
+    g_iota = jnp.arange(gamma)[None, :]
+
+    def cond(carry):
+        r, alive = carry[0], carry[3]
+        return (r < rounds) & jnp.any(alive)
+
+    def body(carry):
+        (r, t2, pos, alive, rem, counts, acc, spec, out, hist, hlen,
+         pl) = carry
+        # -- propose: latest PRIOR occurrence of the current bigram.
+        # Bigram at (j, j+1); the continuation must start strictly inside
+        # committed history (j + 2 <= hlen - 1), which also excludes the
+        # current end bigram itself (j + 1 == hlen - 1).
+        m = (hist[:, :-1] == t2[:, 0:1]) & (hist[:, 1:] == t2[:, 1:2])
+        m = m & (j_idx <= hlen[:, None] - 3)
+        jstar = jnp.max(jnp.where(m, j_idx, -1), axis=1)       # [B]
+        gidx = jnp.clip(jstar[:, None] + 2 + g_iota, 0, hl - 1)
+        prop = jnp.take_along_axis(hist, gidx, axis=1)         # [B, gamma]
+        drafted = jnp.where(jstar[:, None] >= 0, prop,
+                            jnp.broadcast_to(t2[:, 1:2], prop.shape))
+        drafted = jnp.maximum(drafted, 0)   # -1 history padding -> legal id
+
+        # -- target verifies all gamma+1 positions in one pass
+        ids_v = jnp.concatenate([t2[:, 1:2], drafted], axis=1)  # [B, g+1]
+        pos_v = pos[:, None] + iota
+        sbv, sov = _slot_of(block_tables, bs, pos_v, alive)
+        ctxv = jnp.where(alive, pos + gp1, 0)
+        t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v, pos_v,
+                                   sbv, sov, block_tables, ctxv)
+        t_hat = jnp.argmax(_head(params, t_hidden),
+                           axis=-1).astype(jnp.int32)           # [B, g+1]
+
+        # -- greedy acceptance: longest proposed prefix == target argmax
+        miss = t_hat[:, :gamma] != drafted
+        n = jnp.where(miss.any(axis=1), jnp.argmax(miss, axis=1),
+                      gamma).astype(jnp.int32)
+        corr = jnp.take_along_axis(t_hat, n[:, None], axis=1)   # [B, 1]
+        drafted_pad = jnp.concatenate(
+            [drafted, jnp.zeros((b, 1), jnp.int32)], axis=1)
+        emitted = jnp.where(iota < n[:, None], drafted_pad, corr)
+        c = n + 1
+        stop = (emitted == eos) & (iota < c[:, None])
+        hit = stop.any(axis=1)
+        c = jnp.where(hit, jnp.argmax(stop, axis=1).astype(jnp.int32) + 1, c)
+
+        # -- commit: scatter this round's tokens at each lane's offset,
+        # and append them to the history for the next round's lookup
+        live_tok = alive[:, None] & (iota < c[:, None])
+        idx = jnp.where(live_tok, counts[:, None] + iota, width)  # OOB=drop
+        out = out.at[rows, idx].set(emitted, mode="drop")
+        hw = jnp.where(live_tok, hlen[:, None] + iota, hl)
+        hist = hist.at[rows, hw].set(emitted, mode="drop")
+        hlen = jnp.where(alive, jnp.minimum(hlen + c, hl), hlen)
+        counts = jnp.where(alive, counts + c, counts)
+        acc = acc + jnp.where(alive, n, 0)
+        spec = spec + jnp.where(alive, gamma, 0)
+        new_last = jnp.take_along_axis(emitted, (c - 1)[:, None],
+                                       axis=1)[:, 0]
+        new_prev = jnp.where(
+            c >= 2,
+            jnp.take_along_axis(emitted,
+                                jnp.maximum(c - 2, 0)[:, None], axis=1)[:, 0],
+            t2[:, 1])
+        t2 = jnp.where(alive[:, None],
+                       jnp.stack([new_prev, new_last], axis=1), t2)
+        pos = jnp.where(alive, pos + c, pos)
+        rem = jnp.where(alive, rem - c, rem)
+        alive = alive & ~hit & (rem >= gp1)
+        return (r + 1, t2, pos, alive, rem, counts, acc, spec, out, hist,
+                hlen, pl)
+
+    carry = (jnp.int32(0), tokens2.astype(jnp.int32), positions, live,
+             budget, zeros, zeros, zeros, out0, history.astype(jnp.int32),
+             hist_len.astype(jnp.int32), pool)
+    (_, _, _, _, _, counts, acc, spec, out, _, _, pool) = \
+        jax.lax.while_loop(cond, body, carry)
+    return out, counts, acc, spec, pool
