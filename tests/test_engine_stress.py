@@ -61,6 +61,13 @@ def test_engine_randomized_schedule(model, seed, backend):
         elif r < 0.5:
             kw = dict(frequency_penalty=5.0)
             kind = "penalty"
+        elif r < 0.62:
+            kw = dict(repetition_penalty=2.0)
+            kind = "penalty"
+        elif r < 0.74:
+            kw = dict(logit_bias={int(rng.integers(1, 96)): 8.0},
+                      min_tokens=int(rng.integers(0, 4)))
+            kind = "bias"
         sid = eng.submit(prompt, **kw)
         reqs[sid] = (prompt, kind, kw)
 

@@ -91,6 +91,7 @@ class ContinuousBatchEngine:
                  temperature: float = 1.0, top_p: float = 1.0,
                  min_p: float = 0.0, presence_penalty: float = 0.0,
                  frequency_penalty: float = 0.0,
+                 repetition_penalty: float = 1.0,
                  seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
                  gamma: int = 4, spec_rounds: int = 2,
@@ -195,6 +196,9 @@ class ContinuousBatchEngine:
         self.min_p = float(min_p)
         self.presence_penalty = float(presence_penalty)
         self.frequency_penalty = float(frequency_penalty)
+        self.repetition_penalty = float(repetition_penalty)
+        if self.repetition_penalty <= 0:
+            raise ValueError("repetition_penalty must be > 0 (1.0 = off)")
         self._rng = jax.random.PRNGKey(seed)
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
@@ -301,6 +305,10 @@ class ContinuousBatchEngine:
                min_p: Optional[float] = None,
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
+               repetition_penalty: Optional[float] = None,
+               min_tokens: int = 0,
+               ignore_eos: bool = False,
+               logit_bias: Optional[Dict[int, float]] = None,
                fsm_id: Optional[int] = None,
                lora_id: Optional[int] = None,
                stop: Optional[Sequence[Sequence[int]]] = None,
@@ -313,6 +321,14 @@ class ContinuousBatchEngine:
         ``presence_penalty``/``frequency_penalty`` (OpenAI semantics over
         output tokens: ``logit[t] -= presence * seen(t) + frequency *
         count(t)`` — discourage reuse; work with greedy AND sampling),
+        ``repetition_penalty`` (CTRL/HF/vLLM semantics over prompt AND
+        output tokens: seen positive logits divide by it, negative
+        multiply; 1.0 = off), ``min_tokens`` (vLLM semantics: EOS is
+        banned in the logits and stop sequences don't match until this
+        many tokens have been generated), ``ignore_eos`` (never finish on
+        EOS — only ``max_new_tokens``/``stop``/pool capacity end the
+        request; vLLM/benchmark convention), ``logit_bias`` ({token_id:
+        bias} added to the logits every step, OpenAI semantics),
         ``fsm_id`` (guided decoding:
         index into the engine's ``fsms`` grammar list; the request's
         generated tokens follow that grammar), and ``lora_id`` (multi-LoRA:
@@ -354,11 +370,33 @@ class ContinuousBatchEngine:
                                  "terminates a completed grammar)")
         if (self.draft_model is not None or self.ngram_speculation) and (
                 presence_penalty or frequency_penalty or
-                self.presence_penalty or self.frequency_penalty):
+                self.presence_penalty or self.frequency_penalty or
+                (repetition_penalty not in (None, 1.0)) or
+                self.repetition_penalty != 1.0 or min_tokens or
+                ignore_eos or logit_bias):
             raise ValueError(
-                "presence/frequency penalties are unsupported with "
-                "speculative decoding (the verifier emits multi-token "
-                "blocks without per-step count threading)")
+                "penalties/min_tokens/ignore_eos/logit_bias are unsupported "
+                "with speculative decoding (the verifier emits multi-token "
+                "blocks without per-step logits processing)")
+        if repetition_penalty is not None and repetition_penalty <= 0:
+            raise ValueError("repetition_penalty must be > 0 (1.0 = off)")
+        if min_tokens:
+            if fsm_id is not None:
+                raise ValueError(
+                    "min_tokens is incompatible with guided decoding (a "
+                    "completed grammar may allow ONLY EOS, which min_tokens "
+                    "bans — every token would be masked)")
+            if self.eos_token_id is None and not (stop or []):
+                raise ValueError("min_tokens without eos_token_id or stop "
+                                 "sequences has nothing to delay")
+        limit_new = (self.max_new_tokens if max_new_tokens is None
+                     else max_new_tokens)
+        if not 0 <= min_tokens <= limit_new:
+            raise ValueError(f"min_tokens={min_tokens} outside "
+                             f"[0, {limit_new}] (the request's token limit)")
+        logit_bias = {int(t): float(v) for t, v in (logit_bias or {}).items()}
+        if any(not 0 <= t < self.cfg.vocab_size for t in logit_bias):
+            raise ValueError("logit_bias token id outside the vocab")
         if lora_id is not None:
             if not self.num_loras:
                 raise ValueError("engine has no loras (pass loras=[...] at "
@@ -393,6 +431,12 @@ class ContinuousBatchEngine:
         state.frequency_penalty = (self.frequency_penalty if
                                    frequency_penalty is None
                                    else float(frequency_penalty))
+        state.repetition_penalty = (self.repetition_penalty if
+                                    repetition_penalty is None
+                                    else float(repetition_penalty))
+        state.min_tokens = int(min_tokens)
+        state.ignore_eos = bool(ignore_eos)
+        state.logit_bias = logit_bias
         state.fsm_id = fsm_id
         state.fsm_state = 0
         state.lora_id = -1 if lora_id is None else lora_id
@@ -417,6 +461,8 @@ class ContinuousBatchEngine:
                 sib = SequenceState(sib_id, prompt)
                 for attr in ("max_new", "temperature", "top_p", "min_p",
                              "presence_penalty", "frequency_penalty",
+                             "repetition_penalty", "min_tokens",
+                             "ignore_eos", "logit_bias",
                              "fsm_id", "fsm_state", "lora_id", "cache_salt",
                              "stop_seqs", "t_submit"):
                     setattr(sib, attr, getattr(state, attr))
@@ -687,6 +733,8 @@ class ContinuousBatchEngine:
                 state.fsm_state, tok)
         for seq in getattr(state, "stop_seqs", ()):
             gen = state.tokens[state.prompt_len:]
+            if len(gen) < getattr(state, "min_tokens", 0):
+                break  # vLLM min_tokens: stop conditions don't fire yet
             if len(gen) >= len(seq) and gen[-len(seq):] == seq:
                 # exclude the stop suffix (vLLM stop-string semantics);
                 # its KV is freed with the sequence
@@ -743,6 +791,34 @@ class ContinuousBatchEngine:
             logits = (logits.astype(jnp.float32)
                       - self._put(pps[:, None] * (counts > 0))
                       - self._put(fps[:, None] * counts))
+        rps = np.ones(b, np.float32)
+        for i, st in enumerate(states[:b]):
+            if st is not None:
+                rps[i] = getattr(st, "repetition_penalty", 1.0)
+        if (rps != 1.0).any():
+            seen = np.zeros((b, self.cfg.vocab_size), bool)
+            for i, st in enumerate(states[:b]):
+                if st is not None:
+                    seen[i, np.asarray(st.tokens)] = True
+            l32 = logits.astype(jnp.float32)
+            rp = self._put(rps[:, None])
+            logits = jnp.where(self._put(seen),
+                               jnp.where(l32 > 0, l32 / rp, l32 * rp), l32)
+        extra = np.zeros((b, self.cfg.vocab_size), np.float32)
+        extra_any = False
+        for i, st in enumerate(states[:b]):
+            if st is None:
+                continue
+            for t, v in (getattr(st, "logit_bias", None) or {}).items():
+                extra[i, t] += v
+                extra_any = True
+            if getattr(st, "min_tokens", 0) > 0 and \
+                    self.eos_token_id is not None and \
+                    0 <= self.eos_token_id < self.cfg.vocab_size:
+                extra[i, self.eos_token_id] = -1e30  # first token owes more
+                extra_any = True
+        if extra_any:
+            logits = logits.astype(jnp.float32) + self._put(extra)
         mask = self._fsm_mask(states, logits.shape[0]) if self.fsms else None
         if mask is not None:
             logits = jnp.where(self._put(mask), logits, -1e30)
@@ -851,12 +927,46 @@ class ContinuousBatchEngine:
             fsm_kw.update(token_counts=self._put(counts),
                           presence_penalty=self._put(pps),
                           frequency_penalty=self._put(fps))
+        rps = np.ones(b, np.float32)
+        mins = np.zeros(b, np.int32)
+        ignore = np.zeros(b, bool)
+        nbias = 0
+        for i, state, _ in live:
+            rps[i] = getattr(state, "repetition_penalty", 1.0)
+            done = len(state.tokens) - state.prompt_len
+            mins[i] = max(0, getattr(state, "min_tokens", 0) - done)
+            ignore[i] = getattr(state, "ignore_eos", False)
+            nbias = max(nbias, len(getattr(state, "logit_bias", None) or ()))
+        if (rps != 1.0).any():
+            # repetition penalty sees prompt AND output (vLLM convention)
+            seen = np.zeros((b, self.cfg.vocab_size), bool)
+            for i, state, _ in live:
+                seen[i, np.asarray(state.tokens)] = True
+            fsm_kw.update(rep_penalty=self._put(rps),
+                          seen_mask=self._put(seen))
+        if mins.any():
+            fsm_kw["min_steps"] = self._put(mins)
+        if nbias:
+            nbias = max(8, 1 << (nbias - 1).bit_length())  # bound recompiles
+            bidx = np.full((b, nbias), self.cfg.vocab_size, np.int32)  # OOB
+            bval = np.zeros((b, nbias), np.float32)
+            for i, state, _ in live:
+                for j, (t, v) in enumerate(
+                        (getattr(state, "logit_bias", None) or {}).items()):
+                    bidx[i, j] = t
+                    bval[i, j] = v
+            fsm_kw.update(bias_idx=self._put(bidx), bias_val=self._put(bval))
+        eos_arg = -1 if self.eos_token_id is None else self.eos_token_id
+        if ignore.any():
+            ev = np.full(b, eos_arg, np.int32)
+            ev[ignore] = -1
+            eos_arg = self._put(ev)
         self.counters["decode_ticks"] += 1
         gen, lps, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             self._put(tokens), self._put(positions), self._put(tables),
             self._put(live_mask), horizon, self.do_sample,
-            eos=(-1 if self.eos_token_id is None else self.eos_token_id),
+            eos=eos_arg,
             rng=self._put(sub), temperature=temps,
             top_p=tps, min_p=mps, budget=self._put(budget),
             allow_pallas=self._allow_pallas,
@@ -995,6 +1105,7 @@ class ContinuousBatchEngine:
     def _maybe_finish(self, state: SequenceState):
         new = len(state.tokens) - state.prompt_len
         hit_eos = (self.eos_token_id is not None
+                   and not getattr(state, "ignore_eos", False)
                    and state.tokens[-1] == self.eos_token_id)
         out_of_blocks = len(state.tokens) >= \
             self.max_blocks_per_seq * self.block_size

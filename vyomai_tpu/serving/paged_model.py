@@ -351,7 +351,8 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    fsm_next=None, fsm_ids=None, fsm_states=None,
                    lora_lanes=None, with_logprobs: bool = False,
                    token_counts=None, presence_penalty=0.0,
-                   frequency_penalty=0.0):
+                   frequency_penalty=0.0, rep_penalty=None, seen_mask=None,
+                   min_steps=None, bias_idx=None, bias_val=None):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -381,6 +382,17 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     per-lane — ``logits[t] -= presence * (count[t] > 0)
     + frequency * count[t]``. Logprobs stay raw-model (unpenalized).
 
+    ``rep_penalty`` [B] f32 + ``seen_mask`` [B, V] bool enable the
+    CTRL/HF repetition penalty over prompt AND output tokens (vLLM
+    convention): seen positive logits divide by the penalty, negative
+    multiply; the mask updates in-loop as tokens emit. ``min_steps`` [B]
+    int32 bans EOS for that many more steps per lane (vLLM
+    ``min_tokens``). ``eos`` may be a scalar or a [B] per-lane vector
+    (-1 entries never match — per-request ``ignore_eos``).
+    ``bias_idx``/``bias_val`` [B, K] sparse per-lane logit biases
+    (OpenAI ``logit_bias``; pad index = vocab_size, dropped), scattered
+    to a dense [B, V] once before the loop.
+
     ``with_logprobs``: also return the RAW model log-probability (fp32
     log-softmax of the unmasked, untempered logits) of each chosen token —
     the serving-API ``logprobs`` convention (HF
@@ -408,13 +420,26 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         pp = pp[:, None]
     if fp.ndim == 1:
         fp = fp[:, None]
+    if seen_mask is None:
+        seen_mask = jnp.zeros((b, 0), bool)  # disabled sentinel
+    repetition = seen_mask.shape[1] > 0
+    rp = (jnp.ones((b, 1), jnp.float32) if rep_penalty is None
+          else jnp.asarray(rep_penalty, jnp.float32).reshape(b, 1))
+    min_gate = min_steps is not None
+    if min_steps is None:
+        min_steps = jnp.zeros((b,), jnp.int32)
+    rows_b = jnp.arange(b)
+    bias = None
+    if bias_idx is not None:
+        bias = jnp.zeros((b, model.config.vocab_size), jnp.float32).at[
+            rows_b[:, None], bias_idx].add(bias_val, mode="drop")
 
     def cond(carry):
-        i, _, _, alive, _, _, _, _, _, _ = carry
+        i, _, _, alive, _, _, _, _, _, _, _ = carry
         return (i < horizon) & jnp.any(alive)
 
     def body(carry):
-        i, toks, pos, alive, key, fst, pl_, out, lps, cnt = carry
+        i, toks, pos, alive, key, fst, pl_, out, lps, cnt, seen = carry
         blk_idx = pos // bs
         slot_blocks = jnp.where(
             alive, jnp.take_along_axis(block_tables, blk_idx[:, None],
@@ -428,6 +453,19 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         if penalize:
             c = cnt.astype(jnp.float32)
             logits = logits.astype(jnp.float32) - pp * (c > 0) - fp * c
+        if repetition:
+            l32 = logits.astype(jnp.float32)
+            pen = jnp.where(l32 > 0, l32 / rp, l32 * rp)
+            logits = jnp.where(seen, pen, l32)
+        if bias is not None:
+            logits = logits.astype(jnp.float32) + bias
+        if min_gate:
+            # vLLM min_tokens: ban EOS while the lane still owes tokens
+            eos_b = eos if eos.ndim == 1 else jnp.broadcast_to(eos, (b,))
+            ban = (min_steps > i) & (eos_b >= 0)
+            logits = logits.astype(jnp.float32).at[
+                rows_b, jnp.maximum(eos_b, 0)].add(
+                jnp.where(ban, jnp.float32(-1e30), 0.0))
         if fsm_next is not None:
             con = fsm_ids >= 0
             row = fsm_next[jnp.maximum(fsm_ids, 0),
@@ -454,16 +492,18 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         if penalize:
             # EOS is terminal, counting it is harmless; dead lanes frozen
             cnt = cnt.at[jnp.arange(b), nxt].add(alive.astype(jnp.int32))
+        if repetition:
+            seen = seen.at[rows_b, nxt].max(alive)
         out = out.at[:, i].set(jnp.where(alive, nxt, 0))
         alive = alive & (nxt != eos) & (i + 1 < budget)
         pos = jnp.where(alive, pos + 1, pos)
-        return i + 1, nxt, pos, alive, key, fst, pl_, out, lps, cnt
+        return i + 1, nxt, pos, alive, key, fst, pl_, out, lps, cnt, seen
 
     with cnn.lora_lanes(lora_lanes):
-        _, _, _, _, _, _, pool, out_buf, lp_buf, _ = jax.lax.while_loop(
+        _, _, _, _, _, _, pool, out_buf, lp_buf, _, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
                          live, rng, fsm_states, pool, out_buf, lp_buf,
-                         token_counts))
+                         token_counts, seen_mask))
     return out_buf, lp_buf, pool
 
 
