@@ -276,3 +276,76 @@ def test_params_survive_best_of_and_stream(qwen):
     sid2 = eng2.submit(PROMPT, logit_bias={7: 100.0}, max_new_tokens=5)
     got = [t for s, t, d in eng2.stream() if t is not None]
     assert got == [7] * 5
+
+
+def test_seed_deterministic_across_batch_and_engine(qwen):
+    """A seeded request's sampled output is a pure function of (weights,
+    prompt, seed): identical whether it runs alone, next to other traffic,
+    or on an engine with a different global seed (vLLM per-request seed)."""
+    model, params = qwen
+
+    def run(engine_seed, extra_traffic):
+        eng = _engine(model, params, do_sample=True, temperature=1.0,
+                      seed=engine_seed)
+        sid = eng.submit(PROMPT, seed=1234)
+        if extra_traffic:
+            eng.submit([5, 11], seed=None)
+            eng.submit([2, 3, 5, 7])
+        return eng.run()[sid]
+
+    alone = run(0, False)
+    assert run(0, True) == alone, "batch composition changed a seeded lane"
+    assert run(99, True) == alone, "engine seed leaked into a seeded lane"
+    assert run(99, False) == alone
+    # a different request seed gives a different stream
+    eng = _engine(model, params, do_sample=True, temperature=1.0)
+    assert _one(eng, PROMPT, seed=77) != alone
+
+
+def test_seed_survives_preemption(qwen):
+    """Preemption replays a victim's prefill; the fold_in(PRNGKey(seed), k)
+    stream keys on the GENERATED INDEX, so the replayed request continues
+    its exact sampled trajectory."""
+    model, params = qwen
+    calm = _engine(model, params, do_sample=True, temperature=1.0)
+    want = _one(calm, PROMPT, seed=4321)
+
+    rng = np.random.default_rng(3)
+    eng = ContinuousBatchEngine(model, params, num_blocks=9, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=12, decode_horizon=2,
+                                dtype=jnp.float32,
+                                do_sample=True, temperature=1.0, seed=5)
+    sid = eng.submit(PROMPT, seed=4321)
+    for _ in range(6):
+        eng.submit(list(rng.integers(2, 400, size=int(rng.integers(12, 30)))))
+    out = eng.run()
+    assert eng.metrics()["preemptions"] > 0, "pool too big to force preempt"
+    assert out[sid] == want
+
+
+def test_seed_same_twice_and_best_of(qwen):
+    """Same seed twice = same output; best_of siblings derive distinct
+    seeds, so the family result is ALSO deterministic end-to-end."""
+    model, params = qwen
+    eng = _engine(model, params, do_sample=True, temperature=1.0)
+    a = _one(eng, PROMPT, seed=7)
+    eng2 = _engine(model, params, do_sample=True, temperature=1.0, seed=8)
+    assert _one(eng2, PROMPT, seed=7) == a
+
+    def fam(engine_seed):
+        e = _engine(model, params, do_sample=True, temperature=1.0,
+                    seed=engine_seed, return_logprobs=True)
+        return _one(e, PROMPT, seed=7, best_of=3)
+
+    assert fam(0) == fam(42), "seeded best_of family must be deterministic"
+
+
+def test_seed_validation(qwen):
+    model, params = qwen
+    greedy = _engine(model, params)
+    with pytest.raises(ValueError, match="do_sample"):
+        greedy.submit(PROMPT, seed=3)
+    eng = _engine(model, params, do_sample=True)
+    with pytest.raises(ValueError, match="seed"):
+        eng.submit(PROMPT, seed=-1)

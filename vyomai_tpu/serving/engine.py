@@ -28,6 +28,17 @@ from .kv_manager import PagedKVManager, SequenceState
 _sample_jit = jax.jit(paged_model.sample_tokens)
 
 
+@jax.jit
+def _sample_seeded_jit(logits, rng, temps, tps, mps, lane_seeds, gen_base):
+    """Prefill-path sampling with per-request seeds: lane n's k-th
+    generated token always draws from ``fold_in(PRNGKey(seed), k)`` (the
+    same stream ``decode_horizon`` continues)."""
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.maximum(lane_seeds, 0))
+    lk = jax.vmap(jax.random.fold_in)(keys, gen_base)
+    return paged_model.sample_tokens(logits, rng, temps, tps, mps,
+                                     lane_keys=lk, seeded=lane_seeds >= 0)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _score_jit(model, params, ids, lanes):
     """Teacher-forced per-token logprobs over a padded [1, T] prompt:
@@ -309,6 +320,7 @@ class ContinuousBatchEngine:
                min_tokens: int = 0,
                ignore_eos: bool = False,
                logit_bias: Optional[Dict[int, float]] = None,
+               seed: Optional[int] = None,
                fsm_id: Optional[int] = None,
                lora_id: Optional[int] = None,
                stop: Optional[Sequence[Sequence[int]]] = None,
@@ -329,6 +341,12 @@ class ContinuousBatchEngine:
         EOS — only ``max_new_tokens``/``stop``/pool capacity end the
         request; vLLM/benchmark convention), ``logit_bias`` ({token_id:
         bias} added to the logits every step, OpenAI semantics),
+        ``seed`` (vLLM semantics: the request's sampling stream is its
+        own — the k-th generated token always draws from
+        ``fold_in(PRNGKey(seed), k)``, so the output is DETERMINISTIC
+        regardless of batch composition, the engine's seed, tick
+        boundaries, or preemption replays; ``best_of`` siblings derive
+        ``seed + 1, seed + 2, ...``),
         ``fsm_id`` (guided decoding:
         index into the engine's ``fsms`` grammar list; the request's
         generated tokens follow that grammar), and ``lora_id`` (multi-LoRA:
@@ -397,6 +415,12 @@ class ContinuousBatchEngine:
         logit_bias = {int(t): float(v) for t, v in (logit_bias or {}).items()}
         if any(not 0 <= t < self.cfg.vocab_size for t in logit_bias):
             raise ValueError("logit_bias token id outside the vocab")
+        if seed is not None:
+            if not self.do_sample:
+                raise ValueError("per-request seed needs do_sample=True "
+                                 "(greedy decoding draws nothing)")
+            if not 0 <= seed < 2 ** 31:
+                raise ValueError("seed must be in [0, 2**31)")
         if lora_id is not None:
             if not self.num_loras:
                 raise ValueError("engine has no loras (pass loras=[...] at "
@@ -437,6 +461,7 @@ class ContinuousBatchEngine:
         state.min_tokens = int(min_tokens)
         state.ignore_eos = bool(ignore_eos)
         state.logit_bias = logit_bias
+        state.seed = seed
         state.fsm_id = fsm_id
         state.fsm_state = 0
         state.lora_id = -1 if lora_id is None else lora_id
@@ -466,6 +491,9 @@ class ContinuousBatchEngine:
                              "fsm_id", "fsm_state", "lora_id", "cache_salt",
                              "stop_seqs", "t_submit"):
                     setattr(sib, attr, getattr(state, attr))
+                # identical seeds would make rollouts identical: derive
+                sib.seed = (None if seed is None
+                            else seed + len(self._families[sid]))
                 sib.logprobs = []
                 sib.family = sid
                 self._families[sid].append(sib)
@@ -827,7 +855,18 @@ class ContinuousBatchEngine:
         else:
             self._rng, sub = jax.random.split(self._rng)
             temps, tps, mps = self._lane_sampling(states, logits.shape[0])
-            toks = _sample_jit(logits, self._put(sub), temps, tps, mps)
+            seeds = np.full(b, -1, np.int32)
+            genb = np.zeros(b, np.int32)
+            for i, st in enumerate(states[:b]):
+                if st is not None and getattr(st, "seed", None) is not None:
+                    seeds[i] = st.seed
+                    genb[i] = len(st.tokens) - st.prompt_len
+            if (seeds >= 0).any():
+                toks = _sample_seeded_jit(logits, self._put(sub), temps,
+                                          tps, mps, self._put(seeds),
+                                          self._put(genb))
+            else:
+                toks = _sample_jit(logits, self._put(sub), temps, tps, mps)
         if not self.return_logprobs:
             return np.asarray(toks), None
         lps = _logprob_jit(raw, toks)
@@ -961,6 +1000,16 @@ class ContinuousBatchEngine:
             ev = np.full(b, eos_arg, np.int32)
             ev[ignore] = -1
             eos_arg = self._put(ev)
+        if self.do_sample:
+            seeds = np.full(b, -1, np.int32)
+            genb = np.zeros(b, np.int32)
+            for i, state, _ in live:
+                if getattr(state, "seed", None) is not None:
+                    seeds[i] = state.seed
+                    genb[i] = len(state.tokens) - state.prompt_len
+            if (seeds >= 0).any():
+                fsm_kw.update(lane_seeds=self._put(seeds),
+                              gen_base=self._put(genb))
         self.counters["decode_ticks"] += 1
         gen, lps, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,

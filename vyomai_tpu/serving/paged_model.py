@@ -317,11 +317,11 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
                             allow_pallas=allow_pallas)
 
 
-def sample_tokens(logits, rng, temperature, top_p, min_p=0.0):
-    """Temperature + nucleus (top-p) + min-p sampling on device. logits:
-    [B, V]; temperature/top_p/min_p: f32 scalars or [B] per-lane vectors
-    (per-request sampling params; min_p=0 disables, vLLM order: after
-    temperature). Returns [B] int32.
+def sampling_mask(logits, temperature, top_p, min_p=0.0):
+    """Temperature + nucleus (top-p) + min-p masked logits ready for
+    ``jax.random.categorical``. logits: [B, V]; temperature/top_p/min_p:
+    f32 scalars or [B] per-lane vectors (per-request sampling params;
+    min_p=0 disables, vLLM order: after temperature).
 
     Reuses ``generation.sampling`` masks so serving and the decode loops
     share one implementation (same boundary semantics)."""
@@ -338,8 +338,24 @@ def sample_tokens(logits, rng, temperature, top_p, min_p=0.0):
         min_p = min_p[:, None]
     logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
     masked = _top_p_mask(logits, top_p)
-    masked = _min_p_mask(masked, min_p)
-    return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+    return _min_p_mask(masked, min_p)
+
+
+def sample_tokens(logits, rng, temperature, top_p, min_p=0.0,
+                  lane_keys=None, seeded=None):
+    """Sample [B] int32 from masked logits (see :func:`sampling_mask`).
+
+    ``lane_keys`` [B, 2] uint32 + ``seeded`` [B] bool enable PER-LANE
+    sampling streams (vLLM per-request ``seed``): seeded lanes draw from
+    their own key (deterministic regardless of batch composition or the
+    engine's rng), the rest share ``rng``."""
+    masked = sampling_mask(logits, temperature, top_p, min_p)
+    batch = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+    if lane_keys is None:
+        return batch
+    per = jax.vmap(lambda k, l: jax.random.categorical(k, l))(
+        lane_keys, masked).astype(jnp.int32)
+    return jnp.where(seeded, per, batch)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,),
@@ -352,7 +368,8 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    lora_lanes=None, with_logprobs: bool = False,
                    token_counts=None, presence_penalty=0.0,
                    frequency_penalty=0.0, rep_penalty=None, seen_mask=None,
-                   min_steps=None, bias_idx=None, bias_val=None):
+                   min_steps=None, bias_idx=None, bias_val=None,
+                   lane_seeds=None, gen_base=None):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -392,6 +409,13 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     ``bias_idx``/``bias_val`` [B, K] sparse per-lane logit biases
     (OpenAI ``logit_bias``; pad index = vocab_size, dropped), scattered
     to a dense [B, V] once before the loop.
+
+    ``lane_seeds`` [B] int32 (-1 = unseeded) + ``gen_base`` [B] int32
+    (tokens already generated per lane at tick start) give seeded lanes
+    their own sampling stream (vLLM per-request ``seed``): the draw for a
+    lane's n-th generated token always uses ``fold_in(PRNGKey(seed), n)``
+    — deterministic across batch compositions, engine seeds, tick
+    boundaries, and preemption replays.
 
     ``with_logprobs``: also return the RAW model log-probability (fp32
     log-softmax of the unmasked, untempered logits) of each chosen token —
@@ -433,6 +457,12 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     if bias_idx is not None:
         bias = jnp.zeros((b, model.config.vocab_size), jnp.float32).at[
             rows_b[:, None], bias_idx].add(bias_val, mode="drop")
+    seed_keys = None
+    if lane_seeds is not None:
+        seed_keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.maximum(lane_seeds, 0))                       # [B, 2]
+        if gen_base is None:
+            gen_base = jnp.zeros((b,), jnp.int32)
 
     def cond(carry):
         i, _, _, alive, _, _, _, _, _, _, _ = carry
@@ -475,7 +505,12 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                                logits.astype(jnp.float32))
         if do_sample:
             key, sub = jax.random.split(key)
-            nxt = sample_tokens(logits, sub, temperature, top_p, min_p)
+            if seed_keys is not None:
+                lk = jax.vmap(jax.random.fold_in)(seed_keys, gen_base + i)
+                nxt = sample_tokens(logits, sub, temperature, top_p, min_p,
+                                    lane_keys=lk, seeded=lane_seeds >= 0)
+            else:
+                nxt = sample_tokens(logits, sub, temperature, top_p, min_p)
         else:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(alive, nxt, toks)                # freeze dead lanes
