@@ -597,38 +597,47 @@ class ContinuousBatchEngine:
         emitted: Dict[int, int] = {}
         while self.waiting or self.active or self.needs_prefill:
             self.step()
-            for src in (self.active, self.finished):
-                for sid, s in list(src.items()):
-                    if src is self.active and \
-                            getattr(s, "family", None) is not None:
-                        # best_of rollouts stream nothing until the family
-                        # resolves (losers are discarded wholesale; only
-                        # the winner ever reaches ``finished``)
-                        continue
-                    start = emitted.get(sid, s.prompt_len)
-                    hold = 0
-                    if src is self.active and getattr(s, "stop_seqs", None):
-                        # a stop match TRUNCATES up to max(len(stop))
-                        # tokens; holding that many back guarantees a
-                        # yielded token is never retracted and at least
-                        # one token remains to carry finished=True
-                        hold = max(len(q) for q in s.stop_seqs)
-                    end = len(s.tokens) - hold
-                    fresh = s.tokens[start:end] if end > start else []
-                    emitted[sid] = start + len(fresh)
-                    for i, tok in enumerate(fresh):
-                        done = s.finished and start + i + 1 == len(s.tokens)
-                        yield sid, int(tok), done
-                    if src is self.finished and not fresh:
-                        # a stop match truncated back to (or before) the
-                        # emitted boundary: zero unstreamed tokens remain,
-                        # so deliver completion as a (sid, None, True)
-                        # sentinel (vLLM's empty final chunk)
-                        yield sid, None, True
-            for sid in [sid for sid, s in self.finished.items()
-                        if emitted.get(sid, 0) >= len(s.tokens)]:
-                del self.finished[sid]
-                emitted.pop(sid, None)
+            yield from self.poll_events(emitted)
+
+    def poll_events(self, emitted: Dict[int, int]):
+        """Harvest the ``(seq_id, token_id | None, finished)`` events newly
+        available after a ``step()`` — the shared core of ``stream()`` and
+        the thread-safe ``AsyncEngine`` frontend. ``emitted`` is the
+        caller-owned progress map (seq_id -> tokens surfaced so far);
+        finished sequences are consumed (removed from ``finished``) once
+        fully delivered."""
+        for src in (self.active, self.finished):
+            for sid, s in list(src.items()):
+                if src is self.active and \
+                        getattr(s, "family", None) is not None:
+                    # best_of rollouts stream nothing until the family
+                    # resolves (losers are discarded wholesale; only
+                    # the winner ever reaches ``finished``)
+                    continue
+                start = emitted.get(sid, s.prompt_len)
+                hold = 0
+                if src is self.active and getattr(s, "stop_seqs", None):
+                    # a stop match TRUNCATES up to max(len(stop))
+                    # tokens; holding that many back guarantees a
+                    # yielded token is never retracted and at least
+                    # one token remains to carry finished=True
+                    hold = max(len(q) for q in s.stop_seqs)
+                end = len(s.tokens) - hold
+                fresh = s.tokens[start:end] if end > start else []
+                emitted[sid] = start + len(fresh)
+                for i, tok in enumerate(fresh):
+                    done = s.finished and start + i + 1 == len(s.tokens)
+                    yield sid, int(tok), done
+                if src is self.finished and not fresh:
+                    # a stop match truncated back to (or before) the
+                    # emitted boundary: zero unstreamed tokens remain,
+                    # so deliver completion as a (sid, None, True)
+                    # sentinel (vLLM's empty final chunk)
+                    yield sid, None, True
+        for sid in [sid for sid, s in self.finished.items()
+                    if emitted.get(sid, 0) >= len(s.tokens)]:
+            del self.finished[sid]
+            emitted.pop(sid, None)
 
     # -- scheduling -------------------------------------------------------------
     def _try_admit(self):
