@@ -175,6 +175,89 @@ def test_moe_model_ep_train_step_parity():
 
 
 # ---------------------------------------------------------------------------
+# Ragged (sorted grouped-matmul / megablocks-style) dropless dispatch
+# ---------------------------------------------------------------------------
+
+def test_ragged_matches_einsum_dropless():
+    """The sorted ragged_dot path computes the same routing as the dense
+    dispatch einsums (both dropless) — gated and biased expert banks."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32))
+    for gated in (False, True):
+        params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=4,
+                              gated=gated)
+        with jax.default_matmul_precision("highest"):
+            ref, aux_e = moe.moe_apply(params, x, top_k=2,
+                                       capacity_factor=None, act="silu")
+            out, aux_r = moe.moe_apply(params, x, top_k=2,
+                                       capacity_factor=None, act="silu",
+                                       impl="ragged")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(aux_r), float(aux_e), atol=1e-6)
+
+
+def test_ragged_rejects_capacity_dropping():
+    params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    with pytest.raises(ValueError):
+        moe.moe_apply(params, x, top_k=1, capacity_factor=1.0, impl="ragged")
+
+
+def test_ragged_grads_match_einsum():
+    params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=4,
+                          gated=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
+
+    def loss(p, impl):
+        out, aux = moe.moe_apply(p, x, top_k=2, capacity_factor=None,
+                                 act="silu", impl=impl)
+        return jnp.sum(out ** 2) + 0.01 * aux
+
+    with jax.default_matmul_precision("highest"):
+        ge = jax.grad(lambda p: loss(p, "einsum"))(params)
+        gr = jax.grad(lambda p: loss(p, "ragged"))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4), ge, gr)
+
+
+def test_ragged_int8_matches_einsum_int8():
+    params = moe.moe_init(jax.random.PRNGKey(0), CFG, num_experts=4,
+                          gated=True)
+    qp = vt.quantize_params({"mlp": params})["mlp"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, CFG.hidden_size))
+    with jax.default_matmul_precision("highest"):
+        ref, _ = moe.moe_apply(qp, x, top_k=2, capacity_factor=None,
+                               act="silu")
+        out, _ = moe.moe_apply(qp, x, top_k=2, capacity_factor=None,
+                               act="silu", impl="ragged")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_ragged_moe_model_decode_parity():
+    """A ``moe_impl='ragged'`` MoE decoder keeps the cached-vs-full
+    invariant, and its full-forward argmax matches the einsum-impl model
+    (same params, different dispatch)."""
+    cfg = MOE_QCFG.replace(moe_impl="ragged")
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jnp.arange(8, dtype=jnp.int32)[None] + 1
+    full = model.apply(params, ids).logits
+    ref = vt.ModelForCausalLM(MOE_QCFG).apply(params, ids).logits
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(full, -1)), np.asarray(jnp.argmax(ref, -1)))
+    cache = model.init_cache(batch_size=1, max_len=16)
+    out = model.apply(params, ids[:, :4], cache=cache, start_pos=0)
+    cache = out.kv_cache
+    for t in range(4, 8):
+        out = model.apply(params, ids[:, t:t + 1], cache=cache, start_pos=t)
+        cache = out.kv_cache
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(out.logits[:, 0], -1)),
+            np.asarray(jnp.argmax(full[:, t], -1)))
+
+
+# ---------------------------------------------------------------------------
 # Int8-quantized expert banks (quant.quantize_params siblings)
 # ---------------------------------------------------------------------------
 

@@ -198,6 +198,12 @@ class QwenConfig:
     num_experts_per_tok: int = 2
     moe_capacity_factor: float = 1.25
     router_aux_loss_coef: float = 0.01
+    # Dropless dispatch implementation: "einsum" = GShard dense dispatch
+    # (GSPMD/EP-friendly), "ragged" = sort tokens by expert and run
+    # grouped matmuls via lax.ragged_dot (megablocks-style — exactly the
+    # expert FLOPs, no [T,E,C] dispatch tensors; single-device fast path).
+    # Capacity-dropping training always uses the einsum form.
+    moe_impl: str = "einsum"
 
     def replace(self, **kw) -> "QwenConfig":
         return replace(self, **kw)

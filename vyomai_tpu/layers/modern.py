@@ -143,7 +143,9 @@ def modern_layer_apply(p, hidden, config, *, freqs=None, mask=None,
         mlp_out, aux = moe_apply(
             p["mlp"], normed,
             top_k=getattr(config, "num_experts_per_tok", 2),
-            capacity_factor=cf, act=mlp_act)
+            capacity_factor=cf, act=mlp_act,
+            impl=("einsum" if moe_train
+                  else getattr(config, "moe_impl", "einsum")))
         return hidden + mlp_out, new_kv, aux
     hidden = hidden + swiglu_apply(p["mlp"], normed, act=mlp_act)
     return hidden, new_kv

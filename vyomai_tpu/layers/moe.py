@@ -59,7 +59,8 @@ def moe_init(key, config, *, num_experts: int, gated: bool = False,
 
 def moe_apply(params, x, *, top_k: int = 2,
               capacity_factor: Optional[float] = 1.25,
-              act: str = "gelu") -> Tuple[jnp.ndarray, jnp.ndarray]:
+              act: str = "gelu",
+              impl: str = "einsum") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Route ``x [..., T, D]`` through the experts.
 
     Returns ``(out [..., T, D], aux_loss scalar)`` — add
@@ -72,6 +73,19 @@ def moe_apply(params, x, *, top_k: int = 2,
     vs a full-prefix forward — capacity dropping depends on the number of
     tokens in the call, so any dropping regime would make the two paths
     diverge. Gated (SwiGLU) experts are detected from the params.
+
+    ``impl`` selects the dropless dispatch strategy:
+
+    * ``"einsum"`` (default) — GShard dense dispatch/combine einsums.
+      GSPMD-friendly (EP shards the E dim), but the dispatch tensors cost
+      O(T·E·C) memory and O(T·C·D) FLOPs — quadratic in tokens when
+      dropless (C=T).
+    * ``"ragged"`` — megablocks-style: stable-sort the (token, choice)
+      rows by expert id and run grouped matmuls with ``lax.ragged_dot``
+      (one MXU pass over contiguous per-expert row blocks). Exactly the
+      expert FLOPs plus O(T·k·D) gather/scatter; dropless only
+      (``capacity_factor`` must be None). Prefer on a single device /
+      inside a tp-sharded (not ep-sharded) program.
     """
     orig_shape = x.shape
     d = orig_shape[-1]
@@ -86,6 +100,17 @@ def moe_apply(params, x, *, top_k: int = 2,
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     gate_v, gate_i = jax.lax.top_k(probs, k)                # [T, k]
     gate_v = gate_v / jnp.sum(gate_v, axis=-1, keepdims=True)
+
+    if impl == "ragged":
+        if capacity_factor is not None:
+            raise ValueError("impl='ragged' is dropless-only "
+                             "(capacity_factor must be None)")
+        out = _moe_ragged(params, x2, gate_v, gate_i, act=act)
+        frac = jnp.sum(jax.nn.one_hot(gate_i[:, 0], e,
+                                      dtype=jnp.float32), axis=0) / t
+        aux = jnp.asarray(e, jnp.float32) * jnp.sum(
+            frac * jnp.mean(probs, axis=0))
+        return out.reshape(orig_shape), aux
 
     onehot = jax.nn.one_hot(gate_i, e, dtype=jnp.float32)   # [T, k, E]
     # slot index of each (token, choice) inside its expert's buffer:
@@ -132,6 +157,45 @@ def moe_apply(params, x, *, top_k: int = 2,
         frac * jnp.mean(probs, axis=0))
 
     return out.reshape(orig_shape), aux
+
+
+def _moe_ragged(params, x2, gate_v, gate_i, *, act: str) -> jnp.ndarray:
+    """Sorted grouped-matmul dispatch (dropless).
+
+    Rows = the T·k (token, choice) pairs, stable-sorted by expert id so
+    each expert's rows are contiguous; ``lax.ragged_dot`` then runs the
+    per-expert matmuls as one ragged MXU sweep with ``group_sizes`` from a
+    bincount. Combine = scatter-add of gate-weighted rows back to their
+    source tokens. Int8 expert banks (``w_*_q``/``w_*_scale``) dequantize
+    by a per-row scale gather on the output (same fused-dequant form as
+    ``ops.quant_matmul``)."""
+    t, d = x2.shape
+    e = params.get("w_in", params.get("w_in_q")).shape[0]
+    k = gate_i.shape[1]
+    flat_e = gate_i.reshape(-1).astype(jnp.int32)           # [T*k]
+    order = jnp.argsort(flat_e, stable=True)                # sorted rows
+    sorted_e = flat_e[order]
+    tok = order // k                                        # source token
+    xs = x2[tok]                                            # [T*k, D]
+    gs = jnp.bincount(flat_e, length=e).astype(jnp.int32)   # group sizes
+
+    def rdot(a, name):
+        if name + "_q" in params:
+            y = jax.lax.ragged_dot(a, params[name + "_q"].astype(a.dtype),
+                                   gs)
+            return y * params[name + "_scale"][sorted_e].astype(a.dtype)
+        return jax.lax.ragged_dot(a, params[name].astype(a.dtype), gs)
+
+    up = rdot(xs, "w_in")
+    if "w_gate" in params or "w_gate_q" in params:          # SwiGLU experts
+        h = cnn.ACT[act](rdot(xs, "w_gate")) * up
+    else:
+        h = cnn.ACT[act](up + params["b_in"][sorted_e].astype(xs.dtype))
+    y = rdot(h, "w_out")
+    if "b_out" in params:
+        y = y + params["b_out"][sorted_e].astype(xs.dtype)
+    w = gate_v.reshape(-1)[order][:, None].astype(y.dtype)
+    return jnp.zeros_like(x2).at[tok].add(y * w)
 
 
 def expert_pspec(params):

@@ -33,7 +33,8 @@ def _mlp(lp_mlp, x, config, act: str):
         from ..layers.moe import moe_apply
         out, _ = moe_apply(lp_mlp, x,
                            top_k=getattr(config, "num_experts_per_tok", 2),
-                           capacity_factor=None, act=act)
+                           capacity_factor=None, act=act,
+                           impl=getattr(config, "moe_impl", "einsum"))
         return out
     return swiglu_apply(lp_mlp, x, act=act)
 
