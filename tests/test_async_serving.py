@@ -199,6 +199,60 @@ def test_http_concurrent_requests_share_the_batch(qwen, http_srv):
     assert got == ref
 
 
+@pytest.fixture()
+def chat_srv(qwen):
+    model, params = qwen
+
+    def tok(s):
+        return [ord(ch) % 500 for ch in s]
+
+    server, aeng = make_server(
+        _engine(model, params), tokenize=tok,
+        detokenize=lambda ids: "".join(
+            chr(t) if 32 <= t < 127 else "?" for t in ids),
+        chat_ids={"im_start_id": 501, "im_end_id": 502, "newline_id": 10})
+    serve_in_thread(server)
+    host, port = server.server_address
+    yield host, port, tok
+    server.shutdown()
+    aeng.close()
+
+
+def test_http_chat_completions(qwen, chat_srv):
+    """/v1/chat/completions renders messages through the chat template and
+    serves the same tokens as the synchronous engine on that prompt."""
+    from vyomai_tpu.serving.chat import build_chat_prompt
+    model, params = qwen
+    host, port, tok = chat_srv
+    messages = [{"role": "system", "content": "be brief"},
+                {"role": "user", "content": "hi"}]
+    prompt = build_chat_prompt([(m["role"], m["content"]) for m in messages],
+                               tok, im_start_id=501, im_end_id=502,
+                               newline_id=10)
+    ref = _sync_ref(model, params, [prompt])[0]
+
+    status, data = _post(host, port, "/v1/chat/completions",
+                         {"messages": messages, "max_tokens": 8})
+    assert status == 200
+    out = json.loads(data)
+    assert out["tokens"] == ref
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert isinstance(out["choices"][0]["message"]["content"], str)
+
+    # malformed message shapes
+    assert _post(host, port, "/v1/chat/completions",
+                 {"messages": []})[0] == 400
+    assert _post(host, port, "/v1/chat/completions",
+                 {"messages": [{"role": "user"}]})[0] == 400
+
+
+def test_http_chat_requires_chat_ids(qwen, http_srv):
+    host, port = http_srv
+    status, data = _post(host, port, "/v1/chat/completions",
+                         {"messages": [{"role": "user", "content": "a"}]})
+    assert status == 400 and "chat_ids" in json.loads(data)["error"]
+
+
 def test_http_streaming_sse(qwen, http_srv):
     model, params = qwen
     host, port = http_srv

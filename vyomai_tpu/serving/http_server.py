@@ -19,6 +19,13 @@ Endpoints:
   With ``"stream": true`` the response is Server-Sent Events: one
   ``data: {"token": t, "finished": bool}`` chunk per generated token,
   then ``data: [DONE]`` (the OpenAI streaming shape at token level).
+- ``POST /v1/chat/completions`` — OpenAI chat shape: ``messages`` is a
+  list of ``{"role", "content"}`` dicts, rendered through
+  ``chat.build_chat_prompt`` (Qwen ``<|im_start|>`` turn layout). Needs a
+  server built with ``tokenize`` and ``chat_ids``. Same optional sampling
+  fields as ``/v1/completions``; response carries
+  ``choices[0].message.content`` (with a ``detokenize``) plus the raw
+  ``tokens``; ``"stream": true`` emits the same SSE token chunks.
 - ``GET /v1/metrics`` — the engine's ``metrics()`` snapshot as JSON.
 
 Build one with :func:`make_server` and drive it with ``serve_forever`` in
@@ -57,6 +64,7 @@ class CompletionHandler(BaseHTTPRequestHandler):
     async_engine: AsyncEngine = None          # set by make_server
     tokenize: Optional[Callable[[str], List[int]]] = None
     detokenize: Optional[Callable[[List[int]], str]] = None
+    chat_ids: Optional[dict] = None           # im_start/im_end/newline ids
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):        # quiet by default
@@ -75,8 +83,28 @@ class CompletionHandler(BaseHTTPRequestHandler):
             return self._json(200, self.async_engine.metrics())
         return self._json(404, {"error": "unknown path"})
 
+    def _chat_prompt(self, req):
+        """Render OpenAI ``messages`` into token ids, or raise ValueError."""
+        from .chat import build_chat_prompt
+        if self.tokenize is None or not self.chat_ids:
+            raise ValueError("chat completions need a server built with "
+                             "tokenize= and chat_ids=")
+        messages = req.get("messages")
+        if (not isinstance(messages, list) or not messages or
+                not all(isinstance(m, dict) and "role" in m and "content"
+                        in m for m in messages)):
+            raise ValueError("messages must be a non-empty list of "
+                             "{role, content} objects")
+        return build_chat_prompt(
+            [(m["role"], m["content"]) for m in messages], self.tokenize,
+            im_start_id=self.chat_ids["im_start_id"],
+            im_end_id=self.chat_ids["im_end_id"],
+            newline_id=self.chat_ids["newline_id"],
+            assistant_role_ids=self.chat_ids.get("assistant_role_ids", ()))
+
     def do_POST(self):
-        if self.path != "/v1/completions":
+        chat = self.path == "/v1/chat/completions"
+        if self.path != "/v1/completions" and not chat:
             return self._json(404, {"error": "unknown path"})
         try:
             length = int(self.headers.get("Content-Length", 0))
@@ -84,15 +112,22 @@ class CompletionHandler(BaseHTTPRequestHandler):
         except (ValueError, json.JSONDecodeError):
             return self._json(400, {"error": "malformed JSON body"})
 
-        prompt = req.get("prompt")
-        if isinstance(prompt, str):
-            if self.tokenize is None:
-                return self._json(400, {"error": "string prompt needs a "
-                                                 "server-side tokenizer"})
+        if chat:
             try:
-                prompt = self.tokenize(prompt)
-            except Exception as e:
-                return self._json(400, {"error": f"tokenizer failed: {e!r}"})
+                prompt = self._chat_prompt(req)
+            except ValueError as e:
+                return self._json(400, {"error": str(e)})
+        else:
+            prompt = req.get("prompt")
+            if isinstance(prompt, str):
+                if self.tokenize is None:
+                    return self._json(400, {"error": "string prompt needs a "
+                                                     "server-side tokenizer"})
+                try:
+                    prompt = self.tokenize(prompt)
+                except Exception as e:
+                    return self._json(
+                        400, {"error": f"tokenizer failed: {e!r}"})
         if not isinstance(prompt, list) or not prompt or \
                 not all(isinstance(t, int) for t in prompt):
             return self._json(400, {"error": "prompt must be a non-empty "
@@ -144,24 +179,33 @@ class CompletionHandler(BaseHTTPRequestHandler):
         if logprobs is not None:
             resp["logprobs"] = logprobs
         if self.detokenize is not None:
-            resp["text"] = self.detokenize(tokens)
+            text = self.detokenize(tokens)
+            if chat:
+                resp["choices"] = [{"index": 0, "message":
+                                    {"role": "assistant", "content": text}}]
+            else:
+                resp["text"] = text
         self._json(200, resp)
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 0, *,
                 tokenize: Optional[Callable[[str], List[int]]] = None,
-                detokenize: Optional[Callable[[List[int]], str]] = None):
+                detokenize: Optional[Callable[[List[int]], str]] = None,
+                chat_ids: Optional[dict] = None):
     """Wrap ``engine`` (a ``ContinuousBatchEngine``) in an ``AsyncEngine``
     and return ``(ThreadingHTTPServer, AsyncEngine)``. ``port=0`` picks a
     free port (read it from ``server.server_address``). The caller runs
     ``server.serve_forever()`` (usually in a thread) and shuts down with
-    ``server.shutdown(); async_engine.close()``."""
+    ``server.shutdown(); async_engine.close()``. ``chat_ids`` (dict with
+    ``im_start_id``/``im_end_id``/``newline_id`` and optional
+    ``assistant_role_ids``) enables ``/v1/chat/completions``."""
     aeng = AsyncEngine(engine)
     handler = type("BoundCompletionHandler", (CompletionHandler,),
                    {"async_engine": aeng, "tokenize": staticmethod(tokenize)
                     if tokenize else None,
                     "detokenize": staticmethod(detokenize)
-                    if detokenize else None})
+                    if detokenize else None,
+                    "chat_ids": chat_ids})
     server = ThreadingHTTPServer((host, port), handler)
     return server, aeng
 
