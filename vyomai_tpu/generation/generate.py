@@ -144,7 +144,8 @@ def _generate_hf(model, params, idx, max_new_tokens: int, do_sample: bool,
         nxt = pick(process(logits, toks, cur_len), r)
         nxt = jnp.where(alive, nxt, pad_token_id)
         toks = jax.lax.dynamic_update_slice(
-            toks, nxt[:, None], (0, cur_len))
+            toks, nxt[:, None],
+            (jnp.zeros((), jnp.int32), jnp.asarray(cur_len, jnp.int32)))
         if eos_arr is not None:
             alive = alive & ~jnp.isin(nxt, eos_arr)
         return toks, alive
@@ -160,8 +161,9 @@ def _generate_hf(model, params, idx, max_new_tokens: int, do_sample: bool,
 
     def body(state):
         toks, cch, alive, rr, i = state
-        pos = prompt_len + i
-        cur = jax.lax.dynamic_slice(toks, (0, pos), (bsz, 1))
+        pos = jnp.asarray(prompt_len + i, jnp.int32)
+        cur = jax.lax.dynamic_slice(toks, (jnp.zeros((), jnp.int32), pos),
+                                    (bsz, 1))
         out = model.apply(params, cur, cache=cch, start_pos=pos)
         rr, r2 = jax.random.split(rr)
         toks, alive = emit(toks, alive, out.logits[:, -1], pos + 1, r2)

@@ -225,6 +225,41 @@ def qwen_config_from_hf(hf: dict):
     )
 
 
+def llama_config_from_hf(hf: dict):
+    """Map a HF Llama/Mistral ``config.json`` to :class:`QwenConfig`.
+
+    The modern decoder stack covers both families: Llama is the Qwen2
+    recipe without qkv biases or QK-norm; Mistral additionally runs
+    sliding-window attention (its config carries ``sliding_window`` with no
+    ``use_sliding_window`` gate — active whenever set)."""
+    from ..config import QwenConfig
+    head_dim = hf.get("head_dim") or (
+        hf["hidden_size"] // hf["num_attention_heads"])
+    mt = str(hf.get("model_type", "llama")).lower()
+    window = hf.get("sliding_window") if (
+        mt == "mistral" or hf.get("use_sliding_window")) else None
+    return QwenConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads",
+                                   hf["num_attention_heads"]),
+        head_dim=head_dim,
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        rope_scaling=hf.get("rope_scaling"),
+        sliding_window=window,
+        attention_bias=hf.get("attention_bias", False),
+        qk_norm=False,
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        pad_token_id=hf.get("pad_token_id") or 0,
+        eos_token_id=hf.get("eos_token_id", -1),
+    )
+
+
 def import_qwen(sd, config, prefix: str = "model") -> dict:
     layers = [_modern_layer(sd, f"{prefix}.layers.{i}",
                             qk_norm=getattr(config, "qk_norm", False)
@@ -246,3 +281,10 @@ def import_qwen(sd, config, prefix: str = "model") -> dict:
                 "tie_word_embeddings=True on the config")
         params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
     return params
+
+
+# Llama/Mistral checkpoints use the identical ``model.layers.N.*`` key
+# layout (q/k/v/o_proj, gate/up/down_proj, RMSNorms) — the Qwen importer is
+# the importer; pair it with :func:`llama_config_from_hf`.
+import_llama = import_qwen
+import_mistral = import_qwen
