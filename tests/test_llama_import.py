@@ -87,6 +87,42 @@ def test_mistral_logits_parity_fp64_sliding_window():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-7)
 
 
+def test_export_roundtrip_into_hf():
+    """export_llama writes our params into the HF layout: loading them
+    into transformers' LlamaForCausalLM reproduces our logits (fp64)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from vyomai_tpu.interop.hf_export import export_llama
+    hf_cfg = LlamaConfig(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attention_dropout=0.0,
+        bos_token_id=0, eos_token_id=1, pad_token_id=1)
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    model = vt.ModelForCausalLM(cfg)
+    with jax.enable_x64(True):
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            model.init(jax.random.PRNGKey(7)))
+        sd = export_llama(params, cfg)
+
+    hf = LlamaForCausalLM(hf_cfg).double().eval()
+    missing, unexpected = hf.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+         sd.items()}, strict=False)
+    assert not unexpected
+    # rotary_emb.inv_freq style buffers may be "missing" — no weights may be
+    assert all("inv_freq" in m for m in missing)
+
+    ids = torch.tensor([[3, 17, 42, 9, 21, 7]])
+    with torch.no_grad():
+        ref = hf(ids).logits.numpy()
+    with jax.enable_x64(True):
+        out = model.apply(params, jnp.asarray(ids.numpy())).logits
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-7)
+
+
 def test_llama_greedy_generate_matches_hf():
     from transformers import LlamaConfig, LlamaForCausalLM
     hf_cfg = LlamaConfig(
