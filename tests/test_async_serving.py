@@ -273,3 +273,52 @@ def test_http_streaming_sse(qwen, http_srv):
     assert [t["token"] for t in toks] == ref
     assert [t["finished"] for t in toks] == \
         [False] * (len(ref) - 1) + [True]
+
+
+class _BoomEngine:
+    """Minimal engine stub whose step() raises: the scheduler thread must
+    fail every handle (tracked AND still-queued) instead of stranding
+    blocked clients, then refuse new work."""
+    active: dict = {}
+    needs_prefill: list = []
+    return_logprobs = False
+    finished: dict = {}
+
+    def __init__(self):
+        self.waiting = []
+        self._n = 0
+
+    def submit(self, prompt, **kw):
+        self._n += 1
+        self.waiting.append(self._n)
+        return self._n
+
+    def step(self):
+        raise RuntimeError("boom: device fell over")
+
+    def poll_events(self, emitted):
+        return []
+
+    def metrics(self):
+        return {}
+
+
+def test_async_scheduler_crash_fails_handles():
+    aeng = AsyncEngine(_BoomEngine())
+    h = aeng.submit([1, 2, 3])
+    with pytest.raises(RuntimeError, match="boom"):
+        h.result(timeout=30)
+    aeng._thread.join(timeout=30)
+    with pytest.raises(RuntimeError, match="closed"):
+        aeng.submit([4])
+
+
+def test_http_bad_numeric_field_is_400(qwen, http_srv):
+    """Malformed numeric fields in untrusted JSON (TypeError from submit
+    validation) must come back as a 400 JSON error, not a dropped
+    connection."""
+    host, port = http_srv
+    status, data = _post(host, port, "/v1/completions",
+                         {"prompt": [3, 17], "max_tokens": "8"})
+    assert status == 400
+    assert b"error" in data

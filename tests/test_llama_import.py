@@ -146,3 +146,51 @@ def test_llama_greedy_generate_matches_hf():
         out = generate_hf(model, params, jnp.asarray(prompts.numpy()),
                           max_new_tokens=12, eos_token_id=1, pad_token_id=1)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_llama3_eos_list_maps_and_engine_stops_on_any():
+    """Llama-3 configs carry a LIST of eos ids; the mapping keeps all of
+    them and the engine stops on ANY (the secondary ids finish host-side
+    at commit time)."""
+    hf = {"model_type": "llama", "vocab_size": 512, "hidden_size": 64,
+          "intermediate_size": 128, "num_hidden_layers": 2,
+          "num_attention_heads": 4, "num_key_value_heads": 2,
+          "head_dim": 32, "eos_token_id": [9998, 9999]}
+    cfg = llama_config_from_hf(hf)
+    assert cfg.eos_token_id == (9998, 9999)
+
+    from vyomai_tpu.serving import ContinuousBatchEngine
+    model = vt.ModelForCausalLM(cfg)
+    mparams = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+
+    def run(eos):
+        eng = ContinuousBatchEngine(
+            model, mparams, num_blocks=64, block_size=8, max_batch=2,
+            max_new_tokens=10, dtype=jnp.float32, decode_horizon=4,
+            eos_token_id=eos)
+        sid = eng.submit([3, 17, 42, 9])
+        return eng.run()[sid]
+
+    free = run(eos=[9998, 9999])       # config ids: outside vocab
+    assert len(free) == 10
+    tok = free[5]                       # force a SECONDARY eos mid-horizon
+    stopped = run(eos=[9998, tok])
+    assert stopped == free[:free.index(tok) + 1]
+    # primary id (in-graph lane kill): identical truncation
+    assert run(eos=[tok, 9998]) == stopped
+
+
+def test_export_rejects_quantized_tree():
+    """quantize_params trees must be caught by the export guard (the
+    markers live on LEAF dicts — kernel_q/..._scale), not crash in _lin."""
+    from vyomai_tpu.interop.hf_export import export_qwen
+    cfg = vt.QwenConfig(vocab_size=128, hidden_size=32,
+                        intermediate_size=64, num_hidden_layers=2,
+                        num_attention_heads=2, num_key_value_heads=1,
+                        head_dim=16, max_position_embeddings=64,
+                        qk_norm=False, tie_word_embeddings=True)
+    model = vt.ModelForCausalLM(cfg)
+    qp = vt.quantize_params(model.init(jax.random.PRNGKey(0),
+                                       dtype=jnp.float32))
+    with pytest.raises(ValueError, match="quantized"):
+        export_qwen(qp, cfg)

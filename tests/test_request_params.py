@@ -349,3 +349,32 @@ def test_seed_validation(qwen):
     eng = _engine(model, params, do_sample=True)
     with pytest.raises(ValueError, match="seed"):
         eng.submit(PROMPT, seed=-1)
+
+
+def test_best_of_sibling_seed_wraps(qwen):
+    """Sibling seeds derive from the request seed; at the top of the
+    validated range they must wrap back into int32 (np.int32 seed lanes
+    overflow otherwise, crashing the decode tick)."""
+    model, params = qwen
+    eng = _engine(model, params, do_sample=True, return_logprobs=True)
+    sid = eng.submit(PROMPT, seed=2 ** 31 - 1, best_of=2)
+    assert all(0 <= s.seed < 2 ** 31 for s in eng._families[sid])
+    out = eng.run()                     # would OverflowError unwrapped
+    assert sid in out and len(out[sid]) > 0
+
+
+def test_min_tokens_gates_on_generated_count(qwen):
+    """The prefill-path EOS ban must count tokens already generated: a
+    PREEMPTION REPLAY re-prefills mid-generation, and banning EOS after
+    min_tokens is already met would change the replayed token (breaking
+    greedy token-exactness under preemption)."""
+    model, params = qwen
+    eng = _engine(model, params, eos_token_id=7)
+    eng.submit(PROMPT, min_tokens=1)
+    st = eng.waiting[0]
+    logits = jnp.zeros((1, QCFG.vocab_size)).at[0, 7].set(100.0)
+    fresh, _ = eng._pick_tokens(logits, [st])
+    assert int(fresh[0]) != 7           # still owes 1 token: EOS banned
+    st.tokens = st.tokens + [5]         # replay: 1 token already generated
+    replay, _ = eng._pick_tokens(logits, [st])
+    assert int(replay[0]) == 7          # debt met: EOS must be allowed

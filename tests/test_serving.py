@@ -996,3 +996,27 @@ def test_stream_never_retracts_stop_truncated_tokens(qwen):
         done_seen = done
     assert done_seen, "completion event must fire"
     assert got == replay(full), (got, full)
+
+
+def test_engine_multi_eos_list(qwen):
+    """eos_token_id may be a LIST (HF Llama-3 convention): the engine
+    stops on any id — secondary ids finish host-side at commit, primary
+    kills the lane in-graph; both truncate identically."""
+    model, params = qwen
+    prompt = [3, 17, 42, 9]
+
+    def run(eos):
+        eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                    block_size=8, max_batch=2,
+                                    max_blocks_per_seq=8, max_new_tokens=10,
+                                    dtype=jnp.float32, prefill_buckets=(8,),
+                                    eos_token_id=eos, decode_horizon=4)
+        sid = eng.submit(list(prompt))
+        return eng.run()[sid]
+
+    free_run = run(eos=[9998, 9999])   # both outside vocab: never fire
+    assert len(free_run) == 10
+    tok = free_run[5]
+    stopped = run(eos=[9998, tok])     # tok is SECONDARY (host-side)
+    assert stopped == free_run[:free_run.index(tok) + 1]
+    assert run(eos=[tok, 9998]) == stopped   # tok primary (in-graph)

@@ -11,7 +11,7 @@ functions as static structure.
 """
 
 from dataclasses import dataclass, field, replace
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -187,7 +187,9 @@ class QwenConfig:
     qk_norm: bool = True
     tie_word_embeddings: bool = True
     pad_token_id: int = 151643
-    eos_token_id: int = 151645
+    # int, or a tuple of ids (HF Llama-3 ships eos_token_id as a LIST;
+    # generation.sampling.normalize_eos is the one normalizer)
+    eos_token_id: Union[int, Tuple[int, ...]] = 151645
     # Mixture-of-Experts MLP (TPU-native scaling extension; the reference
     # has no MoE — SURVEY.md §2.4 EP row). num_experts=0 keeps the dense
     # SwiGLU MLP. With experts, each layer's MLP becomes a top-k-routed

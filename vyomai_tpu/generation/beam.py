@@ -247,10 +247,12 @@ def beam_search_generate(model, params, input_ids, *, num_beams: int = 4,
         raise ValueError(
             f"num_return_sequences ({num_return_sequences}) has to be "
             f"smaller or equal to num_beams ({num_beams})")  # HF's error
+    from .sampling import normalize_eos
+    eos_token_id, _ = normalize_eos(
+        eos_token_id if eos_token_id is not None
+        else getattr(model.config, "eos_token_id", None))
     if eos_token_id is None:
-        eos_token_id = getattr(model.config, "eos_token_id", None)
-        if eos_token_id is None:
-            eos_token_id = -1  # never fires; length-capped beams
+        eos_token_id = -1  # never fires; length-capped beams
     input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
     prompt_len = input_ids.shape[1]
     sequences, scores, beam_indices = _beam_search_jit(
@@ -409,10 +411,12 @@ def group_beam_search_generate(model, params, input_ids, *,
         raise ValueError(
             f"num_return_sequences ({num_return_sequences}) has to be "
             f"smaller or equal to num_beams ({num_beams})")
+    from .sampling import normalize_eos
+    eos_token_id, _ = normalize_eos(
+        eos_token_id if eos_token_id is not None
+        else getattr(model.config, "eos_token_id", None))
     if eos_token_id is None:
-        eos_token_id = getattr(model.config, "eos_token_id", None)
-        if eos_token_id is None:
-            eos_token_id = -1
+        eos_token_id = -1
     input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
     prompt_len = input_ids.shape[1]
     sequences, scores, beam_indices = _group_beam_search_jit(
@@ -446,10 +450,12 @@ def beam_sample_generate(model, params, input_ids, *, num_beams: int = 4,
         raise ValueError(
             f"num_return_sequences ({num_return_sequences}) has to be "
             f"smaller or equal to num_beams ({num_beams})")
+    from .sampling import normalize_eos
+    eos_token_id, _ = normalize_eos(
+        eos_token_id if eos_token_id is not None
+        else getattr(model.config, "eos_token_id", None))
     if eos_token_id is None:
-        eos_token_id = getattr(model.config, "eos_token_id", None)
-        if eos_token_id is None:
-            eos_token_id = -1
+        eos_token_id = -1
     if rng is None:
         rng = jax.random.PRNGKey(0)
     input_ids = jnp.asarray(input_ids, dtype=jnp.int32)

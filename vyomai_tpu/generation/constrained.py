@@ -729,8 +729,10 @@ def constrained_generate(model, params, input_ids, fsm: TokenFSM, *,
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    if eos_token_id is None:
-        eos_token_id = getattr(model.config, "eos_token_id", None)
+    from .sampling import normalize_eos
+    eos_token_id, _ = normalize_eos(
+        eos_token_id if eos_token_id is not None
+        else getattr(model.config, "eos_token_id", None))
     if eos_token_id is None:
         raise ValueError("constrained decoding needs eos_token_id (EOS is "
                          "how a completed grammar terminates)")

@@ -201,3 +201,17 @@ def apply_min_new_tokens(logits, eos_token_id, new_len, min_new_tokens: int):
     is_eos = jnp.zeros((logits.shape[-1],), bool).at[eos].set(True)
     suppressed = jnp.where(is_eos[None, :], _MASKED, logits)
     return jnp.where(new_len < min_new_tokens, suppressed, logits)
+
+
+def normalize_eos(eos_token_id):
+    """(primary_id | None, tuple of all ids) from ``int | list | tuple |
+    None`` — HF Llama-3-style configs declare a LIST of eos ids
+    (``eos_token_id: [128001, 128008, 128009]``); single-eos code paths
+    take the first (HF's own convention when one id is needed), multi-eos
+    paths (the serving engine, ``generate_hf``) stop on any of them."""
+    if eos_token_id is None:
+        return None, ()
+    if isinstance(eos_token_id, (list, tuple)):
+        ids = tuple(int(t) for t in eos_token_id)
+        return (ids[0] if ids else None), ids
+    return int(eos_token_id), (int(eos_token_id),)

@@ -76,10 +76,12 @@ def generate_until(model, params, input_ids, *,
     multimodal wrappers (GOT-OCR2: image embeds spliced into the prompt)
     supply their own prefill; text-only models use the model protocol.
     """
+    from .sampling import normalize_eos
     if eos_token_id is None:
         # same config fallback as beam_search_generate: a model that
         # declares eos_token_id should stop on it by default
         eos_token_id = getattr(model.config, "eos_token_id", None)
+    _, eos_ids = normalize_eos(eos_token_id)
     input_ids = jnp.asarray(input_ids, dtype=jnp.int32)
     assert input_ids.shape[0] == 1, "generate_until is a batch-1 driver"
     prompt_len = input_ids.shape[1]
@@ -101,7 +103,7 @@ def generate_until(model, params, input_ids, *,
             nxt = sample_fn(logits).astype(jnp.int32)
         tokens = jnp.concatenate([tokens, nxt[:, None]], axis=1)
         t = int(nxt[0])
-        if eos_token_id is not None and t == eos_token_id:
+        if t in eos_ids:
             break
         if stopping_criteria is not None and stopping_criteria(tokens):
             break

@@ -41,10 +41,14 @@ def export_qwen(params: dict, config, prefix: str = "model"
     Handles the stacked ``[L, ...]`` layer layout (un-stacks along the
     leading layer axis), optional QK-norms, and the tied/untied lm_head.
     Quantized trees are rejected — dequantize before exporting."""
-    if any(k.endswith("_q") for k in params.get("layers", {})):
-        raise ValueError("params are int8-quantized; export the original "
-                         "fp tree (quantization is lossy and HF loaders "
-                         "expect fp weights)")
+    # quantized markers live on LEAF dicts (layers.self_attn.q_proj.kernel_q,
+    # mlp.w_in_q — see quant.py), so check every path, not the top level
+    leaf_keys = {p[-1].key for p, _ in jax.tree_util.tree_flatten_with_path(
+        params.get("layers", {}))[0] if p}
+    if any(str(k).endswith(("_q", "_scale")) for k in leaf_keys):
+        raise ValueError("params are int8/int4-quantized; export the "
+                         "original fp tree (quantization is lossy and HF "
+                         "loaders expect fp weights)")
     sd: Dict[str, np.ndarray] = {}
     sd[f"{prefix}.embed_tokens.weight"] = _np(
         params["embed_tokens"]["weight"])

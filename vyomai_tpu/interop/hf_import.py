@@ -191,6 +191,14 @@ def import_got_ocr2(sd, config) -> dict:
     }
 
 
+def _eos(v):
+    """HF ``eos_token_id`` may be an int OR a list (Llama-3 ships
+    ``[128001, 128008, 128009]``): keep every id — downstream consumers
+    normalize via ``generation.sampling.normalize_eos`` (the engine stops
+    on any of them; single-eos paths take the first)."""
+    return tuple(int(t) for t in v) if isinstance(v, (list, tuple)) else v
+
+
 def qwen_config_from_hf(hf: dict):
     """Map a HF ``config.json`` dict (Qwen2/Qwen3 architectures) to
     :class:`vyomai_tpu.QwenConfig` — including the long-context fields:
@@ -221,7 +229,7 @@ def qwen_config_from_hf(hf: dict):
         qk_norm="qwen3" in str(hf.get("model_type", "")).lower(),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         pad_token_id=hf.get("pad_token_id") or 0,
-        eos_token_id=hf.get("eos_token_id", -1),
+        eos_token_id=_eos(hf.get("eos_token_id", -1)),
     )
 
 
@@ -256,7 +264,7 @@ def llama_config_from_hf(hf: dict):
         qk_norm=False,
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         pad_token_id=hf.get("pad_token_id") or 0,
-        eos_token_id=hf.get("eos_token_id", -1),
+        eos_token_id=_eos(hf.get("eos_token_id", -1)),
     )
 
 

@@ -24,6 +24,7 @@ with ``close()`` (or use it as a context manager).
 
 import queue
 import threading
+import traceback
 from collections import deque
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -185,23 +186,47 @@ class AsyncEngine:
                 self._emitted.pop(sid, None)
                 ab._fail(RequestAborted("aborted"), aborted=True)
 
+    def _fail_everything(self, exc: BaseException, aborted: bool):
+        """Fail every tracked handle AND anything still queued in the inbox
+        (a submit() can slip in between the scheduler's last drain and the
+        closed check — its handle must not block a client forever)."""
+        with self._lock:
+            pending = list(self._pending)
+            self._pending.clear()
+            self._aborts.clear()
+        for h in list(self._handles.values()):
+            h._fail(exc, aborted=aborted)
+        self._handles.clear()
+        for handle, _, _ in pending:
+            handle._fail(exc, aborted=aborted)
+
     def _loop(self):
         eng = self._eng
         while True:
-            self._drain_inbox()
-            with self._lock:
-                closing = self._closed
-            if closing:
-                for h in list(self._handles.values()):
-                    h._fail(RequestAborted("engine closed"), aborted=True)
-                self._handles.clear()
+            try:
+                self._drain_inbox()
+                with self._lock:
+                    closing = self._closed
+                if closing:
+                    self._fail_everything(RequestAborted("engine closed"),
+                                          aborted=True)
+                    return
+                if not (eng.waiting or eng.active or eng.needs_prefill):
+                    self._wake.wait(self._idle_wait)
+                    self._wake.clear()
+                    continue
+                eng.step()
+                events = eng.poll_events(self._emitted)
+            except BaseException as e:
+                # a dead scheduler thread must not strand clients: fail
+                # everything with the real error and refuse new work
+                # (the error reaches every handle; print for server logs)
+                with self._lock:
+                    self._closed = True
+                self._fail_everything(e, aborted=False)
+                traceback.print_exc()
                 return
-            if not (eng.waiting or eng.active or eng.needs_prefill):
-                self._wake.wait(self._idle_wait)
-                self._wake.clear()
-                continue
-            eng.step()
-            for sid, tok, done in eng.poll_events(self._emitted):
+            for sid, tok, done in events:
                 h = self._handles.get(sid)
                 if h is None:
                     continue                       # untracked (aborted race)

@@ -193,8 +193,14 @@ class ContinuousBatchEngine:
         self.max_batch = max_batch
         self.max_blocks_per_seq = max_blocks_per_seq
         self.max_new_tokens = max_new_tokens
-        self.eos_token_id = (eos_token_id if eos_token_id is not None
-                             else getattr(self.cfg, "eos_token_id", None))
+        # int OR list/tuple of ids (HF Llama-3 convention): the primary id
+        # kills lanes in-graph; the full set finish-checks host-side (a
+        # secondary eos ends the request at commit time, wasting at most
+        # the rest of one horizon chunk)
+        from ..generation.sampling import normalize_eos
+        self.eos_token_id, self.eos_ids = normalize_eos(
+            eos_token_id if eos_token_id is not None
+            else getattr(self.cfg, "eos_token_id", None))
         self.prefill_buckets = tuple(prefill_buckets)
         # tokens decoded per host round-trip (device-side multi-step loop)
         self.decode_horizon = max(1, decode_horizon)
@@ -491,9 +497,11 @@ class ContinuousBatchEngine:
                              "fsm_id", "fsm_state", "lora_id", "cache_salt",
                              "stop_seqs", "t_submit"):
                     setattr(sib, attr, getattr(state, attr))
-                # identical seeds would make rollouts identical: derive
-                sib.seed = (None if seed is None
-                            else seed + len(self._families[sid]))
+                # identical seeds would make rollouts identical: derive.
+                # Wrap into the validated int32 range — seed=2**31-1 must
+                # not overflow the np.int32 seed lanes in _decode_batch.
+                sib.seed = (None if seed is None else
+                            (seed + len(self._families[sid])) % (2 ** 31))
                 sib.logprobs = []
                 sib.family = sid
                 self._families[sid].append(sib)
@@ -765,7 +773,7 @@ class ContinuousBatchEngine:
         if self.return_logprobs:
             state.logprobs.append(0.0 if logprob is None else float(logprob))
         if getattr(state, "fsm_id", None) is not None \
-                and tok != self.eos_token_id:
+                and tok not in self.eos_ids:
             state.fsm_state = self.fsms[state.fsm_id].advance(
                 state.fsm_state, tok)
         for seq in getattr(state, "stop_seqs", ()):
@@ -849,11 +857,17 @@ class ContinuousBatchEngine:
             for t, v in (getattr(st, "logit_bias", None) or {}).items():
                 extra[i, t] += v
                 extra_any = True
-            if getattr(st, "min_tokens", 0) > 0 and \
-                    self.eos_token_id is not None and \
-                    0 <= self.eos_token_id < self.cfg.vocab_size:
-                extra[i, self.eos_token_id] = -1e30  # first token owes more
-                extra_any = True
+            # owed = tokens still due under min_tokens; nonzero on a fresh
+            # prefill, but a PREEMPTION REPLAY re-prefills after some were
+            # already generated — gate on the count or the replayed step
+            # would ban EOS the original run allowed (token-exactness)
+            owed = getattr(st, "min_tokens", 0) - \
+                (len(st.tokens) - st.prompt_len)
+            if owed > 0:
+                for e in self.eos_ids:
+                    if 0 <= e < self.cfg.vocab_size:
+                        extra[i, e] = -1e30
+                        extra_any = True
         if extra_any:
             logits = logits.astype(jnp.float32) + self._put(extra)
         mask = self._fsm_mask(states, logits.shape[0]) if self.fsms else None
@@ -1045,22 +1059,28 @@ class ContinuousBatchEngine:
                 if state.finished:
                     break
 
-    def _spec_decode_batch(self):
-        """Speculative decode tick. Falls back to a plain decode tick when
-        any live lane can't afford one full speculation round of
-        ``gamma + 1`` token slots (block-table capacity or pool pressure) —
-        near those edges plain horizon decode degrades gracefully."""
-        states = [s for s in self.active.values() if not s.finished]
-        if not states:
-            return
+    def _spec_lane_setup(self, states, with_history: bool):
+        """Shared lane-grant setup for both speculative tick flavors:
+        grants each lane up to ``spec_rounds`` rounds of ``gamma + 1``
+        token slots, shrinking under pool pressure. Returns None after
+        falling back to a plain decode tick (some lane can't afford ONE
+        round — near those edges plain horizon decode degrades
+        gracefully); else a dict of batch arrays + the live lane list."""
         b = self.max_batch
         gp1 = self.gamma + 1
-        tokens2 = np.zeros((b, 2), dtype=np.int32)
-        positions = np.zeros(b, dtype=np.int32)
-        live_mask = np.zeros(b, dtype=bool)
-        budget = np.zeros(b, dtype=np.int32)
-        tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
-        live = []
+        lanes = {
+            "tokens2": np.zeros((b, 2), dtype=np.int32),
+            "positions": np.zeros(b, dtype=np.int32),
+            "live_mask": np.zeros(b, dtype=bool),
+            "budget": np.zeros(b, dtype=np.int32),
+            "tables": np.full((b, self.max_blocks_per_seq), -1,
+                              dtype=np.int32),
+            "live": [],
+        }
+        if with_history:
+            hl = self.max_blocks_per_seq * self.block_size
+            lanes["history"] = np.full((b, hl), -1, dtype=np.int32)
+            lanes["hist_len"] = np.zeros(b, dtype=np.int32)
         for i, state in enumerate(states[:b]):
             pos = len(state.tokens) - 1
             cap = self.max_blocks_per_seq * self.block_size - pos
@@ -1069,27 +1089,23 @@ class ContinuousBatchEngine:
                 r //= 2  # pool pressure: shrink the grant
             if r < 1:
                 self._decode_batch()
-                return
-            tokens2[i] = (state.tokens[-2], state.tokens[-1])
-            positions[i] = pos
-            live_mask[i] = True
-            budget[i] = r * gp1
-            tables[i, :len(state.block_table)] = state.block_table
-            live.append((i, state))
-
+                return None
+            lanes["tokens2"][i] = (state.tokens[-2], state.tokens[-1])
+            lanes["positions"][i] = pos
+            lanes["live_mask"][i] = True
+            lanes["budget"][i] = r * gp1
+            lanes["tables"][i, :len(state.block_table)] = state.block_table
+            if with_history:
+                lanes["history"][i, :len(state.tokens)] = state.tokens
+                lanes["hist_len"][i] = len(state.tokens)
+            lanes["live"].append((i, state))
         self.counters["spec_ticks"] += 1
-        gen, counts, acc, spec, self.pool, self.draft_pool = \
-            paged_model.speculative_horizon(
-                self.model, self.draft_model, self.plus_one,
-                self.draft_plus_one, self.params, self.draft_params,
-                self.pool, self.draft_pool, self._put(tokens2),
-                self._put(positions), self._put(tables),
-                self._put(live_mask), self.gamma, self.spec_rounds,
-                eos=(-1 if self.eos_token_id is None else self.eos_token_id),
-                budget=self._put(budget),
-                allow_pallas=self._allow_pallas)
-        # ONE host fetch for all four results (each fetch is a full
-        # tunnel round trip — see _pack_i32_f32)
+        return lanes
+
+    def _spec_commit(self, live, gen, counts, acc, spec):
+        """Shared commit for both speculative tick flavors. ONE host fetch
+        for all four results (each fetch is a full tunnel round trip — see
+        ``_pack_i32_f32``)."""
         packed = np.asarray(_pack_i32x4(gen, counts, acc, spec))
         gen = packed[:, :-3]
         counts, acc, spec = packed[:, -3], packed[:, -2], packed[:, -1]
@@ -1101,70 +1117,58 @@ class ContinuousBatchEngine:
                 self._append_token(state, int(t))
                 if state.finished:
                     break
+
+    def _spec_decode_batch(self):
+        """Draft-model speculative decode tick
+        (``paged_model.speculative_horizon``)."""
+        states = [s for s in self.active.values() if not s.finished]
+        if not states:
+            return
+        lanes = self._spec_lane_setup(states, with_history=False)
+        if lanes is None:
+            return
+        gen, counts, acc, spec, self.pool, self.draft_pool = \
+            paged_model.speculative_horizon(
+                self.model, self.draft_model, self.plus_one,
+                self.draft_plus_one, self.params, self.draft_params,
+                self.pool, self.draft_pool, self._put(lanes["tokens2"]),
+                self._put(lanes["positions"]), self._put(lanes["tables"]),
+                self._put(lanes["live_mask"]), self.gamma, self.spec_rounds,
+                eos=(-1 if self.eos_token_id is None else self.eos_token_id),
+                budget=self._put(lanes["budget"]),
+                allow_pallas=self._allow_pallas)
+        self._spec_commit(lanes["live"], gen, counts, acc, spec)
 
     def _ngram_decode_batch(self):
         """Prompt-lookup speculative decode tick (drafter-free): ships each
         lane's token history to the device once per tick; the bigram
         proposer + verification rounds run in-graph
-        (``paged_model.ngram_horizon``). Falls back to a plain decode tick
-        under pool pressure exactly like ``_spec_decode_batch``."""
+        (``paged_model.ngram_horizon``)."""
         states = [s for s in self.active.values() if not s.finished]
         if not states:
             return
-        b = self.max_batch
-        gp1 = self.gamma + 1
-        hl = self.max_blocks_per_seq * self.block_size
-        tokens2 = np.zeros((b, 2), dtype=np.int32)
-        positions = np.zeros(b, dtype=np.int32)
-        live_mask = np.zeros(b, dtype=bool)
-        budget = np.zeros(b, dtype=np.int32)
-        tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
-        history = np.full((b, hl), -1, dtype=np.int32)
-        hist_len = np.zeros(b, dtype=np.int32)
-        live = []
-        for i, state in enumerate(states[:b]):
-            pos = len(state.tokens) - 1
-            cap = self.max_blocks_per_seq * self.block_size - pos
-            r = min(self.spec_rounds, cap // gp1)
-            while r >= 1 and not self.kv.allocate(state, pos + r * gp1):
-                r //= 2  # pool pressure: shrink the grant
-            if r < 1:
-                self._decode_batch()
-                return
-            tokens2[i] = (state.tokens[-2], state.tokens[-1])
-            positions[i] = pos
-            live_mask[i] = True
-            budget[i] = r * gp1
-            tables[i, :len(state.block_table)] = state.block_table
-            history[i, :len(state.tokens)] = state.tokens
-            hist_len[i] = len(state.tokens)
-            live.append((i, state))
-
-        self.counters["spec_ticks"] += 1
+        lanes = self._spec_lane_setup(states, with_history=True)
+        if lanes is None:
+            return
         gen, counts, acc, spec, self.pool = paged_model.ngram_horizon(
             self.model, self.plus_one, self.params, self.pool,
-            self._put(tokens2), self._put(positions), self._put(tables),
-            self._put(live_mask), self._put(history), self._put(hist_len),
+            self._put(lanes["tokens2"]), self._put(lanes["positions"]),
+            self._put(lanes["tables"]), self._put(lanes["live_mask"]),
+            self._put(lanes["history"]), self._put(lanes["hist_len"]),
             self.gamma, self.spec_rounds,
             eos=(-1 if self.eos_token_id is None else self.eos_token_id),
-            budget=self._put(budget), allow_pallas=self._allow_pallas)
-        packed = np.asarray(_pack_i32x4(gen, counts, acc, spec))
-        gen = packed[:, :-3]
-        counts, acc, spec = packed[:, -3], packed[:, -2], packed[:, -1]
-        for i, state in live:
-            self.spec_stats["accepted"] += int(acc[i])
-            self.spec_stats["speculated"] += int(spec[i])
-            # tokens past max_new are dropped by the finish check's break
-            for t in gen[i, :counts[i]]:
-                self._append_token(state, int(t))
-                if state.finished:
-                    break
+            budget=self._put(lanes["budget"]),
+            allow_pallas=self._allow_pallas)
+        self._spec_commit(lanes["live"], gen, counts, acc, spec)
 
     def _maybe_finish(self, state: SequenceState):
         new = len(state.tokens) - state.prompt_len
         hit_eos = (self.eos_token_id is not None
                    and not getattr(state, "ignore_eos", False)
-                   and state.tokens[-1] == self.eos_token_id)
+                   and state.tokens[-1] in self.eos_ids
+                   # a SECONDARY eos isn't banned in-graph under
+                   # min_tokens; don't let it finish the lane early
+                   and new >= getattr(state, "min_tokens", 0))
         out_of_blocks = len(state.tokens) >= \
             self.max_blocks_per_seq * self.block_size
         limit = getattr(state, "max_new", self.max_new_tokens)

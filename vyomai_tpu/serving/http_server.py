@@ -162,7 +162,9 @@ class CompletionHandler(BaseHTTPRequestHandler):
             try:
                 for tok, done in handle.stream():
                     chunk(json.dumps({"token": tok, "finished": done}))
-            except (RequestAborted, ValueError) as e:
+            except (RequestAborted, ValueError, TypeError) as e:
+                # TypeError covers malformed numeric fields in untrusted
+                # JSON (e.g. max_tokens: "8") surfacing from engine.submit
                 chunk(json.dumps({"error": str(e)}))
             chunk("[DONE]")
             self.wfile.write(b"0\r\n\r\n")
@@ -172,7 +174,9 @@ class CompletionHandler(BaseHTTPRequestHandler):
             out = handle.result()
         except RequestAborted:
             return self._json(499, {"error": "request aborted"})
-        except ValueError as e:                   # submit-time validation
+        except (ValueError, TypeError) as e:      # submit-time validation
+            # TypeError: malformed numeric fields in untrusted JSON (e.g.
+            # max_tokens: "8") — a 400, not a dropped connection
             return self._json(400, {"error": str(e)})
         tokens, logprobs = (out if isinstance(out, tuple) else (out, None))
         resp = {"id": handle.seq_id, "tokens": tokens}
