@@ -1020,3 +1020,82 @@ def test_engine_multi_eos_list(qwen):
     stopped = run(eos=[9998, tok])     # tok is SECONDARY (host-side)
     assert stopped == free_run[:free_run.index(tok) + 1]
     assert run(eos=[tok, 9998]) == stopped   # tok primary (in-graph)
+
+
+# ---------------------------------------------------------------------------
+# LLM offline batch API (vLLM LLM/SamplingParams role)
+# ---------------------------------------------------------------------------
+
+def test_llm_offline_api_greedy_matches_engine(qwen):
+    """LLM.generate greedy == driving the engine directly; batch of token
+    prompts, per-prompt outputs in order, finish reasons."""
+    from vyomai_tpu.serving import LLM, SamplingParams
+    model, params = qwen
+    prompts = [[3, 17, 42, 9], [5, 11, 2]]
+    llm = LLM(model, params, dtype=jnp.float32)
+    outs = llm.generate(prompts, SamplingParams(temperature=0.0,
+                                                max_tokens=6))
+    eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,
+                                max_batch=4, max_new_tokens=6,
+                                dtype=jnp.float32)
+    sids = [eng.submit(list(p)) for p in prompts]
+    ref = eng.run()
+    assert [o.outputs[0].token_ids for o in outs] == [ref[s] for s in sids]
+    assert all(o.outputs[0].finish_reason == "length" for o in outs)
+    assert outs[0].prompt_token_ids == prompts[0]
+    assert outs[0].outputs[0].text is None      # no tokenizer
+
+
+def test_llm_offline_api_strings_and_n(qwen):
+    """String prompts + detokenized text via a toy tokenizer; n parallel
+    seeded samples come back deterministic and distinct per index."""
+    from vyomai_tpu.serving import LLM, SamplingParams
+
+    class Tok:
+        def encode(self, s):
+            return [3 + (ord(c) % 100) for c in s]
+
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    model, params = qwen
+    llm = LLM(model, params, tokenizer=Tok(), dtype=jnp.float32)
+    sp = SamplingParams(temperature=0.9, max_tokens=5, n=2, seed=7,
+                        logprobs=True)
+    out = llm.generate("hello tpu", sp)[0]
+    assert out.prompt == "hello tpu"
+    assert len(out.outputs) == 2
+    assert all(len(c.token_ids) == 5 for c in out.outputs)
+    assert all(c.logprobs is not None and len(c.logprobs) == 5
+               for c in out.outputs)
+    assert out.outputs[0].text == " ".join(map(str,
+                                               out.outputs[0].token_ids))
+    # per-request seeds: same call again reproduces both samples exactly
+    out2 = llm.generate("hello tpu", sp)[0]
+    assert [c.token_ids for c in out2.outputs] == \
+        [c.token_ids for c in out.outputs]
+
+
+def test_llm_offline_api_stop_and_best_of(qwen):
+    """stop_token_ids exclusion semantics ride through; best_of>1 returns
+    ONE winner; greedy mixed into a sampling batch stays argmax."""
+    from vyomai_tpu.serving import LLM, SamplingParams
+    model, params = qwen
+    llm = LLM(model, params, dtype=jnp.float32)
+    base = llm.generate([[3, 17, 42, 9]],
+                        SamplingParams(temperature=0.0, max_tokens=8))
+    gen = base[0].outputs[0].token_ids
+    stop_tok = gen[3]
+    out = llm.generate([[3, 17, 42, 9]],
+                       SamplingParams(temperature=0.0, max_tokens=8,
+                                      stop_token_ids=[[stop_tok]]))[0]
+    # stop suffix excluded; matches at the FIRST occurrence
+    assert out.outputs[0].token_ids == gen[:gen.index(stop_tok)]
+    assert out.outputs[0].finish_reason == "stop"
+
+    mixed = llm.generate(
+        [[3, 17, 42, 9], [5, 11, 2]],
+        [SamplingParams(temperature=0.0, max_tokens=8),
+         SamplingParams(temperature=0.8, max_tokens=8, best_of=2, seed=3)])
+    assert mixed[0].outputs[0].token_ids == gen  # greedy-on-sampling-engine
+    assert len(mixed[1].outputs) == 1            # best_of surfaces a winner
