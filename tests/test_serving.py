@@ -1099,3 +1099,30 @@ def test_llm_offline_api_stop_and_best_of(qwen):
          SamplingParams(temperature=0.8, max_tokens=8, best_of=2, seed=3)])
     assert mixed[0].outputs[0].token_ids == gen  # greedy-on-sampling-engine
     assert len(mixed[1].outputs) == 1            # best_of surfaces a winner
+
+
+def test_engine_long_prefill_flash_path_matches_dense(qwen):
+    """A prompt long enough to engage the Pallas flash prefill path
+    (suffix bucket and gathered context >= the 512 flash threshold) must
+    stay greedy-token-exact vs the dense static-cache decode. On CPU this
+    exercises the platform dispatch's einsum branch; on TPU the flash
+    kernel itself."""
+    cfg = vt.QwenConfig(vocab_size=512, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        head_dim=64, max_position_embeddings=1024,
+                        qk_norm=True, eos_token_id=9999,
+                        tie_word_embeddings=True)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, cfg.vocab_size, size=600).tolist()
+    eng = ContinuousBatchEngine(model, params, num_blocks=96, block_size=16,
+                                max_batch=2, max_blocks_per_seq=48,
+                                max_new_tokens=8, dtype=jnp.float32,
+                                prefill_buckets=(512,))
+    sid = eng.submit(list(prompt))
+    out = eng.run()[sid]
+    ref = generate(model, params, jnp.asarray([prompt], dtype=jnp.int32),
+                   max_new_tokens=8, use_cache=True)
+    assert out == ref[0, len(prompt):].tolist()

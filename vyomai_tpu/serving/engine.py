@@ -742,13 +742,13 @@ class ContinuousBatchEngine:
             lora_kw = dict(lora_lanes=self._put(lanes))
         logits, self.pool = paged_model.prefill(
             self.model, self.plus_one, self.params, self.pool, *ops,
-            **lora_kw)
+            allow_pallas=self._allow_pallas, **lora_kw)
         if self.draft_model is not None:
             # the draft pool must hold the same context (same slots) so
             # speculative rounds can attend it; its logits are discarded
             _, self.draft_pool = paged_model.prefill(
                 self.draft_model, self.draft_plus_one, self.draft_params,
-                self.draft_pool, *ops)
+                self.draft_pool, *ops, allow_pallas=self._allow_pallas)
         self.counters["prefill_calls"] += 1
         next_tokens, next_lps = self._pick_tokens(logits, states)
         for i, state in enumerate(states):
