@@ -129,6 +129,31 @@ def test_kernel_sliding_window_int8(int8_pool=None):
                                atol=2e-4 if not ON_TPU else 2e-2)
 
 
+def test_kernel_under_tp_shard_map_matches_xla():
+    """The kernel runs per shard under a tensor-parallel mesh
+    (``serving.paged_model._tp_paged_attn``): q split on heads, the pool
+    on its kv-width — output equals the unsharded XLA fallback."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.serving.paged_model import _tp_paged_attn
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    q, pool, bt, seq_lens = _setup(seed=7)
+    mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+    pdp.set_interpret(True)  # CPU mesh: kernel must interpret there even
+    try:                     # when the process default backend is TPU
+        with jax.default_device(cpus[0]):
+            out = jax.jit(lambda *a: _tp_paged_attn(mesh, *a, h_kv=H_KV,
+                                                    scales=None, window=None,
+                                                    sinks=0))(
+                q, pool, bt, seq_lens)
+            ref = paged_attention_decode(q, pool, bt, seq_lens, H_KV)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+    finally:
+        pdp.set_interpret(not ON_TPU)
+
+
 @pytest.mark.parametrize("window,sinks", [(8, 4), (16, 8), (5, 9), (40, 3)])
 def test_kernel_window_with_sinks(window, sinks):
     """Two-range sweep (sink blocks + band blocks) == XLA fallback with

@@ -358,6 +358,56 @@ def test_engine_tp_matches_single_chip(qwen):
         assert run(mesh) == single
 
 
+def test_engine_tp_pallas_kernels_match_single_chip():
+    """TP serving at kernel speed: on a (1, 2) mesh the Pallas paged-decode
+    kernel and the flash prefill run PER SHARD via shard_map
+    (``paged_model._tp_paged_attn`` / ``_tp_flash_prefill``, interpret mode
+    off-TPU) and engine greedy stays token-exact vs the single-chip einsum
+    engine. Config chosen so the LOCAL shard satisfies the kernel gates:
+    head_dim=64, nkv=4 -> local pool width 128, local q heads 2."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.ops import flash_attention as fa
+    from vyomai_tpu.ops import paged_decode_pallas as pdp
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    cfg = vt.QwenConfig(vocab_size=512, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=4,
+                        head_dim=64, max_position_embeddings=256,
+                        qk_norm=True, eos_token_id=9999,
+                        tie_word_embeddings=True)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(4), dtype=jnp.float32)
+    prompts = [list(range(3, 15)), [5, 11, 7, 2, 9, 13, 17, 19, 23]]
+
+    def run(mesh):
+        eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                    block_size=8, max_batch=2,
+                                    max_blocks_per_seq=8, max_new_tokens=6,
+                                    dtype=jnp.float32,
+                                    prefill_buckets=(16,), mesh=mesh)
+        sids = [eng.submit(list(p)) for p in prompts]
+        out = eng.run()
+        return [out[s] for s in sids]
+
+    with jax.default_device(cpus[0]):
+        single = run(None)
+        mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+        # force the kernels on the CPU mesh: interpret mode + "pallas"
+        # (guarantees the shard_map path actually engages — a silent
+        # einsum fallback would make this test vacuous)
+        pdp.set_interpret(True)
+        fa.set_interpret(True)
+        pdp.set_paged_impl("pallas")
+        try:
+            assert run(mesh) == single
+        finally:
+            pdp.set_paged_impl("auto")
+            pdp.set_interpret(False)
+            fa.set_interpret(False)
+
+
 def test_engine_tp_requires_divisible_kv_heads(qwen):
     from jax.sharding import Mesh
     cpus = jax.devices("cpu")

@@ -113,9 +113,12 @@ class ContinuousBatchEngine:
         column/row rules, the paged pool split on its kv-head width, decode
         and prefill running SPMD with GSPMD-inserted activation all-reduces
         (one per layer o_proj + down_proj). Greedy output is identical to
-        the single-chip engine. The Pallas paged-decode kernel is bypassed
-        under tp > 1 (opaque to GSPMD); the XLA attention path partitions
-        cleanly.
+        the single-chip engine. The Pallas paged-decode and flash-prefill
+        kernels run per shard via shard_map on each device's local heads
+        and pool columns (``paged_model._tp_paged_attn`` /
+        ``_tp_flash_prefill``) when the local shard shapes satisfy the
+        kernels' alignment; otherwise the XLA attention path (which
+        partitions cleanly under GSPMD) is used.
 
         ``draft_model``/``draft_params`` enable speculative decoding: each
         decode tick runs up to ``spec_rounds`` rounds of (draft ``gamma``
@@ -242,6 +245,9 @@ class ContinuousBatchEngine:
                 draft_model.config, num_blocks, block_size, dtype=dtype)
         self.mesh = mesh
         self._allow_pallas = True
+        # static `mesh` kwarg for the jitted steps: under TP the Pallas
+        # kernels run per shard via shard_map (None = single-chip/GSPMD)
+        self._kernel_mesh = None
         if mesh is not None:
             tp = mesh.shape.get("model", 1)
             if self.cfg.num_key_value_heads % tp:
@@ -259,7 +265,7 @@ class ContinuousBatchEngine:
                 self.draft_params, self.draft_pool = \
                     paged_model.shard_serving_state(
                         self.draft_params, self.draft_pool, mesh)
-            self._allow_pallas = tp == 1
+            self._kernel_mesh = mesh if tp > 1 else None
             self._replicated = NamedSharding(mesh, PartitionSpec())
         self.fsms = list(fsms) if fsms else None
         self._fsm_next_dev = None
@@ -742,13 +748,15 @@ class ContinuousBatchEngine:
             lora_kw = dict(lora_lanes=self._put(lanes))
         logits, self.pool = paged_model.prefill(
             self.model, self.plus_one, self.params, self.pool, *ops,
-            allow_pallas=self._allow_pallas, **lora_kw)
+            allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
+            **lora_kw)
         if self.draft_model is not None:
             # the draft pool must hold the same context (same slots) so
             # speculative rounds can attend it; its logits are discarded
             _, self.draft_pool = paged_model.prefill(
                 self.draft_model, self.draft_plus_one, self.draft_params,
-                self.draft_pool, *ops, allow_pallas=self._allow_pallas)
+                self.draft_pool, *ops, allow_pallas=self._allow_pallas,
+                mesh=self._kernel_mesh)
         self.counters["prefill_calls"] += 1
         next_tokens, next_lps = self._pick_tokens(logits, states)
         for i, state in enumerate(states):
@@ -1041,7 +1049,7 @@ class ContinuousBatchEngine:
             eos=eos_arg,
             rng=self._put(sub), temperature=temps,
             top_p=tps, min_p=mps, budget=self._put(budget),
-            allow_pallas=self._allow_pallas,
+            allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
             with_logprobs=self.return_logprobs, **fsm_kw)
         if self.return_logprobs:
             packed = np.asarray(_pack_i32_f32(gen, lps))
@@ -1136,7 +1144,7 @@ class ContinuousBatchEngine:
                 self._put(lanes["live_mask"]), self.gamma, self.spec_rounds,
                 eos=(-1 if self.eos_token_id is None else self.eos_token_id),
                 budget=self._put(lanes["budget"]),
-                allow_pallas=self._allow_pallas)
+                allow_pallas=self._allow_pallas, mesh=self._kernel_mesh)
         self._spec_commit(lanes["live"], gen, counts, acc, spec)
 
     def _ngram_decode_batch(self):
@@ -1158,7 +1166,7 @@ class ContinuousBatchEngine:
             self.gamma, self.spec_rounds,
             eos=(-1 if self.eos_token_id is None else self.eos_token_id),
             budget=self._put(lanes["budget"]),
-            allow_pallas=self._allow_pallas)
+            allow_pallas=self._allow_pallas, mesh=self._kernel_mesh)
         self._spec_commit(lanes["live"], gen, counts, acc, spec)
 
     def _maybe_finish(self, state: SequenceState):

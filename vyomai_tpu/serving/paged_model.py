@@ -88,9 +88,68 @@ def _head(params, h):
     return cnn.tied_lm_head(params["embed_tokens"], h)
 
 
+def _tp_size(mesh) -> int:
+    return mesh.shape.get("model", 1) if mesh is not None else 1
+
+
+def _mesh_is_tpu(mesh) -> bool:
+    """Kernel lowering keys off the MESH devices' platform, not the process
+    default backend (tests run CPU meshes under a TPU default backend; the
+    interpret toggles make the kernels runnable there too)."""
+    return mesh.devices.flat[0].platform == "tpu"
+
+
+def _tp_paged_attn(mesh, q, pkv, block_tables, seq_lens, h_kv, scales,
+                   window, sinks):
+    """Paged-decode Pallas kernel under a tensor-parallel mesh.
+
+    Every device runs the DMA sweep on its OWN shard — q split on heads
+    (P(None, "model", None)), the pool on the flattened kv width
+    (``pool_pspec``) — exactly the shards GSPMD already placed, so TP
+    serving decodes at kernel speed instead of falling back to the XLA
+    gather path (the kernel alone is opaque to GSPMD; shard_map makes the
+    placement explicit). Head chunk j owns kv heads [j*h_kv/tp,
+    (j+1)*h_kv/tp) = pool width columns [j*width/tp, ...): the contiguous
+    head split lines up with the contiguous width split by construction.
+    check_vma=False — pallas outputs carry no varying-mesh-axes type.
+    Block tables / lengths / int8 scales are replicated."""
+    tp = mesh.shape["model"]
+
+    def local(qL, pkvL, bt, sl, scL):
+        return paged_decode_pallas.paged_attention_decode_pallas(
+            qL, pkvL, bt, sl, h_kv // tp, scL, window=window, sinks=sinks)
+
+    qs = P(None, "model", None)
+    ps = P(None, None, None, "model")
+    if scales is None:
+        return jax.shard_map(
+            lambda qL, pkvL, bt, sl: local(qL, pkvL, bt, sl, None),
+            mesh=mesh, in_specs=(qs, ps, P(None, None), P(None)),
+            out_specs=qs, check_vma=False)(q, pkv, block_tables, seq_lens)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(qs, ps, P(None, None), P(None), P(None, None, None)),
+        out_specs=qs, check_vma=False)(q, pkv, block_tables, seq_lens,
+                                       scales)
+
+
+def _tp_flash_prefill(mesh, qh, kk, vv, bias):
+    """Flash-attention prefill under a tensor-parallel mesh: the kernel
+    runs per device on its local q/kv heads (contiguous GQA groups — the
+    q-head split lines up with the kv-head split because
+    num_key_value_heads divides the model axis); the additive
+    causal-with-offset bias is replicated."""
+    from ..ops import flash_attention as fa
+    hs = P(None, "model", None, None)
+    return jax.shard_map(
+        lambda qq, kkh, vvh, bb: fa.flash_attention_bias(qq, kkh, vvh, bb),
+        mesh=mesh, in_specs=(hs, hs, hs, P(None, None, None, None)),
+        out_specs=hs, check_vma=False)(qh, kk, vv, bias)
+
+
 def _multi_core(model, plus_one: bool, params, pool, ids, positions,
                 slot_blocks, slot_offsets, block_tables, ctx_len,
-                allow_pallas: bool = True):
+                allow_pallas: bool = True, mesh=None):
     """Multi-token paged step (traced core shared by ``prefill`` and
     speculative verification): writes each token's K/V at its slot and
     attends causally-with-offset over the gathered paged context.
@@ -106,10 +165,11 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     mask streamed in as bias — no [N, H, Tp, Tctx] fp32 score
     materialization, GQA via index maps (the ``flash_attn_varlen_func``
     role the reference's serving notebook fills with the CUDA wheel,
-    ``simple_vllm.ipynb`` cell 2). Short chunks and TP meshes
-    (``allow_pallas=False`` — the kernel is opaque to GSPMD) keep the
-    einsum path. Measured end-to-end prefill (4L x 1024h GQA4 bf16,
-    v5e): 1.32x at T=2048, 1.64x at T=4096 vs the einsum path.
+    ``simple_vllm.ipynb`` cell 2). Short chunks keep the einsum path.
+    Under a tensor-parallel ``mesh`` the kernel runs per shard via
+    shard_map on each device's local heads (``_tp_flash_prefill``).
+    Measured end-to-end prefill (4L x 1024h GQA4 bf16, v5e): 1.32x at
+    T=2048, 1.64x at T=4096 vs the einsum path.
     """
     cfg = model.config
     emb_freq = model.emb_freq
@@ -192,7 +252,21 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
                               vvr.astype(jnp.float32)).astype(qq.dtype)
 
         from ..ops import flash_attention as fa
-        if allow_pallas and fa.supported_shapes(qh, kk, bias):
+        tp = _tp_size(mesh)
+        if tp > 1:
+            flash_ok = (allow_pallas
+                        and (_mesh_is_tpu(mesh) or fa._INTERPRET)
+                        and fa.supported_shapes(
+                            jax.ShapeDtypeStruct(
+                                (n, nh // tp, t_pad, hd), qh.dtype),
+                            jax.ShapeDtypeStruct(
+                                (n, nkv_h // tp, kk.shape[2], hd), kk.dtype),
+                            bias))
+            if flash_ok:
+                attn = _tp_flash_prefill(mesh, qh, kk, vv, bias)
+            else:
+                attn = _einsum_attn(qh, kk, vv, bias)
+        elif allow_pallas and fa.supported_shapes(qh, kk, bias):
             def _flash_attn(qq, kkh, vvh, bb):
                 return fa.flash_attention_bias(qq, kkh, vvh, bb)
 
@@ -223,10 +297,10 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,),
-         static_argnames=("allow_pallas",))
+         static_argnames=("allow_pallas", "mesh"))
 def prefill(model, plus_one: bool, params, pool, ids, positions,
             slot_blocks, slot_offsets, block_tables, ctx_len, true_len,
-            lora_lanes=None, allow_pallas: bool = True):
+            lora_lanes=None, allow_pallas: bool = True, mesh=None):
     """Batched prefill of uncached prompt suffixes (one device call for a
     whole group of admissions — the engine packs same-bucket sequences).
 
@@ -241,7 +315,7 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
         hidden, pool = _multi_core(model, plus_one, params, pool, ids,
                                    positions, slot_blocks, slot_offsets,
                                    block_tables, ctx_len,
-                                   allow_pallas=allow_pallas)
+                                   allow_pallas=allow_pallas, mesh=mesh)
         last = jnp.take_along_axis(
             hidden,
             jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32),
@@ -251,13 +325,17 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
 
 def _decode_core(model, plus_one, params, pool, tokens, positions,
                  block_tables, seq_lens, slot_blocks, slot_offsets,
-                 allow_pallas: bool = True):
+                 allow_pallas: bool = True, mesh=None):
     """One decode step over the paged pool. Returns (logits [B, V], pool).
 
-    ``allow_pallas=False`` forces the XLA attention path — required under a
-    tensor-parallel mesh, where the Pallas kernel is opaque to GSPMD (XLA
-    would all-gather the pool around it) while the XLA gather+einsum path
-    partitions cleanly over the kv-head/width sharding."""
+    ``allow_pallas=False`` forces the XLA attention path. Under a
+    tensor-parallel ``mesh`` the Pallas kernel runs per shard via
+    shard_map on each device's local heads/pool columns
+    (``_tp_paged_attn``) — the kernel alone is opaque to GSPMD (XLA would
+    all-gather the pool around it), the explicit placement keeps the pool
+    fully sharded; when the local shard shapes don't satisfy the kernel's
+    alignment, the XLA gather+einsum path (which partitions cleanly over
+    the kv-head/width sharding) is used instead."""
     cfg = model.config
     emb_freq = model.emb_freq
     b = tokens.shape[0]
@@ -266,9 +344,24 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
 
     window = getattr(cfg, "sliding_window", None)
-    use_pallas = allow_pallas and paged_decode_pallas.supported(
-        jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
-        pool["kv"][0], cfg.num_key_value_heads)
+    tp = _tp_size(mesh)
+    if tp > 1:
+        nb_, _, bs_, width_ = pool["kv"].shape[1:]
+        use_pallas = (allow_pallas
+                      and (_mesh_is_tpu(mesh)
+                           or paged_decode_pallas._INTERPRET)
+                      and paged_decode_pallas.supported(
+                          jax.ShapeDtypeStruct(
+                              (b, cfg.num_attention_heads // tp,
+                               cfg.head_dim), jnp.float32),
+                          jax.ShapeDtypeStruct(
+                              (nb_, 2, bs_, width_ // tp),
+                              pool["kv"].dtype),
+                          cfg.num_key_value_heads // tp))
+    else:
+        use_pallas = allow_pallas and paged_decode_pallas.supported(
+            jnp.zeros((b, cfg.num_attention_heads, cfg.head_dim)),
+            pool["kv"][0], cfg.num_key_value_heads)
     quant = pool["kv"].dtype == jnp.int8
 
     def body(h, xs):
@@ -297,14 +390,33 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         k = k * cos + rotate_half(k) * sin
         written = write_kv(pkv, k, v, slot_blocks, slot_offsets, scales=psc)
         pkv, psc = written if quant else (written, None)
-        if use_pallas:
-            attn = paged_decode_pallas.paged_attention_decode_pallas(
+        sinks = getattr(cfg, "attention_sinks", 0)
+
+        def _pl_attn():
+            return paged_decode_pallas.paged_attention_decode_pallas(
                 q, pkv, block_tables, seq_lens, nkv, psc, window=window,
-                sinks=getattr(cfg, "attention_sinks", 0))        # [B, H, D]
+                sinks=sinks)                                     # [B, H, D]
+
+        def _xla_attn():
+            return paged_attention_decode(
+                q, pkv, block_tables, seq_lens, nkv, psc, window=window,
+                sinks=sinks)
+
+        if use_pallas and tp > 1:
+            attn = _tp_paged_attn(mesh, q, pkv, block_tables, seq_lens,
+                                  nkv, psc, window, sinks)       # [B, H, D]
+        elif use_pallas:
+            # dispatch on the LOWERING platform, not the process default
+            # backend (a CPU-device engine under a TPU default backend must
+            # take the XLA path — flash prefill does the same); interpret
+            # mode pins the kernel for off-TPU tests
+            if paged_decode_pallas._INTERPRET:
+                attn = _pl_attn()
+            else:
+                attn = jax.lax.platform_dependent(tpu=_pl_attn,
+                                                  default=_xla_attn)
         else:
-            attn = paged_attention_decode(
-                q, pkv, block_tables, seq_lens, nkv, psc, window=window,
-                sinks=getattr(cfg, "attention_sinks", 0))
+            attn = _xla_attn()
         attn = attn.reshape(b, -1)
         h = h + cnn.linear(lp["self_attn"]["o_proj"], attn)
         normed = cnn.rms_norm(lp["post_attention_layernorm"], h,
@@ -327,10 +439,10 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,),
-         static_argnames=("allow_pallas",))
+         static_argnames=("allow_pallas", "mesh"))
 def decode(model, plus_one: bool, params, pool, tokens, positions,
            block_tables, seq_lens, slot_blocks, slot_offsets,
-           allow_pallas: bool = True, lora_lanes=None):
+           allow_pallas: bool = True, lora_lanes=None, mesh=None):
     """Batched single-token decode.
 
     tokens: [B] int32; positions: [B] absolute positions; block_tables:
@@ -342,7 +454,7 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
     with cnn.lora_lanes(lora_lanes):
         return _decode_core(model, plus_one, params, pool, tokens, positions,
                             block_tables, seq_lens, slot_blocks, slot_offsets,
-                            allow_pallas=allow_pallas)
+                            allow_pallas=allow_pallas, mesh=mesh)
 
 
 def sampling_mask(logits, temperature, top_p, min_p=0.0):
@@ -387,7 +499,7 @@ def sample_tokens(logits, rng, temperature, top_p, min_p=0.0,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,),
-         static_argnames=("allow_pallas", "with_logprobs"))
+         static_argnames=("allow_pallas", "with_logprobs", "mesh"))
 def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    block_tables, live, horizon: int, do_sample: bool = False,
                    eos=-1, rng=None, temperature=1.0, top_p=1.0, min_p=0.0,
@@ -397,7 +509,7 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    token_counts=None, presence_penalty=0.0,
                    frequency_penalty=0.0, rep_penalty=None, seen_mask=None,
                    min_steps=None, bias_idx=None, bias_val=None,
-                   lane_seeds=None, gen_base=None):
+                   lane_seeds=None, gen_base=None, mesh=None):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -506,7 +618,8 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         seq_lens = jnp.where(alive, pos + 1, 0)
         logits, pl_ = _decode_core(model, plus_one, params, pl_, toks, pos,
                                    block_tables, seq_lens, slot_blocks,
-                                   slot_offsets, allow_pallas=allow_pallas)
+                                   slot_offsets, allow_pallas=allow_pallas,
+                                   mesh=mesh)
         raw = logits
         if penalize:
             c = cnt.astype(jnp.float32)
@@ -583,12 +696,12 @@ def _slot_of(block_tables, bs, p, alive):
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 12, 13), donate_argnums=(6, 7),
-         static_argnames=("allow_pallas",))
+         static_argnames=("allow_pallas", "mesh"))
 def speculative_horizon(model, draft_model, plus_one: bool,
                         draft_plus_one: bool, params, draft_params,
                         pool, draft_pool, tokens2, positions, block_tables,
                         live, gamma: int, rounds: int, eos=-1, budget=None,
-                        allow_pallas: bool = True):
+                        allow_pallas: bool = True, mesh=None):
     """Speculative continuous-batching decode: up to ``rounds`` rounds of
     (draft ``gamma`` tokens -> one multi-token target verification) fully on
     device — each round costs ONE target weight stream for up to
@@ -650,7 +763,7 @@ def speculative_horizon(model, draft_model, plus_one: bool,
         d_hidden, dpl = _multi_core(draft_model, draft_plus_one,
                                     draft_params, dpl, t2, pos2, sb2, so2,
                                     block_tables, ctx2,
-                                    allow_pallas=allow_pallas)
+                                    allow_pallas=allow_pallas, mesh=mesh)
         d1 = jnp.argmax(_head(draft_params, d_hidden[:, 1]),
                         axis=-1).astype(jnp.int32)
 
@@ -662,7 +775,8 @@ def speculative_horizon(model, draft_model, plus_one: bool,
             lg, dpl_ = _decode_core(draft_model, draft_plus_one,
                                     draft_params, dpl_, prev, p,
                                     block_tables, jnp.where(alive, p + 1, 0),
-                                    sb1, so1, allow_pallas=allow_pallas)
+                                    sb1, so1, allow_pallas=allow_pallas,
+                                    mesh=mesh)
             return (dpl_, jnp.argmax(lg, axis=-1).astype(jnp.int32)), prev
 
         if gamma > 1:
@@ -680,7 +794,7 @@ def speculative_horizon(model, draft_model, plus_one: bool,
         ctxv = jnp.where(alive, pos + gp1, 0)
         t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v, pos_v,
                                    sbv, sov, block_tables, ctxv,
-                                   allow_pallas=allow_pallas)
+                                   allow_pallas=allow_pallas, mesh=mesh)
         t_hat = jnp.argmax(_head(params, t_hidden),
                            axis=-1).astype(jnp.int32)           # [B, g+1]
 
@@ -725,11 +839,11 @@ def speculative_horizon(model, draft_model, plus_one: bool,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 10, 11), donate_argnums=(3,),
-         static_argnames=("allow_pallas",))
+         static_argnames=("allow_pallas", "mesh"))
 def ngram_horizon(model, plus_one: bool, params, pool, tokens2, positions,
                   block_tables, live, history, hist_len, gamma: int,
                   rounds: int, eos=-1, budget=None,
-                  allow_pallas: bool = True):
+                  allow_pallas: bool = True, mesh=None):
     """Drafter-free speculative decode by PROMPT LOOKUP (n-gram): up to
     ``rounds`` rounds of (propose ``gamma`` tokens from the sequence's own
     history -> one multi-token target verification) fully on device.
@@ -810,7 +924,7 @@ def ngram_horizon(model, plus_one: bool, params, pool, tokens2, positions,
         ctxv = jnp.where(alive, pos + gp1, 0)
         t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v, pos_v,
                                    sbv, sov, block_tables, ctxv,
-                                   allow_pallas=allow_pallas)
+                                   allow_pallas=allow_pallas, mesh=mesh)
         t_hat = jnp.argmax(_head(params, t_hidden),
                            axis=-1).astype(jnp.int32)           # [B, g+1]
 
