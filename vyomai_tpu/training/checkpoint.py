@@ -20,16 +20,30 @@ def save_checkpoint(path: str, state, *, force: bool = True) -> None:
         ckptr.save(path, state, force=force)
 
 
+def _abstract_leaf(x):
+    """ShapeDtypeStruct carrying the target leaf's sharding (when it has
+    one), so a restore onto mesh-sharded arrays comes back SHARDED — each
+    host/device reads only its own shard slices from disk instead of
+    materializing the full array and resharding (the multi-chip resume
+    path: shard specs first, then restore into them)."""
+    if isinstance(x, jax.ShapeDtypeStruct):
+        return x
+    sharding = getattr(x, "sharding", None)
+    if isinstance(sharding, jax.sharding.Sharding):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+    import numpy as np
+    arr = np.asarray(x)
+    return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
+
+
 def restore_checkpoint(path: str, target=None):
     """Restore; ``target`` (a matching pytree of ShapeDtypeStructs or
-    arrays) enables sharded/typed restoration."""
+    arrays) enables sharded/typed restoration — sharded target leaves
+    restore with their shardings preserved."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if target is not None:
-            abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct
-                                              if hasattr(ocp.utils, "to_shape_dtype_struct")
-                                              else (lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)),
-                                              target)
+            abstract = jax.tree_util.tree_map(_abstract_leaf, target)
             return ckptr.restore(path, abstract)
         return ckptr.restore(path)
 
