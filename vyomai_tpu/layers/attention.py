@@ -58,11 +58,17 @@ def _flash_shapes_ok(q, k, mask) -> bool:
         return False
 
 
-def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None):
+def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None,
+         segments=None):
     """Scaled dot-product attention. q: [B,H,Lq,D]; k,v: [B,H,Lk,D];
     mask: additive, broadcastable to [B,H,Lq,Lk]. ``causal=True`` applies
     the triangular mask (queries aligned to the end of the kv range) —
     on the flash path this skips future blocks entirely.
+
+    ``segments``: optional ``(q_seg [B, Lq], kv_seg [B, Lk])`` int32
+    non-negative ids; attention is masked where ids differ (packed
+    sequences). The flash path applies this IN-KERNEL at O(L) operand
+    cost; the XLA path adds the equivalent additive mask.
 
     ``"auto"`` picks the implementation per *lowering platform*
     (``lax.platform_dependent``): the Pallas kernel on TPU, the einsum path
@@ -72,34 +78,46 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None):
     impl = _SDPA_IMPL
     if impl == "auto" and _flash_shapes_ok(q, k, mask):
         from ..ops import flash_attention as fa
+        nseg = 0 if segments is None else len(segments)
 
         def flash_path(*args):
             qq, kk, vv = args[:3]
-            mm = args[3] if len(args) > 3 else None
+            segs = tuple(args[3:3 + nseg]) or None
+            mm = args[3 + nseg] if len(args) > 3 + nseg else None
             return fa.flash_attention_bias(qq, kk, vv, mm, causal=causal,
-                                           window=window)
+                                           window=window, segments=segs)
 
         def xla_path(*args):
             qq, kk, vv = args[:3]
-            mm = args[3] if len(args) > 3 else None
-            return _sdpa_xla(qq, kk, vv, mm, causal=causal, window=window)
+            segs = tuple(args[3:3 + nseg]) or None
+            mm = args[3 + nseg] if len(args) > 3 + nseg else None
+            return _sdpa_xla(qq, kk, vv, mm, causal=causal, window=window,
+                             segments=segs)
 
-        args = (q, k, v) if mask is None else (q, k, v, mask)
+        args = (q, k, v) + (tuple(segments) if segments else ())
+        if mask is not None:
+            args += (mask,)
         return jax.lax.platform_dependent(*args, tpu=flash_path,
                                           default=xla_path)
     if impl == "flash":
         from ..ops import flash_attention as fa
         return fa.flash_attention_bias(q, k, v, mask, causal=causal,
-                                       window=window)
-    return _sdpa_xla(q, k, v, mask, causal=causal, window=window)
+                                       window=window, segments=segments)
+    return _sdpa_xla(q, k, v, mask, causal=causal, window=window,
+                     segments=segments)
 
 
-def _sdpa_xla(q, k, v, mask=None, *, causal: bool = False, window=None):
+def _sdpa_xla(q, k, v, mask=None, *, causal: bool = False, window=None,
+              segments=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:
         scores = scores + mask.astype(scores.dtype)
+    if segments is not None:
+        q_seg, kv_seg = segments
+        seg_ok = q_seg[:, None, :, None] == kv_seg[:, None, None, :]
+        scores = scores + jnp.where(seg_ok, 0.0, NEG_INF_F)
     if causal:
         lq, lk = q.shape[2], k.shape[2]
         q_pos = (lk - lq) + jnp.arange(lq)[:, None]
@@ -243,7 +261,7 @@ def decoder_attention_apply(p, hidden, attention_mask, config, *,
                             kind: str = "mha", freqs=None,
                             cache_kv: Optional[Tuple] = None,
                             start_pos=0, causal: bool = False,
-                            deterministic=True, rng=None):
+                            deterministic=True, rng=None, segments=None):
     """Causal self-attention.
 
     ``cache_kv``: optional ``(k_buf, v_buf)`` static buffers
@@ -272,7 +290,7 @@ def decoder_attention_apply(p, hidden, attention_mask, config, *,
         n_rep = config.num_attention_heads // getattr(config, "num_key_value_heads", 4)
         k = repeat_kv(k, n_rep)
         v = repeat_kv(v, n_rep)
-    out = sdpa(q, k, v, attention_mask, causal=causal)
+    out = sdpa(q, k, v, attention_mask, causal=causal, segments=segments)
     out = _merge_heads(out)
     out = self_output_apply(p["out"], out, hidden, config,
                             deterministic=deterministic, rng=rng)

@@ -82,21 +82,36 @@ class DecoderModel:
                           dtype=dtype, num_kv_heads=nkv)
 
     # -- forward -----------------------------------------------------------
-    def _embed(self, params, input_ids, start_pos):
+    def _embed(self, params, input_ids, start_pos, positions=None):
+        """``positions``: optional [B, L] explicit per-token positions
+        (packed sequences restart positions at each segment). When given,
+        position tables / RoPE freqs are gathered per row instead of
+        sliced at ``start_pos``."""
         seqlen = input_ids.shape[1]
         hidden = cnn.embedding(params["word_embeddings"], input_ids)
         freqs = None
         if self.pos_embedding_type == "absolute":
-            hidden = hidden + pos.absolute_slice(
-                params["position_embeddings"], start_pos,
-                seqlen).astype(hidden.dtype)
+            if positions is not None:
+                tab = jnp.take(params["position_embeddings"]["weight"],
+                               positions, axis=0)           # [B, L, D]
+            else:
+                tab = pos.absolute_slice(params["position_embeddings"],
+                                         start_pos, seqlen)
+            hidden = hidden + tab.astype(hidden.dtype)
         elif self.pos_embedding_type == "sinusoidal":
-            tab = jax.lax.dynamic_slice_in_dim(self.sin_table, start_pos,
-                                               seqlen, axis=1)
+            if positions is not None:
+                tab = jnp.take(self.sin_table[0], positions, axis=0)
+            else:
+                tab = jax.lax.dynamic_slice_in_dim(self.sin_table, start_pos,
+                                                   seqlen, axis=1)
             hidden = hidden + tab.astype(hidden.dtype)
         elif self.pos_embedding_type == "rope":
-            freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
-                                                 seqlen, axis=1)
+            if positions is not None:
+                freqs = jnp.take(self.emb_freq[0], positions,
+                                 axis=0)                     # [B, L, D/2]
+            else:
+                freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
+                                                     seqlen, axis=1)
         return hidden, freqs
 
     def _mask(self, input_ids, attention_mask, cache, start_pos):
@@ -113,7 +128,8 @@ class DecoderModel:
         return bidirectional_mask(attention_mask), True
 
     def run_layers(self, params, hidden, mask, freqs, cache, start_pos, *,
-                   causal=False, deterministic=True, rng=None):
+                   causal=False, deterministic=True, rng=None,
+                   segments=None):
         cfg, kind = self.config, self.kind
         n_layers = cfg.num_hidden_layers
         if not deterministic:
@@ -131,7 +147,8 @@ class DecoderModel:
                 f_rng = lrng[1] if not deterministic else None
                 out, _ = attn.decoder_attention_apply(
                     lp["attention"], h, mask, cfg, kind=kind, freqs=freqs,
-                    causal=causal, deterministic=deterministic, rng=a_rng)
+                    causal=causal, deterministic=deterministic, rng=a_rng,
+                    segments=segments)
                 out = ffn_mod.ffn_apply(lp["ffn"], out, h, cfg,
                                         deterministic=deterministic, rng=f_rng)
                 return out, None
@@ -160,12 +177,23 @@ class DecoderModel:
 
     def apply(self, params, input_ids, attention_mask=None,
               cache: Optional[Any] = None, start_pos=0, *,
-              deterministic: bool = True, rng=None) -> CLMOutput:
-        hidden, freqs = self._embed(params, input_ids, start_pos)
+              deterministic: bool = True, rng=None,
+              segment_ids=None, positions=None) -> CLMOutput:
+        """``segment_ids``/``positions``: optional [B, L] int32 for PACKED
+        sequences (``training.packing``) — attention is blocked across
+        segments (in-kernel on the flash path) and positions restart per
+        segment. Training path only (``cache`` must be None)."""
+        if segment_ids is not None and cache is not None:
+            raise ValueError("packed segment_ids are a training feature; "
+                             "cached decode does not support them")
+        segments = (None if segment_ids is None
+                    else (segment_ids, segment_ids))
+        hidden, freqs = self._embed(params, input_ids, start_pos,
+                                    positions=positions)
         mask, causal = self._mask(input_ids, attention_mask, cache, start_pos)
         hidden, new_cache = self.run_layers(
             params, hidden, mask, freqs, cache, start_pos, causal=causal,
-            deterministic=deterministic, rng=rng)
+            deterministic=deterministic, rng=rng, segments=segments)
         # cache length (start_pos + seqlen) is set in run_layers — one site
         logits = lm_head_apply(params["lm_head"], hidden, self.config)
         return CLMOutput(hidden_state=hidden, logits=logits, kv_cache=new_cache)

@@ -21,8 +21,14 @@ Design (TPU-first):
   prefix-LM) are covered.
 - fp32 accumulation regardless of input dtype; logsumexp saved for the
   backward, which recomputes probabilities blockwise (no [Lq, Lk] residual).
+- Optional SEGMENT IDS (``segments=(q_seg [B, Lq], kv_seg [B, Lk])``) mask
+  cross-segment attention in-kernel by integer equality — the packed-
+  sequence (block-diagonal) regime costs O(L) operand memory instead of a
+  materialized O(L^2) additive bias. Padding convention: ids are arbitrary
+  non-negative ints; equal ids attend, unequal don't (combine with
+  ``causal=True`` for packed training).
 
-The bias input is treated as a constant mask: its cotangent is zero.
+The bias and segment inputs are constant masks: their cotangents are zero.
 """
 
 import functools
@@ -126,9 +132,33 @@ def _win_top_block(iq, bq, bk, q_offset):
     return (q_offset + iq * bq + bq - 1) // bk
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale, num_kv_blocks, bq, bk,
-                q_offset, causal, window=None, win_blocks=None):
+def _seg_block_mask(qs_ref, ks_ref):
+    """Additive cross-segment mask for the current block pair: query i may
+    attend key j iff their segment ids are equal (packed sequences)."""
+    qs = qs_ref[0][:, None]                               # [BQ, 1] int32
+    ks = ks_ref[0][None, :]                               # [1, BK]
+    return jnp.where(qs == ks, 0.0, NEG_INF)
+
+
+def _unpack_refs(args, has_bias, has_seg, n_out):
+    """Pallas passes (inputs..., outputs..., scratch...) positionally; the
+    optional bias/segment operands make the input list variable-length."""
+    q_ref, k_ref, v_ref = args[:3]
+    i = 3
+    bias_ref = None
+    if has_bias:
+        bias_ref, i = args[i], i + 1
+    qs_ref = ks_ref = None
+    if has_seg:
+        qs_ref, ks_ref, i = args[i], args[i + 1], i + 2
+    return (q_ref, k_ref, v_ref, bias_ref, qs_ref, ks_ref) + tuple(args[i:])
+
+
+def _fwd_kernel(*args, scale, num_kv_blocks, bq, bk,
+                q_offset, causal, window=None, win_blocks=None,
+                has_bias=False, has_seg=False):
+    (q_ref, k_ref, v_ref, bias_ref, qs_ref, ks_ref, o_ref, lse_ref,
+     acc_ref, m_ref, l_ref) = _unpack_refs(args, has_bias, has_seg, 2)
     iq = pl.program_id(2)
     ikg = pl.program_id(3)
     if win_blocks is not None:
@@ -171,6 +201,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
             s = s + _causal_block_mask(iq, ik, bq, bk, q_offset, window)
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
+        if qs_ref is not None:
+            s = s + _seg_block_mask(qs_ref, ks_ref)
 
         m_prev = m_ref[:]                             # [BQ, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -211,8 +243,19 @@ def _bias_spec(bias, bq, bk, order, win=None):
     return pl.BlockSpec((1, 1, rows, bk), idx, memory_space=pltpu.VMEM)
 
 
+def _seg_specs(bq, bk, kmap):
+    """Block specs for (q_seg [B, Lq], kv_seg [B, Lk]): one int32 row per
+    block — O(L) streamed operand memory for the packed-sequence mask."""
+    return [
+        pl.BlockSpec((1, bq), lambda b_, h_, iq, ik: (b_, iq),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk), lambda b_, h_, iq, ik: (b_, kmap(iq, ik)),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
 def _fwd(q, k, v, bias, causal, q_offset, window=None, block_q=None,
-         block_k=None):
+         block_k=None, segments=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
@@ -245,18 +288,20 @@ def _fwd(q, k, v, bias, causal, q_offset, window=None, block_q=None,
         pl.BlockSpec((1, 1, bk, d), k_index, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
-    kw = dict(scale=scale, num_kv_blocks=nk, bq=bq, bk=bk,
-              q_offset=q_offset, causal=causal, window=window,
-              win_blocks=nkw)
     if bias is not None:
         in_specs.append(_bias_spec(bias, bq, bk, "q", win=(
             None if nkw is None else (nkw, nq, nk, bq, q_offset))))
         args.append(bias)
-        kern = functools.partial(_fwd_kernel, **kw)
-    else:
-        kern = functools.partial(
-            lambda qr, kr, vr, o, ls, a, m, l, **kw2:
-            _fwd_kernel(qr, kr, vr, None, o, ls, a, m, l, **kw2), **kw)
+    if segments is not None:
+        in_specs += _seg_specs(bq, bk, lambda iq, ik: (
+            ik if nkw is None else jnp.clip(
+                _win_top_block(iq, bq, bk, q_offset) - (nkw - 1) + ik,
+                0, nk - 1)))
+        args += [segments[0], segments[1]]
+    kern = functools.partial(
+        _fwd_kernel, scale=scale, num_kv_blocks=nk, bq=bq, bk=bk,
+        q_offset=q_offset, causal=causal, window=window, win_blocks=nkw,
+        has_bias=bias is not None, has_seg=segments is not None)
 
     out, lse = pl.pallas_call(
         kern,
@@ -290,7 +335,7 @@ def _fwd(q, k, v, bias, causal, q_offset, window=None, block_q=None,
 # ---------------------------------------------------------------------------
 
 def _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik, *, scale, bq, bk,
-                 q_offset, causal, window=None):
+                 q_offset, causal, window=None, qs_ref=None, ks_ref=None):
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -299,12 +344,16 @@ def _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik, *, scale, bq, bk,
         s = s + _causal_block_mask(iq, ik, bq, bk, q_offset, window)
     if bias_ref is not None:
         s = s + bias_ref[0, 0].astype(jnp.float32)
+    if qs_ref is not None:
+        s = s + _seg_block_mask(qs_ref, ks_ref)
     return jnp.exp(s - lse_ref[0, 0, 0][:, None])              # [BQ, BK]
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale, num_kv_blocks, bq, bk,
-                   q_offset, causal, window=None, win_blocks=None):
+def _bwd_dq_kernel(*args, scale, num_kv_blocks, bq, bk,
+                   q_offset, causal, window=None, win_blocks=None,
+                   has_bias=False, has_seg=False):
+    (q_ref, k_ref, v_ref, bias_ref, qs_ref, ks_ref, do_ref, lse_ref,
+     delta_ref, dq_ref, dq_acc) = _unpack_refs(args, has_bias, has_seg, 1)
     iq = pl.program_id(2)
     ikg = pl.program_id(3)
     if win_blocks is not None:   # windowed kv sweep (see _fwd_kernel)
@@ -328,7 +377,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     def _compute():
         p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
                          scale=scale, bq=bq, bk=bk, q_offset=q_offset,
-                         causal=causal, window=window)
+                         causal=causal, window=window,
+                         qs_ref=qs_ref, ks_ref=ks_ref)
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
@@ -348,15 +398,17 @@ def _win_base_q(ik, bq, bk, q_offset):
     return (ik * bk - q_offset) // bq
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q_blocks,
+def _bwd_dkv_kernel(*args, scale, num_q_blocks,
                     group, bq, bk, q_offset, causal, window=None,
-                    win_qblocks=None):
+                    win_qblocks=None, has_bias=False, has_seg=False):
     """Grid (B, H_kv, nk, nq*group): for each kv block, the innermost sweep
     visits every (q head in the GQA group, q block) pair and accumulates
     dk/dv for the group in VMEM scratch — one [B, H_kv, Lk, D] HBM write
     instead of a [B, H, Lk, D] intermediate + outside reduction (group x
     less dkv HBM traffic, the expensive half of training at GQA group 4)."""
+    (q_ref, k_ref, v_ref, bias_ref, qs_ref, ks_ref, do_ref, lse_ref,
+     delta_ref, dk_ref, dv_ref, dk_acc, dv_acc) = _unpack_refs(
+         args, has_bias, has_seg, 2)
     ik = pl.program_id(2)
     t = pl.program_id(3)
     if win_qblocks is not None:
@@ -383,7 +435,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     def _compute():
         p = _recompute_p(q_ref, k_ref, bias_ref, lse_ref, iq, ik,
                          scale=scale, bq=bq, bk=bk, q_offset=q_offset,
-                         causal=causal, window=window)
+                         causal=causal, window=window,
+                         qs_ref=qs_ref, ks_ref=ks_ref)
         q = q_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
@@ -403,7 +456,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
-         block_q=None, block_k=None):
+         block_q=None, block_k=None, segments=None):
     b, h, lq, d = q.shape
     h_kv, lk = k.shape[1], k.shape[2]
     group = h // h_kv
@@ -446,6 +499,8 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
         if bias is not None:
             sp.append(_bias_spec(bias, bq, bk, "q", win=(
                 None if nkw is None else (nkw, nq, nk, bq, q_offset))))
+        if segments is not None:
+            sp += _seg_specs(bq, bk, _kmap)
         sp += [
             pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),   # do
             pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # lse
@@ -482,6 +537,13 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
             rows = 1 if brow == 1 else bq
             sp.append(pl.BlockSpec((1, 1, rows, bk), bi,
                                    memory_space=pltpu.VMEM))
+        if segments is not None:
+            sp += [
+                pl.BlockSpec((1, bq), lambda b_, hk, ik, t:
+                             (b_, _qmap(ik, t)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk), lambda b_, hk, ik, t: (b_, ik),
+                             memory_space=pltpu.VMEM),
+            ]
         sp += [
             pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM),   # do
             pl.BlockSpec((1, 1, 1, bq), li, memory_space=pltpu.VMEM),   # lse
@@ -489,25 +551,16 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
         ]
         return sp
 
-    args = [q, k, v] + ([bias] if bias is not None else []) + [do, lse, delta]
+    args = ([q, k, v] + ([bias] if bias is not None else [])
+            + (list(segments) if segments is not None else [])
+            + [do, lse, delta])
     kw = dict(scale=scale, bq=bq, bk=bk, q_offset=q_offset, causal=causal,
-              window=window)
-
-    if bias is not None:
-        dq_kern = functools.partial(_bwd_dq_kernel, num_kv_blocks=nk,
-                                    win_blocks=nkw, **kw)
-        dkv_kern = functools.partial(_bwd_dkv_kernel, num_q_blocks=nq,
-                                     group=group, win_qblocks=nqw, **kw)
-    else:
-        dq_kern = functools.partial(
-            lambda qr, kr, vr, dor, lr, der, dqr, acc, **kw2:
-            _bwd_dq_kernel(qr, kr, vr, None, dor, lr, der, dqr, acc, **kw2),
-            num_kv_blocks=nk, win_blocks=nkw, **kw)
-        dkv_kern = functools.partial(
-            lambda qr, kr, vr, dor, lr, der, dkr, dvr, ka, va, **kw2:
-            _bwd_dkv_kernel(qr, kr, vr, None, dor, lr, der, dkr, dvr,
-                            ka, va, **kw2),
-            num_q_blocks=nq, group=group, win_qblocks=nqw, **kw)
+              window=window, has_bias=bias is not None,
+              has_seg=segments is not None)
+    dq_kern = functools.partial(_bwd_dq_kernel, num_kv_blocks=nk,
+                                win_blocks=nkw, **kw)
+    dkv_kern = functools.partial(_bwd_dkv_kernel, num_q_blocks=nq,
+                                 group=group, win_qblocks=nqw, **kw)
 
     dq = pl.pallas_call(
         dq_kern,
@@ -555,23 +608,34 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
 # custom_vjp wrappers
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, bias, causal, q_offset, window=None):
-    out, _ = _fwd(q, k, v, bias, causal, q_offset, window)
+def _segs(q_seg, kv_seg):
+    return None if q_seg is None else (q_seg, kv_seg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _flash(q, k, v, bias, q_seg, kv_seg, causal, q_offset, window=None):
+    out, _ = _fwd(q, k, v, bias, causal, q_offset, window,
+                  segments=_segs(q_seg, kv_seg))
     return out
 
 
-def _flash_fwd(q, k, v, bias, causal, q_offset, window=None):
-    out, lse = _fwd(q, k, v, bias, causal, q_offset, window)
-    return out, (q, k, v, bias, out, lse)
+def _flash_fwd(q, k, v, bias, q_seg, kv_seg, causal, q_offset, window=None):
+    out, lse = _fwd(q, k, v, bias, causal, q_offset, window,
+                    segments=_segs(q_seg, kv_seg))
+    return out, (q, k, v, bias, q_seg, kv_seg, out, lse)
 
 
 def _flash_bwd(causal, q_offset, window, res, do):
-    q, k, v, bias, out, lse = res
+    import numpy as np
+    q, k, v, bias, q_seg, kv_seg, out, lse = res
     dq, dk, dv = _bwd(q, k, v, bias, causal, q_offset, out, lse, do,
-                      window=window)
+                      window=window, segments=_segs(q_seg, kv_seg))
     dbias = None if bias is None else jnp.zeros_like(bias)
-    return dq, dk, dv, dbias
+    # integer segment ids: cotangent type is float0
+    dseg = (None if q_seg is None else
+            tuple(np.zeros(s.shape, jax.dtypes.float0)
+                  for s in (q_seg, kv_seg)))
+    return dq, dk, dv, dbias, *(dseg or (None, None))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -586,7 +650,7 @@ def _round_up(n: int, m: int) -> int:
 
 
 def flash_attention_bias(q, k, v, bias, *, causal: bool = False,
-                         window=None):
+                         window=None, segments=None):
     """Flash attention with an additive mask/bias (non-differentiable).
 
     q: [B, H, Lq, D]; k, v: [B, H_kv, Lk, D];
@@ -595,6 +659,11 @@ def flash_attention_bias(q, k, v, bias, *, causal: bool = False,
     future blocks; ``window`` (with causal) adds the sliding-window band
     and ALSO skips fully-pre-window blocks, so long-context SWA sweeps
     O(window) keys per query block instead of O(Lk).
+
+    ``segments``: optional ``(q_seg [B, Lq], kv_seg [B, Lk])`` int32
+    non-negative segment ids — attention is masked where ids differ
+    (packed sequences / block-diagonal attention) at O(L) operand cost
+    instead of an O(L^2) bias.
 
     Arbitrary lengths are handled by a pad-and-mask shim: lq/lk are padded
     up to the block multiple, padded keys are masked (by the causal mask
@@ -605,15 +674,23 @@ def flash_attention_bias(q, k, v, bias, *, causal: bool = False,
     b, h, lq, d = q.shape
     lk = k.shape[2]
     q_offset = lk - lq  # true alignment: queries end-aligned to kv range
+    q_seg, kv_seg = segments if segments is not None else (None, None)
     mult = _pad_multiple()
     lq_pad, lk_pad = _round_up(lq, mult), _round_up(lk, mult)
     if lq_pad == lq and lk_pad == lk:
-        return _flash(q, k, v, bias, causal, q_offset, window)
+        return _flash(q, k, v, bias, q_seg, kv_seg, causal, q_offset,
+                      window)
 
     dq_, dk_ = lq_pad - lq, lk_pad - lk
     q = jnp.pad(q, ((0, 0), (0, 0), (0, dq_), (0, 0)))
     k = jnp.pad(k, ((0, 0), (0, 0), (0, dk_), (0, 0)))
     v = jnp.pad(v, ((0, 0), (0, 0), (0, dk_), (0, 0)))
+    if q_seg is not None:
+        # distinct negative sentinels: padded keys match no real query,
+        # padded q rows match nothing at all (fully-masked rows emit 0
+        # via the kernel's floor and are sliced away)
+        q_seg = jnp.pad(q_seg, ((0, 0), (0, dq_)), constant_values=-2)
+        kv_seg = jnp.pad(kv_seg, ((0, 0), (0, dk_)), constant_values=-1)
     if bias is not None:
         # NEG_INF on padded keys (real rows must not attend them) and on
         # padded q rows (fully-masked rows emit 0 via the kernel's floor
@@ -622,11 +699,12 @@ def flash_attention_bias(q, k, v, bias, *, causal: bool = False,
         bias = jnp.pad(bias, ((0, 0), (0, 0),
                               (0, 0 if rows == 1 else dq_), (0, dk_)),
                        constant_values=NEG_INF)
-    elif dk_ and not causal:
-        # key tail must be masked for the real queries
+    elif dk_ and not causal and q_seg is None:
+        # key tail must be masked for the real queries (with segments the
+        # sentinel padding above already does it)
         tail = (jnp.arange(lk_pad) >= lk)[None, None, None, :]
         bias = jnp.where(tail, NEG_INF, 0.0).astype(jnp.float32)
-    out = _flash(q, k, v, bias, causal, q_offset, window)
+    out = _flash(q, k, v, bias, q_seg, kv_seg, causal, q_offset, window)
     return out[:, :, :lq] if dq_ else out
 
 

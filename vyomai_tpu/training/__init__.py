@@ -8,6 +8,8 @@ from .collators import (  # noqa: F401
     masked_language_modeling, electra_inputs, gumbel_sample, sft_collate,
     dpo_collate, lm_blocks, LanguageModeling)
 from .distill import select_layers, default_student_indices  # noqa: F401
+from .packing import (  # noqa: F401
+    pack_sequences, pack_sft, packing_efficiency)
 from . import checkpoint  # noqa: F401
 from .detection import detr_loss, hungarian_match, generalized_iou  # noqa: F401
 from .native_data import BlockBatchLoader  # noqa: F401
