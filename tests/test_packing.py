@@ -227,6 +227,36 @@ def test_packed_loss_matches_unpacked():
         set_sdpa_impl("auto")
 
 
+def test_packed_qwen_matches_unpacked():
+    """The modern (Qwen-style) stack supports packed batches too — the
+    HF-importable family is what SFT actually runs on."""
+    qcfg = vt.QwenConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, qk_norm=True,
+        tie_word_embeddings=True)
+    model = vt.ModelForCausalLM(qcfg)
+    params = model.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    seqs = [list(rng.randint(1, 128, size=n)) for n in (11, 8)]
+    packed = pack_sequences(seqs, seq_len=24)
+
+    set_sdpa_impl("xla")
+    try:
+        out = model.apply(params, jnp.asarray(packed["ids"]),
+                          segment_ids=jnp.asarray(packed["segment_ids"]),
+                          positions=jnp.asarray(packed["positions"]))
+        t = 0
+        for s in seqs:
+            ref = model.apply(params, jnp.asarray([s], dtype=jnp.int32))
+            np.testing.assert_allclose(
+                np.asarray(out.logits[0, t:t + len(s)]),
+                np.asarray(ref.logits[0]), atol=2e-4)
+            t += len(s)
+    finally:
+        set_sdpa_impl("auto")
+
+
 def test_packed_rejects_cache():
     model = vt.DecoderModel(CFG, pos_embedding_type="rope")
     params = model.init(jax.random.PRNGKey(2))

@@ -42,7 +42,7 @@ def modern_attention_init(key, config, dtype=jnp.float32):
 def modern_attention_apply(p, hidden, config, *, freqs=None, mask=None,
                            causal=False, cache_kv: Optional[Tuple] = None,
                            start_pos=0, rms_eps: float = 1e-6,
-                           rope_scale: float = 1.0):
+                           rope_scale: float = 1.0, segments=None):
     """Pre-norm attention body (caller applies the input norm + residual).
     Returns (attn_out, new_cache_kv)."""
     b, l, _ = hidden.shape
@@ -77,7 +77,7 @@ def modern_attention_apply(p, hidden, config, *, freqs=None, mask=None,
     out = sdpa(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep), mask,
                causal=causal,
                window=getattr(config, "sliding_window", None)
-               if causal else None)
+               if causal else None, segments=segments)
     out = _merge_heads(out)
     return cnn.linear(p["o_proj"], out), cache_kv
 
@@ -119,7 +119,7 @@ def modern_layer_apply(p, hidden, config, *, freqs=None, mask=None,
                        causal=False, cache_kv=None, start_pos=0,
                        rms_eps: float = 1e-6, rms_plus_one: bool = False,
                        mlp_act: str = "silu", moe_train: bool = False,
-                       rope_scale: float = 1.0):
+                       rope_scale: float = 1.0, segments=None):
     """x -> x + attn(norm(x)); h -> h + mlp(norm(h)).
 
     Returns ``(out, kv)`` for a dense MLP, ``(out, kv, aux_loss)`` when the
@@ -132,7 +132,7 @@ def modern_layer_apply(p, hidden, config, *, freqs=None, mask=None,
     attn_out, new_kv = modern_attention_apply(
         p["self_attn"], normed, config, freqs=freqs, mask=mask, causal=causal,
         cache_kv=cache_kv, start_pos=start_pos, rms_eps=rms_eps,
-        rope_scale=rope_scale)
+        rope_scale=rope_scale, segments=segments)
     hidden = hidden + attn_out
     normed = cnn.rms_norm(p["post_attention_layernorm"], hidden, eps=rms_eps,
                           plus_one=rms_plus_one)

@@ -62,17 +62,32 @@ class ModelForCausalLM:
 
     def apply(self, params, input_ids, attention_mask=None,
               cache: Optional[Any] = None, start_pos=0,
-              train: bool = False) -> CLMOutput:
+              train: bool = False, segment_ids=None,
+              positions=None) -> CLMOutput:
         """``train=True`` enables MoE capacity dropping (GShard training
         regime); inference routing is dropless so cached decode is
         token-exact vs full-prefix forwards. For MoE configs the output
-        carries ``aux_loss`` (mean Switch load-balance loss over layers)."""
+        carries ``aux_loss`` (mean Switch load-balance loss over layers).
+
+        ``segment_ids``/``positions``: optional [B, L] int32 for PACKED
+        training batches (``training.packing``) — attention is blocked
+        across segments (in-kernel on the flash path) and RoPE positions
+        restart per segment. Training path only (``cache`` must be None).
+        """
         cfg = self.config
+        if segment_ids is not None and cache is not None:
+            raise ValueError("packed segment_ids are a training feature; "
+                             "cached decode does not support them")
+        segments = (None if segment_ids is None
+                    else (segment_ids, segment_ids))
         moe = cfg.num_experts > 0
         hidden = cnn.embedding(params["embed_tokens"], input_ids)
         bsz, seqlen = input_ids.shape
-        freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
-                                             seqlen, axis=1)
+        if positions is not None:
+            freqs = jnp.take(self.emb_freq[0], positions, axis=0)
+        else:
+            freqs = jax.lax.dynamic_slice_in_dim(self.emb_freq, start_pos,
+                                                 seqlen, axis=1)
 
         causal = False
         window = getattr(cfg, "sliding_window", None)
@@ -114,7 +129,7 @@ class ModelForCausalLM:
             out = modern_layer_apply(
                 lp, h, cfg, freqs=freqs, mask=mask, causal=causal,
                 rms_eps=cfg.rms_norm_eps, moe_train=train,
-                rope_scale=self.rope_scale)
+                rope_scale=self.rope_scale, segments=segments)
             if moe:
                 return out[0], out[2]
             return out[0], None
