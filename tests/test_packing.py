@@ -257,6 +257,56 @@ def test_packed_qwen_matches_unpacked():
         set_sdpa_impl("auto")
 
 
+def test_packed_train_step_dp_mesh():
+    """Packed batches shard over a data-parallel mesh like any other batch
+    (segment_ids/positions split on the batch axis; the XLA segment mask
+    partitions trivially)."""
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs 4 virtual CPU devices")
+    import numpy as onp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from vyomai_tpu.parallel import shard_params
+    from vyomai_tpu.training import (create_train_state, make_optimizer,
+                                     make_train_step)
+    mesh = Mesh(onp.asarray(cpus[:4]).reshape(4, 1), ("data", "model"))
+    model = vt.DecoderModel(CFG, pos_embedding_type="rope")
+    with jax.default_device(cpus[0]):
+        params = model.init(jax.random.PRNGKey(4))
+    params = shard_params(params, mesh)
+
+    rng = np.random.RandomState(4)
+    seqs = [list(rng.randint(1, 128, size=rng.randint(4, 14)))
+            for _ in range(32)]
+    packed = pack_sequences(seqs, seq_len=16)
+    rows = (packed["ids"].shape[0] // 4) * 4
+    assert rows >= 4
+
+    def loss_fn(p, batch, rng_):
+        out = model.apply(p, batch["ids"], segment_ids=batch["seg"],
+                          positions=batch["pos"])
+        return cross_entropy(out.logits, batch["labels"]), {}
+
+    set_sdpa_impl("xla")
+    try:
+        opt = make_optimizer(1e-3)
+        state = create_train_state(params, opt)
+        step = make_train_step(loss_fn, opt)
+        sh = NamedSharding(mesh, P("data"))
+        batch = {
+            "ids": jax.device_put(jnp.asarray(packed["ids"][:rows]), sh),
+            "seg": jax.device_put(jnp.asarray(packed["segment_ids"][:rows]),
+                                  sh),
+            "pos": jax.device_put(jnp.asarray(packed["positions"][:rows]),
+                                  sh),
+            "labels": jax.device_put(jnp.asarray(packed["labels"][:rows]),
+                                     sh)}
+        state, m = step(state, batch, jax.random.PRNGKey(5))
+        assert np.isfinite(float(m["loss"]))
+    finally:
+        set_sdpa_impl("auto")
+
+
 def test_packed_rejects_cache():
     model = vt.DecoderModel(CFG, pos_embedding_type="rope")
     params = model.init(jax.random.PRNGKey(2))
