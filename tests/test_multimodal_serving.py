@@ -1,0 +1,150 @@
+"""Multimodal (PaliGemma-style) serving through the continuous-batching
+engine: image prefix embeddings + prefix-LM attention in paged prefill.
+
+The gold check: engine greedy caption tokens == the model's own jitted
+``generate`` (prefix-LM prefill + static-cache decode), token-exact, with
+mixed batches of different images and prompt lengths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vyomai_tpu as vt
+from vyomai_tpu.serving import ContinuousBatchEngine
+
+VCFG = vt.SiglipVisionConfig(hidden_size=64, intermediate_size=128,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=32, patch_size=8)
+TCFG = vt.GemmaConfig(vocab_size=512, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=1, head_dim=32,
+                      max_position_embeddings=128, eos_token_id=9999)
+PGCFG = vt.PaliGemmaConfig(vision_config=VCFG, text_config=TCFG,
+                           projection_dim=64, image_token_index=500)
+N_IMG = PGCFG.num_image_tokens
+MAX_NEW = 6
+
+
+@pytest.fixture(scope="module")
+def pg():
+    model = vt.PaliGemmaForConditionalGeneration(PGCFG)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _prompt(text_ids):
+    return [500] * N_IMG + list(text_ids)
+
+
+def _engine(pg_model, pg_params, **kw):
+    kw.setdefault("num_blocks", 128)
+    kw.setdefault("block_size", 8)
+    kw.setdefault("max_batch", 4)
+    kw.setdefault("max_blocks_per_seq", 16)
+    kw.setdefault("max_new_tokens", MAX_NEW)
+    kw.setdefault("dtype", jnp.float32)
+    kw.setdefault("prefill_buckets", (32, 64))
+    return ContinuousBatchEngine(
+        pg_model.language_model, pg_params["language_model"],
+        plus_one=True, position_offset=1, eos_token_id=9999, **kw)
+
+
+def test_engine_caption_matches_generate(pg):
+    model, params = pg
+    rng = np.random.RandomState(0)
+    pixels = [jax.random.normal(jax.random.PRNGKey(i), (1, 3, 32, 32))
+              for i in (1, 2)]
+    texts = [list(rng.randint(3, 400, size=5)),
+             list(rng.randint(3, 400, size=9))]
+
+    eng = _engine(model, params)
+    sids = []
+    for px, tx in zip(pixels, texts):
+        emb = np.asarray(model.serving_prefix_embeds(params, px))[0]
+        sids.append(eng.submit(_prompt(tx), prefix_embeds=emb,
+                               prefix_lm=True))
+    out = eng.run()
+
+    for sid, px, tx in zip(sids, pixels, texts):
+        ids = jnp.asarray([_prompt(tx)], dtype=jnp.int32)
+        ref = model.generate(params, ids, px, max_new_tokens=MAX_NEW)
+        ref_gen = np.asarray(ref)[0, ids.shape[1]:].tolist()
+        assert out[sid] == ref_gen, (out[sid], ref_gen)
+
+
+def test_prefix_cache_shares_identical_image_prompt(pg):
+    model, params = pg
+    px = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 32, 32))
+    emb = np.asarray(model.serving_prefix_embeds(params, px))[0]
+    text = list(range(3, 12))
+
+    eng = _engine(model, params)
+    a = eng.submit(_prompt(text), prefix_embeds=emb, prefix_lm=True,
+                   media_key="img-3")
+    out_a = eng.run()[a]
+    assert eng.counters["cached_prompt_tokens"] == 0
+
+    # identical (image, prompt): radix prefix reuse is valid and engages
+    b = eng.submit(_prompt(text), prefix_embeds=emb, prefix_lm=True,
+                   media_key="img-3")
+    out_b = eng.run()[b]
+    assert eng.counters["cached_prompt_tokens"] > 0
+    assert out_a == out_b
+
+    # same image but different prompt: the whole bidirectional region
+    # differs, so NOTHING may be shared (salt covers image AND prompt)
+    cached_before = eng.counters["cached_prompt_tokens"]
+    eng.submit(_prompt(text[:-1] + [401]), prefix_embeds=emb,
+               prefix_lm=True, media_key="img-3")
+    eng.run()
+    assert eng.counters["cached_prompt_tokens"] == cached_before
+
+    # media_key=None: unique image, never shared even for equal prompts
+    eng.submit(_prompt(text), prefix_embeds=emb, prefix_lm=True)
+    eng.run()
+    assert eng.counters["cached_prompt_tokens"] == cached_before
+
+
+def test_multimodal_tight_pool(pg):
+    """A tight pool (queueing / possible preemption): the multimodal
+    request must still reproduce the roomy-pool tokens exactly."""
+    model, params = pg
+    px = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 32, 32))
+    emb = np.asarray(model.serving_prefix_embeds(params, px))[0]
+    text = list(range(3, 10))
+
+    big = _engine(model, params)
+    r = big.submit(_prompt(text), prefix_embeds=emb, prefix_lm=True)
+    ref_tokens = big.run()[r]
+
+    small = _engine(model, params, num_blocks=10, max_batch=2)
+    s1 = small.submit(_prompt(text), prefix_embeds=emb, prefix_lm=True)
+    s2 = small.submit(_prompt(list(range(20, 27))), prefix_embeds=emb,
+                      prefix_lm=True)
+    out = small.run()
+    assert out[s1] == ref_tokens
+    assert len(out[s2]) > 0
+
+
+def test_multimodal_validation(pg):
+    model, params = pg
+    eng = _engine(model, params)
+    with pytest.raises(ValueError, match="prefix_embeds must be"):
+        eng.submit(_prompt([3]), prefix_embeds=np.zeros((4, 7)))
+    with pytest.raises(ValueError, match="exceed the prompt"):
+        eng.submit([3, 4], prefix_embeds=np.zeros((4, 64)))
+    with pytest.raises(ValueError, match="largest prefill bucket"):
+        eng.submit(_prompt(list(range(3, 60))),
+                   prefix_embeds=np.zeros((N_IMG, 64), np.float32),
+                   prefix_lm=True)
+
+
+def test_text_only_engine_unaffected(pg):
+    """A text-only request through the same (position-offset) engine uses
+    the plain causal path."""
+    model, params = pg
+    eng = _engine(model, params)
+    sid = eng.submit(list(range(3, 20)))
+    out = eng.run()[sid]
+    assert len(out) == MAX_NEW

@@ -71,6 +71,15 @@ class PaliGemmaForConditionalGeneration:
                                        img_idx[..., None], axis=1)
         return jnp.where(is_image[..., None], gathered, text)
 
+    def serving_prefix_embeds(self, params, pixel_values):
+        """Projected image features [B, n_img, D_text] for the serving
+        engine: exactly the values ``embed_fused`` scatters at
+        ``<image>``-token positions (the engine substitutes them at
+        positions < embed_len via ``submit(prefix_embeds=...)`` — net
+        scaling matches the reference: text x sqrt(hidden), image x 1)."""
+        img = self.vision_tower.apply(params["vision_tower"], pixel_values)
+        return cnn.linear(params["multi_modal_projector"], img)
+
     def apply(self, params, input_ids=None, pixel_values=None,
               attention_mask=None, token_type_ids=None,
               cache: Optional[Any] = None, start_pos=0) -> CLMOutput:

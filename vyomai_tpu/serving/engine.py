@@ -107,7 +107,8 @@ class ContinuousBatchEngine:
                  draft_params=None, draft_plus_one: bool = False,
                  gamma: int = 4, spec_rounds: int = 2,
                  ngram_speculation: bool = False, fsms=None,
-                 loras=None, return_logprobs: bool = False):
+                 loras=None, return_logprobs: bool = False,
+                 position_offset: int = 0):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -243,6 +244,11 @@ class ContinuousBatchEngine:
                     f"vocab {self.cfg.vocab_size}")
             self.draft_pool = paged_model.init_pool(
                 draft_model.config, num_blocks, block_size, dtype=dtype)
+        self.position_offset = int(position_offset)
+        if self.position_offset and (draft_model is not None
+                                     or ngram_speculation):
+            raise ValueError("position_offset (PaliGemma 1-indexed RoPE) "
+                             "is unsupported with speculative decoding")
         self.mesh = mesh
         self._allow_pallas = True
         # static `mesh` kwarg for the jitted steps: under TP the Pallas
@@ -336,7 +342,9 @@ class ContinuousBatchEngine:
                fsm_id: Optional[int] = None,
                lora_id: Optional[int] = None,
                stop: Optional[Sequence[Sequence[int]]] = None,
-               best_of: int = 1) -> int:
+               best_of: int = 1,
+               prefix_embeds=None, prefix_lm: bool = False,
+               media_key=None) -> int:
         """Queue a request. Per-request overrides (engine defaults when
         None): ``max_new_tokens`` (must not exceed the engine's — pool
         budgeting is sized to it), ``temperature``/``top_p`` (only
@@ -381,7 +389,8 @@ class ContinuousBatchEngine:
                 f"[1, {self.max_new_tokens}] (the engine's limit sizes "
                 "pool budgeting)")
         max_pos = getattr(self.cfg, "max_position_embeddings", None)
-        if max_pos and len(prompt) + self.max_new_tokens > max_pos:
+        if max_pos and (len(prompt) + self.max_new_tokens
+                        + self.position_offset) > max_pos:
             # positions past the RoPE table would silently clamp to its
             # last row (jnp.take mode=clip) — wrong rotations, not an error
             raise ValueError(
@@ -445,6 +454,37 @@ class ContinuousBatchEngine:
             raise ValueError("empty stop sequence (would match immediately)")
         if best_of < 1:
             raise ValueError(f"best_of must be >= 1, got {best_of}")
+        if prefix_embeds is not None or prefix_lm:
+            # multimodal / prefix-LM request (PaliGemma-style captioning
+            # through the continuous batch — reference paligemma.ipynb +
+            # simple_vllm.ipynb combined)
+            if self.draft_model is not None or self.ngram_speculation:
+                raise ValueError("multimodal/prefix-LM requests are "
+                                 "unsupported with speculative decoding")
+            if getattr(self.cfg, "sliding_window", None):
+                raise ValueError("prefix-LM is incompatible with "
+                                 "sliding-window attention")
+        n_embed = 0
+        if prefix_embeds is not None:
+            import numpy as _np
+            prefix_embeds = _np.asarray(prefix_embeds, _np.float32)
+            if prefix_embeds.ndim != 2 or \
+                    prefix_embeds.shape[1] != self.cfg.hidden_size:
+                raise ValueError(
+                    f"prefix_embeds must be [n, {self.cfg.hidden_size}], "
+                    f"got {prefix_embeds.shape}")
+            n_embed = prefix_embeds.shape[0]
+            if n_embed > len(prompt):
+                raise ValueError(f"prefix_embeds rows ({n_embed}) exceed "
+                                 f"the prompt length ({len(prompt)})")
+        if prefix_lm and len(prompt) > self.prefill_buckets[-1]:
+            # the whole bidirectional region must be covered by (cached +
+            # one prefill chunk): every prefix token attends every other,
+            # so it cannot be split across chunk boundaries
+            raise ValueError(
+                f"prefix-LM prompt of {len(prompt)} tokens exceeds the "
+                f"largest prefill bucket {self.prefill_buckets[-1]} (the "
+                "bidirectional prefix must prefill in one chunk)")
         if best_of > 1:
             if not self.do_sample:
                 raise ValueError("best_of > 1 needs do_sample=True "
@@ -481,6 +521,23 @@ class ContinuousBatchEngine:
         # keys into a disjoint namespace so prefixes are shared only among
         # requests with the SAME adapter (never with base or each other)
         state.cache_salt = (state.lora_id + 1) << 33
+        state.prefix_embeds = prefix_embeds
+        state.embed_len = n_embed
+        state.prefix_lm = bool(prefix_lm)
+        state.bidir_len = len(prompt) if prefix_lm else 0
+        if prefix_lm or prefix_embeds is not None:
+            # Prefix-LM KV depends on the WHOLE bidirectional region (and
+            # on the image, which token ids don't encode): radix prefixes
+            # may be shared only between requests with an identical
+            # (image, prompt) pair. Fold both into the salt; media_key=None
+            # means "this image is unique" (no cross-request sharing).
+            src = (media_key if media_key is not None else ("#sid", sid),
+                   tuple(map(int, prompt)))
+            # bits 40..62 (disjoint from the lora salt's 33..39 and from
+            # token ids) keep salted keys inside the native manager's
+            # int64; 22 hash bits — a collision additionally requires
+            # identical prompt token chunks to cause any sharing
+            state.cache_salt += ((abs(hash(src)) % ((1 << 22) - 1)) + 1) << 40
         state.logprobs = []
         state.t_submit = time.monotonic()
         state.family = None
@@ -501,7 +558,8 @@ class ContinuousBatchEngine:
                              "repetition_penalty", "min_tokens",
                              "ignore_eos", "logit_bias",
                              "fsm_id", "fsm_state", "lora_id", "cache_salt",
-                             "stop_seqs", "t_submit"):
+                             "stop_seqs", "t_submit", "prefix_embeds",
+                             "embed_len", "prefix_lm", "bidir_len"):
                     setattr(sib, attr, getattr(state, attr))
                 # identical seeds would make rollouts identical: derive.
                 # Wrap into the validated int32 range — seed=2**31-1 must
@@ -740,6 +798,28 @@ class ContinuousBatchEngine:
         ops = (self._put(ids), self._put(positions), self._put(slot_blocks),
                self._put(slot_offsets), self._put(tables), self._put(ctx_len),
                self._put(true_len))
+        mm_kw = {}
+        if any(getattr(st, "embed_len", 0) or getattr(st, "bidir_len", 0)
+               for st in states):
+            embeds = np.zeros((n_pad, t_pad, self.cfg.hidden_size),
+                              dtype=np.float32)
+            embed_len = np.zeros(n_pad, dtype=np.int32)
+            bidir_len = np.zeros(n_pad, dtype=np.int32)
+            for i, state in enumerate(states):
+                ne = getattr(state, "embed_len", 0)
+                cached = state.num_cached_tokens
+                if ne:
+                    rows = state.prefix_embeds[cached:min(ne, cached
+                                                          + len(suffixes[i]))]
+                    if len(rows):
+                        embeds[i, :len(rows)] = rows
+                    embed_len[i] = ne
+                bidir_len[i] = getattr(state, "bidir_len", 0)
+            mm_kw = dict(embeds=self._put(embeds),
+                         embed_len=self._put(embed_len),
+                         bidir_len=self._put(bidir_len))
+        if self.position_offset:
+            mm_kw["rope_offset"] = self.position_offset
         lora_kw = {}
         if self.num_loras:
             lanes = np.full(n_pad, -1, dtype=np.int32)
@@ -749,7 +829,7 @@ class ContinuousBatchEngine:
         logits, self.pool = paged_model.prefill(
             self.model, self.plus_one, self.params, self.pool, *ops,
             allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
-            **lora_kw)
+            **mm_kw, **lora_kw)
         if self.draft_model is not None:
             # the draft pool must hold the same context (same slots) so
             # speculative rounds can attend it; its logits are discarded
@@ -1050,6 +1130,7 @@ class ContinuousBatchEngine:
             rng=self._put(sub), temperature=temps,
             top_p=tps, min_p=mps, budget=self._put(budget),
             allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
+            rope_offset=self.position_offset,
             with_logprobs=self.return_logprobs, **fsm_kw)
         if self.return_logprobs:
             packed = np.asarray(_pack_i32_f32(gen, lps))

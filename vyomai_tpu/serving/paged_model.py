@@ -149,7 +149,8 @@ def _tp_flash_prefill(mesh, qh, kk, vv, bias):
 
 def _multi_core(model, plus_one: bool, params, pool, ids, positions,
                 slot_blocks, slot_offsets, block_tables, ctx_len,
-                allow_pallas: bool = True, mesh=None):
+                allow_pallas: bool = True, mesh=None, embeds=None,
+                embed_len=None, bidir_len=None, rope_offset: int = 0):
     """Multi-token paged step (traced core shared by ``prefill`` and
     speculative verification): writes each token's K/V at its slot and
     attends causally-with-offset over the gathered paged context.
@@ -170,6 +171,20 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     shard_map on each device's local heads (``_tp_flash_prefill``).
     Measured end-to-end prefill (4L x 1024h GQA4 bf16, v5e): 1.32x at
     T=2048, 1.64x at T=4096 vs the einsum path.
+
+    MULTIMODAL / prefix-LM operands (all optional; the reference's
+    PaliGemma regime — ``paligemma.ipynb`` cell 17 — run through the
+    serving engine):
+    - ``embeds [N, T, Dm]`` + ``embed_len [N]``: positions < embed_len use
+      the provided hidden values (projected image features) instead of the
+      token embedding — the ``masked_scatter`` fusion, post input scaling.
+    - ``bidir_len [N]``: context positions < bidir_len are attendable by
+      EVERY query of the lane (bidirectional image+prompt prefix, causal
+      suffix). The caller must guarantee the whole bidirectional region's
+      KV is cached or written by THIS chunk (the engine enforces
+      prompt_len <= the largest prefill bucket for such requests).
+    - ``rope_offset``: static position offset for the RoPE tables only
+      (PaliGemma's 1-indexed positions); mask positions are unaffected.
     """
     cfg = model.config
     emb_freq = model.emb_freq
@@ -179,6 +194,9 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     hidden = cnn.embedding(params["embed_tokens"], ids)       # [N, Tp, Dm]
     if plus_one:  # gemma input scaling
         hidden = hidden * jnp.asarray(cfg.hidden_size ** 0.5, hidden.dtype)
+    if embeds is not None:
+        use = (positions < embed_len[:, None])[..., None]     # [N, Tp, 1]
+        hidden = jnp.where(use, embeds.astype(hidden.dtype), hidden)
 
     nb, bs = pool["kv"].shape[1], pool["kv"].shape[3]
     maxb = block_tables.shape[1]
@@ -190,7 +208,10 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     t_ctx = maxb * bs
     k_pos = jnp.arange(t_ctx)[None, None, :]
     q_abs = positions[:, :, None]
-    ok = (k_pos <= q_abs) & (k_pos < ctx_len[:, None, None])
+    causal_ok = k_pos <= q_abs
+    if bidir_len is not None:   # prefix-LM: bidirectional over the prefix
+        causal_ok = causal_ok | (k_pos < bidir_len[:, None, None])
+    ok = causal_ok & (k_pos < ctx_len[:, None, None])
     window = getattr(cfg, "sliding_window", None)
     if window is not None:   # Mistral band (+ StreamingLLM sinks)
         band = k_pos > q_abs - window
@@ -201,7 +222,8 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
     attn_mask = jnp.where(ok, 0.0, NEG_INF)
 
     # per-token RoPE tables [N, Tp, D]
-    freqs = jnp.take(emb_freq[0], positions.reshape(-1), axis=0)
+    freqs = jnp.take(emb_freq[0], positions.reshape(-1) + rope_offset,
+                     axis=0)
     emb = jnp.concatenate([freqs, freqs], axis=-1).reshape(n, t_pad, 1, -1)
     rs = getattr(model, "rope_scale", 1.0)   # YaRN attention mscale
     cos = jnp.cos(emb) * rs
@@ -297,10 +319,12 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,),
-         static_argnames=("allow_pallas", "mesh"))
+         static_argnames=("allow_pallas", "mesh", "rope_offset"))
 def prefill(model, plus_one: bool, params, pool, ids, positions,
             slot_blocks, slot_offsets, block_tables, ctx_len, true_len,
-            lora_lanes=None, allow_pallas: bool = True, mesh=None):
+            lora_lanes=None, allow_pallas: bool = True, mesh=None,
+            embeds=None, embed_len=None, bidir_len=None,
+            rope_offset: int = 0):
     """Batched prefill of uncached prompt suffixes (one device call for a
     whole group of admissions — the engine packs same-bucket sequences).
 
@@ -315,7 +339,10 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
         hidden, pool = _multi_core(model, plus_one, params, pool, ids,
                                    positions, slot_blocks, slot_offsets,
                                    block_tables, ctx_len,
-                                   allow_pallas=allow_pallas, mesh=mesh)
+                                   allow_pallas=allow_pallas, mesh=mesh,
+                                   embeds=embeds, embed_len=embed_len,
+                                   bidir_len=bidir_len,
+                                   rope_offset=rope_offset)
         last = jnp.take_along_axis(
             hidden,
             jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32),
@@ -325,7 +352,8 @@ def prefill(model, plus_one: bool, params, pool, ids, positions,
 
 def _decode_core(model, plus_one, params, pool, tokens, positions,
                  block_tables, seq_lens, slot_blocks, slot_offsets,
-                 allow_pallas: bool = True, mesh=None):
+                 allow_pallas: bool = True, mesh=None,
+                 rope_offset: int = 0):
     """One decode step over the paged pool. Returns (logits [B, V], pool).
 
     ``allow_pallas=False`` forces the XLA attention path. Under a
@@ -381,7 +409,8 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
                              eps=cfg.rms_norm_eps)
             k = cnn.rms_norm(lp["self_attn"]["k_norm"], k,
                              eps=cfg.rms_norm_eps)
-        freqs = jnp.take(emb_freq[0], positions, axis=0)         # [B, D/2]
+        freqs = jnp.take(emb_freq[0], positions + rope_offset,
+                         axis=0)                                 # [B, D/2]
         emb = jnp.concatenate([freqs, freqs], axis=-1)[:, None, :]
         rs = getattr(model, "rope_scale", 1.0)   # YaRN attention mscale
         cos = (jnp.cos(emb) * rs).astype(q.dtype)
@@ -439,10 +468,11 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
 
 
 @partial(jax.jit, static_argnums=(0, 1), donate_argnums=(3,),
-         static_argnames=("allow_pallas", "mesh"))
+         static_argnames=("allow_pallas", "mesh", "rope_offset"))
 def decode(model, plus_one: bool, params, pool, tokens, positions,
            block_tables, seq_lens, slot_blocks, slot_offsets,
-           allow_pallas: bool = True, lora_lanes=None, mesh=None):
+           allow_pallas: bool = True, lora_lanes=None, mesh=None,
+           rope_offset: int = 0):
     """Batched single-token decode.
 
     tokens: [B] int32; positions: [B] absolute positions; block_tables:
@@ -454,7 +484,8 @@ def decode(model, plus_one: bool, params, pool, tokens, positions,
     with cnn.lora_lanes(lora_lanes):
         return _decode_core(model, plus_one, params, pool, tokens, positions,
                             block_tables, seq_lens, slot_blocks, slot_offsets,
-                            allow_pallas=allow_pallas, mesh=mesh)
+                            allow_pallas=allow_pallas, mesh=mesh,
+                            rope_offset=rope_offset)
 
 
 def sampling_mask(logits, temperature, top_p, min_p=0.0):
@@ -499,7 +530,8 @@ def sample_tokens(logits, rng, temperature, top_p, min_p=0.0,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 8, 9), donate_argnums=(3,),
-         static_argnames=("allow_pallas", "with_logprobs", "mesh"))
+         static_argnames=("allow_pallas", "with_logprobs", "mesh",
+                          "rope_offset"))
 def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    block_tables, live, horizon: int, do_sample: bool = False,
                    eos=-1, rng=None, temperature=1.0, top_p=1.0, min_p=0.0,
@@ -509,7 +541,8 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    token_counts=None, presence_penalty=0.0,
                    frequency_penalty=0.0, rep_penalty=None, seen_mask=None,
                    min_steps=None, bias_idx=None, bias_val=None,
-                   lane_seeds=None, gen_base=None, mesh=None):
+                   lane_seeds=None, gen_base=None, mesh=None,
+                   rope_offset: int = 0):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -619,7 +652,7 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         logits, pl_ = _decode_core(model, plus_one, params, pl_, toks, pos,
                                    block_tables, seq_lens, slot_blocks,
                                    slot_offsets, allow_pallas=allow_pallas,
-                                   mesh=mesh)
+                                   mesh=mesh, rope_offset=rope_offset)
         raw = logits
         if penalize:
             c = cnt.astype(jnp.float32)
