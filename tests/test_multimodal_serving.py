@@ -148,3 +148,60 @@ def test_text_only_engine_unaffected(pg):
     sid = eng.submit(list(range(3, 20)))
     out = eng.run()[sid]
     assert len(out) == MAX_NEW
+
+
+# ---------------------------------------------------------------------------
+# Embedding serving (serving.embedding — vLLM LLM.embed role)
+# ---------------------------------------------------------------------------
+
+def test_embed_batch_matches_single_forward():
+    from vyomai_tpu.serving import embed_batch
+    cfg = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                           num_hidden_layers=2, vocab_size=256,
+                           max_position_embeddings=64,
+                           intermediate_size=128, hidden_dropout_prob=0.0)
+    model = vt.EncoderModel(cfg, pos_embedding_type="sinusoidal")
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 256, size=n)) for n in (5, 17, 9, 33)]
+
+    vecs = embed_batch(model, params, prompts, pooling="mean",
+                       buckets=(16, 64), batch_size=2)
+    assert len(vecs) == 4
+    for p, v in zip(prompts, vecs):
+        ids = jnp.asarray([p], dtype=jnp.int32)
+        h = np.asarray(model.apply(params, ids).logits[0])   # hidden states
+        ref = h.mean(0)
+        ref = ref / np.linalg.norm(ref)
+        np.testing.assert_allclose(v, ref, atol=1e-5)
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_embed_batch_decoder_last_pooling(pg):
+    from vyomai_tpu.serving import embed_batch
+    model, params = pg
+    lm, lp = model.language_model, params["language_model"]
+    prompts = [[3, 4, 5], [7, 8, 9, 10, 11]]
+    vecs = embed_batch(lm, lp, prompts, pooling="last", normalize=False,
+                       buckets=(8,), batch_size=4)
+    for p, v in zip(prompts, vecs):
+        ids = jnp.asarray([p], dtype=jnp.int32)
+        ref = np.asarray(lm.apply(lp, ids,
+                                  jnp.ones_like(ids)).hidden_state[0, -1])
+        np.testing.assert_allclose(v, ref, atol=1e-5)
+
+
+def test_embed_batch_validation():
+    from vyomai_tpu.serving import embed_batch
+    cfg = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                           num_hidden_layers=1, vocab_size=64,
+                           max_position_embeddings=64,
+                           intermediate_size=128)
+    model = vt.EncoderModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="empty"):
+        embed_batch(model, params, [[]])
+    with pytest.raises(ValueError, match="largest bucket"):
+        embed_batch(model, params, [list(range(40))], buckets=(16,))
+    with pytest.raises(ValueError, match="pooling"):
+        embed_batch(model, params, [[1, 2]], pooling="max")
