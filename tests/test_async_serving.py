@@ -322,3 +322,57 @@ def test_http_bad_numeric_field_is_400(qwen, http_srv):
                          {"prompt": [3, 17], "max_tokens": "8"})
     assert status == 400
     assert b"error" in data
+
+
+@pytest.fixture()
+def http_srv_embed(qwen):
+    model, params = qwen
+    vocab = {"a": 3, "b": 17, "c": 42, "d": 9}
+    server, aeng = make_server(
+        _engine(model, params),
+        tokenize=lambda s: [vocab[ch] for ch in s],
+        embed_model=model, embed_params=params, embed_pooling="last")
+    serve_in_thread(server)
+    host, port = server.server_address
+    yield host, port
+    server.shutdown()
+    aeng.close()
+
+
+def test_http_embeddings(qwen, http_srv_embed):
+    """/v1/embeddings: OpenAI shape, values match serving.embed_batch."""
+    import numpy as np
+    from vyomai_tpu.serving import embed_batch
+    model, params = qwen
+    host, port = http_srv_embed
+    prompts = [[3, 17, 42], [9, 5, 11, 13]]
+    ref = embed_batch(model, params, prompts, pooling="last")
+
+    status, data = _post(host, port, "/v1/embeddings", {"input": prompts})
+    assert status == 200
+    out = json.loads(data)
+    assert out["object"] == "list" and len(out["data"]) == 2
+    for i, item in enumerate(out["data"]):
+        assert item["index"] == i
+        np.testing.assert_allclose(np.asarray(item["embedding"]),
+                                   ref[i], atol=1e-6)
+
+    # single string input through the server-side tokenizer
+    status, data = _post(host, port, "/v1/embeddings", {"input": "abc"})
+    assert status == 200
+    one = json.loads(data)["data"]
+    np.testing.assert_allclose(
+        np.asarray(one[0]["embedding"]),
+        embed_batch(model, params, [[3, 17, 42]], pooling="last")[0],
+        atol=1e-6)
+
+    # validation
+    assert _post(host, port, "/v1/embeddings", {"input": []})[0] == 400
+    assert _post(host, port, "/v1/embeddings",
+                 {"input": [["x"]]})[0] == 400
+
+
+def test_http_embeddings_disabled(qwen, http_srv):
+    host, port = http_srv
+    status, data = _post(host, port, "/v1/embeddings", {"input": [[3]]})
+    assert status == 400 and "embed_model" in json.loads(data)["error"]

@@ -26,6 +26,13 @@ Endpoints:
   fields as ``/v1/completions``; response carries
   ``choices[0].message.content`` (with a ``detokenize``) plus the raw
   ``tokens``; ``"stream": true`` emits the same SSE token chunks.
+- ``POST /v1/embeddings`` — OpenAI embeddings shape: ``input`` is one
+  prompt or a list (strings with a server-side ``tokenize``, else
+  token-id lists); response ``{"object": "list", "data": [{"index",
+  "embedding"}, ...]}``. Enabled when the server is built with
+  ``embed_model=``/``embed_params=`` (any model ``serving.embed_batch``
+  accepts — the generation model itself with ``"last"`` pooling, or a
+  dedicated encoder with ``"mean"``).
 - ``GET /v1/metrics`` — the engine's ``metrics()`` snapshot as JSON.
 
 Build one with :func:`make_server` and drive it with ``serve_forever`` in
@@ -65,6 +72,9 @@ class CompletionHandler(BaseHTTPRequestHandler):
     tokenize: Optional[Callable[[str], List[int]]] = None
     detokenize: Optional[Callable[[List[int]], str]] = None
     chat_ids: Optional[dict] = None           # im_start/im_end/newline ids
+    embed_model = None                        # enables /v1/embeddings
+    embed_params = None
+    embed_pooling: str = "last"
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):        # quiet by default
@@ -102,15 +112,54 @@ class CompletionHandler(BaseHTTPRequestHandler):
             newline_id=self.chat_ids["newline_id"],
             assistant_role_ids=self.chat_ids.get("assistant_role_ids", ()))
 
+    def _embeddings(self, req):
+        if self.embed_model is None:
+            return self._json(400, {"error": "embeddings need a server "
+                                             "built with embed_model="})
+        inputs = req.get("input")
+        single = isinstance(inputs, str) or (
+            isinstance(inputs, list) and inputs
+            and isinstance(inputs[0], int))
+        items = [inputs] if single else (inputs or [])
+        prompts = []
+        for it in items:
+            if isinstance(it, str):
+                if self.tokenize is None:
+                    return self._json(400, {"error": "string input needs a "
+                                                     "server-side tokenizer"})
+                it = self.tokenize(it)
+            if not isinstance(it, list) or not it or \
+                    not all(isinstance(t, int) for t in it):
+                return self._json(400, {"error": "input must be strings or "
+                                                 "non-empty token-id lists"})
+            prompts.append(it)
+        if not prompts:
+            return self._json(400, {"error": "empty input"})
+        from .embedding import embed_batch
+        try:
+            vecs = embed_batch(self.embed_model, self.embed_params, prompts,
+                               pooling=req.get("pooling",
+                                               self.embed_pooling))
+        except ValueError as e:
+            return self._json(400, {"error": str(e)})
+        return self._json(200, {
+            "object": "list",
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(x) for x in v]}
+                     for i, v in enumerate(vecs)]})
+
     def do_POST(self):
         chat = self.path == "/v1/chat/completions"
-        if self.path != "/v1/completions" and not chat:
+        if self.path not in ("/v1/completions", "/v1/embeddings") \
+                and not chat:
             return self._json(404, {"error": "unknown path"})
         try:
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError):
             return self._json(400, {"error": "malformed JSON body"})
+        if self.path == "/v1/embeddings":
+            return self._embeddings(req)
 
         if chat:
             try:
@@ -195,21 +244,25 @@ class CompletionHandler(BaseHTTPRequestHandler):
 def make_server(engine, host: str = "127.0.0.1", port: int = 0, *,
                 tokenize: Optional[Callable[[str], List[int]]] = None,
                 detokenize: Optional[Callable[[List[int]], str]] = None,
-                chat_ids: Optional[dict] = None):
+                chat_ids: Optional[dict] = None, embed_model=None,
+                embed_params=None, embed_pooling: str = "last"):
     """Wrap ``engine`` (a ``ContinuousBatchEngine``) in an ``AsyncEngine``
     and return ``(ThreadingHTTPServer, AsyncEngine)``. ``port=0`` picks a
     free port (read it from ``server.server_address``). The caller runs
     ``server.serve_forever()`` (usually in a thread) and shuts down with
     ``server.shutdown(); async_engine.close()``. ``chat_ids`` (dict with
     ``im_start_id``/``im_end_id``/``newline_id`` and optional
-    ``assistant_role_ids``) enables ``/v1/chat/completions``."""
+    ``assistant_role_ids``) enables ``/v1/chat/completions``;
+    ``embed_model``/``embed_params`` enable ``/v1/embeddings``."""
     aeng = AsyncEngine(engine)
     handler = type("BoundCompletionHandler", (CompletionHandler,),
                    {"async_engine": aeng, "tokenize": staticmethod(tokenize)
                     if tokenize else None,
                     "detokenize": staticmethod(detokenize)
                     if detokenize else None,
-                    "chat_ids": chat_ids})
+                    "chat_ids": chat_ids, "embed_model": embed_model,
+                    "embed_params": embed_params,
+                    "embed_pooling": embed_pooling})
     server = ThreadingHTTPServer((host, port), handler)
     return server, aeng
 
