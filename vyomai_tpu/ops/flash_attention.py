@@ -135,8 +135,8 @@ def _win_top_block(iq, bq, bk, q_offset):
 def _seg_block_mask(qs_ref, ks_ref):
     """Additive cross-segment mask for the current block pair: query i may
     attend key j iff their segment ids are equal (packed sequences)."""
-    qs = qs_ref[0][:, None]                               # [BQ, 1] int32
-    ks = ks_ref[0][None, :]                               # [1, BK]
+    qs = qs_ref[0, 0][:, None]                            # [BQ, 1] int32
+    ks = ks_ref[0, 0][None, :]                            # [1, BK]
     return jnp.where(qs == ks, 0.0, NEG_INF)
 
 
@@ -244,12 +244,17 @@ def _bias_spec(bias, bq, bk, order, win=None):
 
 
 def _seg_specs(bq, bk, kmap):
-    """Block specs for (q_seg [B, Lq], kv_seg [B, Lk]): one int32 row per
-    block — O(L) streamed operand memory for the packed-sequence mask."""
+    """Block specs for (q_seg, kv_seg) carried as [B, 1, L]: one int32 row
+    per block — O(L) streamed operand memory for the packed-sequence mask.
+    The singleton middle dim keeps the block's second-minor dimension equal
+    to the array's (Mosaic requires block dims divisible by (8, 128) OR
+    equal to the array dims — a (1, bq) block over [B, Lq] is illegal for
+    B > 1)."""
     return [
-        pl.BlockSpec((1, bq), lambda b_, h_, iq, ik: (b_, iq),
+        pl.BlockSpec((1, 1, bq), lambda b_, h_, iq, ik: (b_, 0, iq),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk), lambda b_, h_, iq, ik: (b_, kmap(iq, ik)),
+        pl.BlockSpec((1, 1, bk),
+                     lambda b_, h_, iq, ik: (b_, 0, kmap(iq, ik)),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -297,7 +302,7 @@ def _fwd(q, k, v, bias, causal, q_offset, window=None, block_q=None,
             ik if nkw is None else jnp.clip(
                 _win_top_block(iq, bq, bk, q_offset) - (nkw - 1) + ik,
                 0, nk - 1)))
-        args += [segments[0], segments[1]]
+        args += [segments[0][:, None, :], segments[1][:, None, :]]
     kern = functools.partial(
         _fwd_kernel, scale=scale, num_kv_blocks=nk, bq=bq, bk=bk,
         q_offset=q_offset, causal=causal, window=window, win_blocks=nkw,
@@ -539,9 +544,10 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
                                    memory_space=pltpu.VMEM))
         if segments is not None:
             sp += [
-                pl.BlockSpec((1, bq), lambda b_, hk, ik, t:
-                             (b_, _qmap(ik, t)), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bk), lambda b_, hk, ik, t: (b_, ik),
+                pl.BlockSpec((1, 1, bq), lambda b_, hk, ik, t:
+                             (b_, 0, _qmap(ik, t)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bk), lambda b_, hk, ik, t: (b_, 0, ik),
                              memory_space=pltpu.VMEM),
             ]
         sp += [
@@ -552,7 +558,8 @@ def _bwd(q, k, v, bias, causal, q_offset, out, lse, do, window=None,
         return sp
 
     args = ([q, k, v] + ([bias] if bias is not None else [])
-            + (list(segments) if segments is not None else [])
+            + ([segments[0][:, None, :], segments[1][:, None, :]]
+               if segments is not None else [])
             + [do, lse, delta])
     kw = dict(scale=scale, bq=bq, bk=bk, q_offset=q_offset, causal=causal,
               window=window, has_bias=bias is not None,

@@ -628,6 +628,11 @@ class ContinuousBatchEngine:
         prompt = list(prompt)
         if len(prompt) < 2:
             raise ValueError("need >= 2 tokens (the first is unscored)")
+        if self.position_offset:
+            raise ValueError(
+                "score() is text-only and uses the model's default (0-"
+                "indexed) positions; a position_offset engine (PaliGemma) "
+                "would score with inconsistent RoPE tables")
         if lora_id is not None and not 0 <= lora_id < self.num_loras:
             raise ValueError(f"lora_id {lora_id} outside "
                              f"[0, {self.num_loras})")
