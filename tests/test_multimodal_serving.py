@@ -205,3 +205,58 @@ def test_embed_batch_validation():
         embed_batch(model, params, [list(range(40))], buckets=(16,))
     with pytest.raises(ValueError, match="pooling"):
         embed_batch(model, params, [[1, 2]], pooling="max")
+
+
+def test_multimodal_randomized_stress(pg):
+    """Randomized mixed multimodal + text schedule through a tight pool
+    (admission pressure, radix churn, aborts): every multimodal lane stays
+    token-exact vs the model's own generate; no leaked blocks."""
+    model, params = pg
+    rng = np.random.RandomState(7)
+    images = [jax.random.normal(jax.random.PRNGKey(40 + i), (1, 3, 32, 32))
+              for i in range(3)]
+    embeds = [np.asarray(model.serving_prefix_embeds(params, px))[0]
+              for px in images]
+
+    eng = _engine(model, params, num_blocks=24, max_batch=3)
+    free0 = eng.kv.num_free()
+    reqs = {}
+    for i in range(10):
+        if rng.random() < 0.6:
+            k = int(rng.randint(0, 3))
+            text = list(rng.randint(3, 400, size=rng.randint(2, 8)))
+            sid = eng.submit(_prompt(text), prefix_embeds=embeds[k],
+                             prefix_lm=True, media_key=f"im{k}")
+            reqs[sid] = ("mm", k, text)
+        else:
+            text = list(rng.randint(3, 400, size=rng.randint(2, 12)))
+            sid = eng.submit(text)
+            reqs[sid] = ("text", None, text)
+
+    aborted = set()
+    steps = 0
+    while eng.waiting or eng.active or eng.needs_prefill:
+        eng.step()
+        steps += 1
+        if steps % 4 == 0 and rng.random() < 0.4:
+            live = [s for s in reqs if s not in aborted
+                    and s not in eng.finished]
+            if live:
+                victim = int(rng.choice(live))
+                if eng.abort(victim):
+                    aborted.add(victim)
+        assert steps < 400, "scheduler failed to drain"
+
+    out = {sid: s.tokens[s.prompt_len:] for sid, s in eng.finished.items()}
+    for sid, (kind, k, text) in reqs.items():
+        if sid in aborted and sid not in out:
+            continue
+        assert sid in out
+        if kind == "mm":
+            ids = jnp.asarray([_prompt(text)], jnp.int32)
+            ref = model.generate(params, ids, images[k],
+                                 max_new_tokens=MAX_NEW)
+            assert out[sid] == np.asarray(ref)[0, ids.shape[1]:].tolist(), \
+                (sid, "multimodal lane diverged under stress")
+    eng.finished.clear()
+    assert eng.kv.num_free() == free0, "leaked blocks"
