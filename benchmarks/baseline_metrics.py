@@ -60,6 +60,53 @@ def bench_caption(new_tokens: int = 64, repeats: int = 3):
     return rec
 
 
+def bench_caption_serving(requests: int = 8, new_tokens: int = 64):
+    """Multimodal SERVING throughput at the same reference model size:
+    ``requests`` concurrent caption requests (distinct images) through the
+    continuous-batching engine — the batch-1 notebook loop
+    (``bench_caption``) vs production serving. End-to-end: includes the
+    per-request SigLIP tower + projector runs."""
+    from vyomai_tpu.serving import ContinuousBatchEngine
+    cfg = vt.PaliGemmaConfig()  # reference defaults: Gemma-2B, 257k vocab
+    model = vt.PaliGemmaForConditionalGeneration(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    n_img = cfg.num_image_tokens
+    text = [2, 7, 11, 13, 17, 19, 23, 29]
+
+    def run():
+        eng = ContinuousBatchEngine(
+            model.language_model, params["language_model"],
+            plus_one=True, position_offset=1,
+            num_blocks=512, block_size=16, max_batch=requests,
+            max_blocks_per_seq=32, max_new_tokens=new_tokens,
+            prefill_buckets=(512,), decode_horizon=32,
+            eos_token_id=cfg.text_config.eos_token_id)
+        t0 = time.perf_counter()
+        for i in range(requests):
+            pix = jax.random.normal(
+                jax.random.PRNGKey(10 + i),
+                (1, 3, cfg.vision_config.image_size,
+                 cfg.vision_config.image_size), dtype=jnp.bfloat16)
+            emb = np.asarray(
+                model.serving_prefix_embeds(params, pix), np.float32)[0]
+            eng.submit([cfg.image_token_index] * n_img + text,
+                       prefix_embeds=emb, prefix_lm=True,
+                       media_key=f"img{i}", ignore_eos=True)
+        out = eng.run()
+        dt = time.perf_counter() - t0
+        toks = sum(len(v) for v in out.values())
+        return toks / dt, toks
+
+    run()                                  # compile
+    tps, toks = run()
+    rec = {"metric": "paligemma_caption_serving_tokens_per_sec",
+           "value": round(tps, 1), "unit": "tokens/s",
+           "requests": requests, "new_tokens": new_tokens,
+           "tokens": toks}
+    print(json.dumps(rec))
+    return rec
+
+
 def bench_vit(batch: int = 128, repeats: int = 10):
     """ViT-base images/sec (224x224/16 -> 197 tokens), bf16 forward.
 
@@ -122,12 +169,15 @@ def bench_mfu():
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["caption", "vit", "mfu", "all"],
+    ap.add_argument("--mode", choices=["caption", "caption_serving",
+                                       "vit", "mfu", "all"],
                     default="all")
     args = ap.parse_args()
     if args.mode in ("vit", "all"):
         bench_vit()
     if args.mode in ("caption", "all"):
         bench_caption()
+    if args.mode in ("caption_serving", "all"):
+        bench_caption_serving()
     if args.mode in ("mfu", "all"):
         bench_mfu()

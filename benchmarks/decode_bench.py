@@ -142,58 +142,9 @@ def bench_serving(requests: int = 64, new: int = 128):
             "unit": "tokens/s", "requests": requests, "new_tokens": new}
 
 
-def bench_ngram(requests: int = 8, new: int = 128, gamma: int = 8,
-                rounds: int = 8):
-    """Drafter-free ngram speculation vs plain horizon decode on a
-    weight-stream-bound ~0.9B model whose greedy output self-repeats (a
-    random-init model loops immediately — the regime prompt lookup is
-    for; real-text acceptance is workload-dependent, so the acceptance
-    rate is reported alongside). Token-exactness is asserted."""
-    cfg = vt.QwenConfig(vocab_size=32768, hidden_size=2048,
-                        intermediate_size=8192, num_hidden_layers=12,
-                        num_attention_heads=16, num_key_value_heads=4,
-                        head_dim=128, max_position_embeddings=1024,
-                        qk_norm=True, eos_token_id=-1)
-    model = vt.ModelForCausalLM(cfg)
-    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    prompts = [list(rng.integers(5, cfg.vocab_size, size=48))
-               for _ in range(requests)]
-    kw = dict(num_blocks=256, block_size=32, max_batch=8,
-              max_blocks_per_seq=8, max_new_tokens=new,
-              prefill_buckets=(64,))
-
-    def run(spec: bool):
-        eng = ContinuousBatchEngine(
-            model, params, **kw,
-            **(dict(ngram_speculation=True, gamma=gamma, spec_rounds=rounds)
-               if spec else dict(decode_horizon=64)))
-        for p in prompts:
-            eng.submit(list(p))
-        t0 = time.perf_counter()
-        out = eng.run()
-        dt = time.perf_counter() - t0
-        acc = (eng.spec_stats["accepted"] / eng.spec_stats["speculated"]
-               if eng.spec_stats["speculated"] else None)
-        return sum(len(v) for v in out.values()) / dt, out, acc
-
-    run(False)
-    run(True)                         # warm both compile paths
-    plain, plain_out, _ = run(False)
-    spec, spec_out, acc = run(True)
-    assert spec_out == plain_out, "ngram output drifted from greedy"
-    print(f"[ngram] plain {plain:.0f} tok/s -> ngram {spec:.0f} tok/s "
-          f"({spec / plain:.2f}x, acceptance {acc:.2f}, gamma={gamma}, "
-          f"rounds={rounds})")
-    return {"metric": "ngram_spec_speedup", "value": round(spec / plain, 3),
-            "plain_tokens_per_sec": round(plain, 1),
-            "ngram_tokens_per_sec": round(spec, 1),
-            "acceptance": round(acc, 3), "gamma": gamma, "rounds": rounds}
-
-
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["dense", "serving", "ratio", "ngram",
+    ap.add_argument("--mode", choices=["dense", "serving", "ratio",
                                        "all"],
                     default="all")
     args = ap.parse_args()
@@ -203,5 +154,3 @@ if __name__ == "__main__":
         bench_decode_ratio()
     if args.mode in ("serving", "all"):
         bench_serving()
-    if args.mode in ("ngram", "all"):
-        bench_ngram()

@@ -94,56 +94,50 @@ def train(model, steps: int, batch: int = 8, seq: int = 64,
     return jax.device_get(state.params), float(loss)  # fetch = true sync
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--gamma", type=int, default=4)
-    ap.add_argument("--rounds", type=int, default=8)
-    ap.add_argument("--requests", type=int, default=16)
-    ap.add_argument("--prompt", type=int, default=32)
-    ap.add_argument("--new", type=int, default=128)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--speculator", choices=("draft", "ngram"),
-                    default="draft")
-    ap.add_argument("--active", type=int, default=None,
-                    help="synthetic vocab modulus (cycle length); default "
-                         "499 for draft, 41 for ngram")
-    args = ap.parse_args()
-    active = args.active or (499 if args.speculator == "draft" else 41)
+def run_spec_bench(speculator: str = "draft", steps: int = 400,
+                   gamma: int = 4, rounds: int = 8, requests: int = 16,
+                   prompt: int = 32, new: int = 128, batch: int = 8,
+                   active: int = None) -> dict:
+    """Train target (+ draft), then measure speculative vs plain serving.
+    The exactness assertion is SOUND here because the trained model's
+    argmax gaps are decisive (unlike random-init logits, whose top-2 gaps
+    sit below TPU matmul rounding and flip across differently-fused
+    programs)."""
+    active = active or (499 if speculator == "draft" else 41)
 
     target = vt.ModelForCausalLM(TARGET_CFG)
     t0 = time.perf_counter()
-    t_params, t_loss = train(target, args.steps, lr=3e-4, warmup=100,
+    t_params, t_loss = train(target, steps, lr=3e-4, warmup=100,
                              seed=0, active=active)
     d_params = draft = None
-    if args.speculator == "draft":
+    if speculator == "draft":
         draft = vt.ModelForCausalLM(DRAFT_CFG)
-        d_params, d_loss = train(draft, args.steps, lr=1e-3, seed=1,
+        d_params, d_loss = train(draft, steps, lr=1e-3, seed=1,
                                  active=active)
-        print(f"[train] {args.steps} steps each: target loss {t_loss:.3f}, "
+        print(f"[train] {steps} steps each: target loss {t_loss:.3f}, "
               f"draft loss {d_loss:.3f} ({time.perf_counter() - t0:.0f}s)")
     else:
-        print(f"[train] {args.steps} steps: target loss {t_loss:.3f} "
+        print(f"[train] {steps} steps: target loss {t_loss:.3f} "
               f"(mod {active}, {time.perf_counter() - t0:.0f}s)")
 
     rng = np.random.default_rng(7)
     prompts = [list(row) for row in
-               synthetic_batch(rng, args.requests, args.prompt, active)]
-    kw = dict(num_blocks=256, block_size=64, max_batch=args.batch,
-              max_blocks_per_seq=4, max_new_tokens=args.new,
+               synthetic_batch(rng, requests, prompt, active)]
+    kw = dict(num_blocks=256, block_size=64, max_batch=batch,
+              max_blocks_per_seq=4, max_new_tokens=new,
               prefill_buckets=(32, 64), eos_token_id=VOCAB - 1)
 
     def run(with_spec: bool):
-        if with_spec and args.speculator == "ngram":
+        if with_spec and speculator == "ngram":
             eng = ContinuousBatchEngine(target, t_params,
                                         ngram_speculation=True,
-                                        gamma=args.gamma,
-                                        spec_rounds=args.rounds, **kw)
+                                        gamma=gamma,
+                                        spec_rounds=rounds, **kw)
         elif with_spec:
             eng = ContinuousBatchEngine(target, t_params, draft_model=draft,
                                         draft_params=d_params,
-                                        gamma=args.gamma,
-                                        spec_rounds=args.rounds, **kw)
+                                        gamma=gamma,
+                                        spec_rounds=rounds, **kw)
         else:
             eng = ContinuousBatchEngine(target, t_params, decode_horizon=64,
                                         **kw)
@@ -165,18 +159,40 @@ def main():
     assert spec_out == plain_out, "speculative output drifted from greedy"
     print(f"[plain]       {plain_tps:.0f} tokens/s (horizon 64)")
     print(f"[speculative] {spec_tps:.0f} tokens/s "
-          f"({args.speculator}, gamma={args.gamma}, rounds={args.rounds}, "
+          f"({speculator}, gamma={gamma}, rounds={rounds}, "
           f"acceptance={acc:.2f})")
-    print(json.dumps({
+    rec = {
         "metric": "serving_speculative",
-        "speculator": args.speculator,
+        "speculator": speculator,
         "spec_tokens_per_sec": round(spec_tps, 1),
         "plain_tokens_per_sec": round(plain_tps, 1),
         "speedup": round(spec_tps / plain_tps, 3),
         "acceptance": round(acc, 3),
-        "gamma": args.gamma, "rounds": args.rounds,
-        "batch": args.batch, "requests": args.requests,
-    }))
+        "gamma": gamma, "rounds": rounds,
+        "batch": batch, "requests": requests,
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--prompt", type=int, default=32)
+    ap.add_argument("--new", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--speculator", choices=("draft", "ngram"),
+                    default="draft")
+    ap.add_argument("--active", type=int, default=None,
+                    help="synthetic vocab modulus (cycle length); default "
+                         "499 for draft, 41 for ngram")
+    args = ap.parse_args()
+    run_spec_bench(args.speculator, args.steps, args.gamma, args.rounds,
+                   args.requests, args.prompt, args.new, args.batch,
+                   args.active)
 
 
 if __name__ == "__main__":
