@@ -19,6 +19,7 @@ Prints one human-readable block + one JSON line:
 """
 
 import argparse
+import gc
 import json
 import os as _os
 import sys as _sys
@@ -94,6 +95,22 @@ def train(model, steps: int, batch: int = 8, seq: int = 64,
     return jax.device_get(state.params), float(loss)  # fetch = true sync
 
 
+def _cached_train(model, cache_key: str, **kw):
+    """Train once per (model, workload) and pickle the host params to
+    /tmp — the 0.9B train costs ~6 min on-chip, and bench iterations
+    (debugging a phase, re-recording a metric) shouldn't repay it."""
+    import pickle
+    path = f"/tmp/spec_bench_{cache_key}.pkl"
+    if _os.path.exists(path):
+        print(f"[train] cached params: {path}", flush=True)
+        with open(path, "rb") as f:
+            return pickle.load(f), float("nan")
+    params, loss = train(model, **kw)
+    with open(path, "wb") as f:
+        pickle.dump(params, f)
+    return params, loss
+
+
 def run_spec_bench(speculator: str = "draft", steps: int = 400,
                    gamma: int = 4, rounds: int = 8, requests: int = 16,
                    prompt: int = 32, new: int = 128, batch: int = 8,
@@ -107,18 +124,24 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
 
     target = vt.ModelForCausalLM(TARGET_CFG)
     t0 = time.perf_counter()
-    t_params, t_loss = train(target, steps, lr=3e-4, warmup=100,
-                             seed=0, active=active)
+    t_params, t_loss = _cached_train(target, f"target_{active}_{steps}",
+                                     steps=steps, lr=3e-4, warmup=100,
+                                     seed=0, active=active)
     d_params = draft = None
     if speculator == "draft":
         draft = vt.ModelForCausalLM(DRAFT_CFG)
-        d_params, d_loss = train(draft, steps, lr=1e-3, seed=1,
-                                 active=active)
+        d_params, d_loss = _cached_train(draft, f"draft_{active}_{steps}",
+                                         steps=steps, lr=1e-3, seed=1,
+                                         active=active)
         print(f"[train] {steps} steps each: target loss {t_loss:.3f}, "
               f"draft loss {d_loss:.3f} ({time.perf_counter() - t0:.0f}s)")
     else:
         print(f"[train] {steps} steps: target loss {t_loss:.3f} "
               f"(mod {active}, {time.perf_counter() - t0:.0f}s)")
+
+    # drop the training step's device state (params + Adam moments of a
+    # ~0.9B model are ~10 GB of HBM) before the engines allocate pools
+    gc.collect()
 
     rng = np.random.default_rng(7)
     prompts = [list(row) for row in
@@ -127,7 +150,11 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
               max_blocks_per_seq=4, max_new_tokens=new,
               prefill_buckets=(32, 64), eos_token_id=VOCAB - 1)
 
-    def run(with_spec: bool):
+    def run(with_spec: bool, tag: str = ""):
+        # flushed phase markers: the engine phases run for minutes on the
+        # remote-attached chip, and a hang here must be attributable to a
+        # specific engine configuration from the log alone
+        print(f"[phase] {tag} start (spec={with_spec})", flush=True)
         if with_spec and speculator == "ngram":
             eng = ContinuousBatchEngine(target, t_params,
                                         ngram_speculation=True,
@@ -150,12 +177,15 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
         acc = None
         if with_spec and eng.spec_stats["speculated"]:
             acc = eng.spec_stats["accepted"] / eng.spec_stats["speculated"]
+        print(f"[phase] {tag} done: {n} tokens in {dt:.1f}s", flush=True)
+        del eng
+        gc.collect()  # drop engine pool + jitted step before the next phase
         return n / dt, out, acc
 
-    run(False)   # compile + warm both paths before timing
-    run(True)
-    plain_tps, plain_out, _ = run(False)
-    spec_tps, spec_out, acc = run(True)
+    run(False, "warm-plain")   # compile + warm both paths before timing
+    run(True, "warm-spec")
+    plain_tps, plain_out, _ = run(False, "timed-plain")
+    spec_tps, spec_out, acc = run(True, "timed-spec")
     assert spec_out == plain_out, "speculative output drifted from greedy"
     print(f"[plain]       {plain_tps:.0f} tokens/s (horizon 64)")
     print(f"[speculative] {spec_tps:.0f} tokens/s "

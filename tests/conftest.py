@@ -21,5 +21,10 @@ import sys
 sys.path.insert(0, "/root/reference")  # reference (read-only) for parity tests
 
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# VYOMAI_JAX_CACHE: point a concurrent run (e.g. CPU-backend tests next to
+# a TPU bench) at its own cache dir — two processes sharing one dir can
+# segfault when a cache read races a concurrent write (observed: SIGSEGV in
+# jax compilation_cache.get_executable_and_time during a parallel run).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VYOMAI_JAX_CACHE", "/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
