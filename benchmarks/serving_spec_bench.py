@@ -151,9 +151,13 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
               prefill_buckets=(32, 64), eos_token_id=VOCAB - 1)
 
     def run(with_spec: bool, tag: str = ""):
-        # flushed phase markers: the engine phases run for minutes on the
-        # remote-attached chip, and a hang here must be attributable to a
-        # specific engine configuration from the log alone
+        # ONE engine per mode, run twice: the warm pass pays tracing +
+        # remote-helper compilation (~10 min for this 0.9B engine's
+        # prefill buckets + horizon/spec while_loops), the timed pass
+        # reuses the same programs. Building a fresh engine per pass
+        # (the old 4-engine structure) recompiled everything each time —
+        # the "timed" phases measured the compile helper, not serving.
+        # Flushed phase markers keep a stall attributable from the log.
         print(f"[phase] {tag} start (spec={with_spec})", flush=True)
         if with_spec and speculator == "ngram":
             eng = ContinuousBatchEngine(target, t_params,
@@ -168,24 +172,29 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
         else:
             eng = ContinuousBatchEngine(target, t_params, decode_horizon=64,
                                         **kw)
-        for p in prompts:
-            eng.submit(list(p))
-        t0 = time.perf_counter()
-        out = eng.run()
-        dt = time.perf_counter() - t0
-        n = sum(len(v) for v in out.values())
+
+        def one_pass(label):
+            for p in prompts:
+                eng.submit(list(p))
+            t0 = time.perf_counter()
+            out = eng.run()
+            dt = time.perf_counter() - t0
+            n = sum(len(v) for v in out.values())
+            print(f"[phase] {tag}-{label} done: {n} tokens in {dt:.1f}s",
+                  flush=True)
+            return n / dt, out
+
+        one_pass("warm")
+        tps, out = one_pass("timed")
         acc = None
         if with_spec and eng.spec_stats["speculated"]:
             acc = eng.spec_stats["accepted"] / eng.spec_stats["speculated"]
-        print(f"[phase] {tag} done: {n} tokens in {dt:.1f}s", flush=True)
         del eng
-        gc.collect()  # drop engine pool + jitted step before the next phase
-        return n / dt, out, acc
+        gc.collect()  # drop engine pool before the next mode's engine
+        return tps, out, acc
 
-    run(False, "warm-plain")   # compile + warm both paths before timing
-    run(True, "warm-spec")
-    plain_tps, plain_out, _ = run(False, "timed-plain")
-    spec_tps, spec_out, acc = run(True, "timed-spec")
+    plain_tps, plain_out, _ = run(False, "plain")
+    spec_tps, spec_out, acc = run(True, "spec")
     assert spec_out == plain_out, "speculative output drifted from greedy"
     print(f"[plain]       {plain_tps:.0f} tokens/s (horizon 64)")
     print(f"[speculative] {spec_tps:.0f} tokens/s "

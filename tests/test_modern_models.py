@@ -452,3 +452,90 @@ def test_ring_attention_flash_gradients(layout):
     for g, r, name in zip(grads, ref_grads, "qkv"):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-5,
                                    err_msg=f"d{name}")
+
+
+def test_model_structural_identity_shares_jit_programs():
+    """Two ModelForCausalLM instances with equal configs are equal and
+    hash equal, so jitted programs taking the model as a static argument
+    (serving/paged_model.py, generation/generate.py) are shared across
+    rebuilt models/engines instead of recompiling — on the TPU rig a
+    fresh 1B-param serving engine otherwise repays ~10 min of remote
+    compilation. Dict/list config fields (rope_scaling, eos lists) are
+    canonicalized by config.config_key."""
+    import dataclasses
+    from functools import partial
+
+    cfg = vt.QwenConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=8, max_position_embeddings=32)
+    scaled = dataclasses.replace(
+        cfg, rope_scaling={"rope_type": "yarn", "factor": 2.0})
+
+    m1, m2 = vt.ModelForCausalLM(cfg), vt.ModelForCausalLM(cfg)
+    m3 = vt.ModelForCausalLM(scaled)
+    assert m1 == m2 and hash(m1) == hash(m2)
+    assert m1 != m3 and hash(m1) != hash(m3)
+    assert m3 == vt.ModelForCausalLM(scaled)  # dict field hashes fine
+
+    traces = []
+
+    @partial(jax.jit, static_argnums=(0,))
+    def f(model, x):
+        traces.append(model)
+        return x * model.config.hidden_size
+
+    f(m1, jnp.ones(2))
+    f(m2, jnp.ones(2))          # equal-config instance: no retrace
+    assert len(traces) == 1
+    f(m3, jnp.ones(2))          # different config: its own program
+    assert len(traces) == 2
+
+
+def test_structural_identity_all_families():
+    """The StructuralIdentity mixin covers every model family: equal
+    constructor args => equal + hash-equal (shared jit programs across
+    rebuilt instances); ANY differing option => unequal (no false program
+    sharing). Composed models (seq2seq, VLM) compare via their
+    sub-models."""
+    ecfg = vt.EncoderConfig(
+        hidden_size=32, num_attention_heads=4, num_key_value_heads=2,
+        num_hidden_layers=1, vocab_size=64, max_position_embeddings=32,
+        intermediate_size=64)
+
+    # option fields are part of identity
+    d1 = vt.DecoderModel(ecfg, "rope", "gqa")
+    assert d1 == vt.DecoderModel(ecfg, "rope", "gqa")
+    assert hash(d1) == hash(vt.DecoderModel(ecfg, "rope", "gqa"))
+    assert d1 != vt.DecoderModel(ecfg, "rope")            # attention kind
+    assert d1 != vt.DecoderModel(ecfg, "absolute", "gqa")  # pos embedding
+    assert d1 != vt.DecoderModel(ecfg, "rope", "gqa", remat=True)
+    assert vt.EncoderModel(ecfg, "rope") == vt.EncoderModel(ecfg, "rope")
+    assert vt.EncoderModel(ecfg, "rope") != vt.DecoderModel(ecfg, "rope")
+
+    # composed: seq2seq + VLM identity recurses through sub-models
+    s1 = vt.EncoderDecoderModel(ecfg, ecfg, decoder_attention_type="gqa")
+    assert s1 == vt.EncoderDecoderModel(ecfg, ecfg,
+                                        decoder_attention_type="gqa")
+    assert s1 != vt.EncoderDecoderModel(ecfg, ecfg)
+    vcfg = vt.VisionConfig(hidden_size=32, num_attention_heads=4,
+                           num_hidden_layers=1, image_size=(16, 16),
+                           patch_size=(8, 8), intermediate_size=64)
+    vlm = vt.VisionLanguageModel(ecfg, vt.Vit(vcfg), "rope")
+    assert vlm == vt.VisionLanguageModel(ecfg, vt.Vit(vcfg), "rope")
+    assert vlm != vt.VisionLanguageModel(ecfg, vt.Vit(vcfg), "absolute")
+
+    # nested-config families (PaliGemma holds vision+text dataclasses)
+    pcfg = vt.PaliGemmaConfig(
+        vision_config=vt.SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=1,
+            num_attention_heads=4, image_size=16, patch_size=8),
+        text_config=vt.GemmaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=8,
+            max_position_embeddings=32),
+        projection_dim=32, image_token_index=60)
+    p1 = vt.PaliGemmaForConditionalGeneration(pcfg)
+    assert p1 == vt.PaliGemmaForConditionalGeneration(pcfg) and \
+        hash(p1) == hash(vt.PaliGemmaForConditionalGeneration(pcfg))

@@ -10,8 +10,67 @@ All configs are frozen dataclasses so they can be closed over by jitted
 functions as static structure.
 """
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field, fields, replace
 from typing import Optional, Tuple, Union
+
+
+def config_key(cfg) -> tuple:
+    """Hashable canonical key for a (frozen-dataclass) config.
+
+    Configs may carry dict/list fields (``rope_scaling``, HF-style
+    ``eos_token_id`` lists) that break ``hash(cfg)``; this flattens them
+    to sorted tuples. Used by the models' structural ``__hash__`` so that
+    two instances built from equal configs are interchangeable as jit
+    static arguments (see ``models/qwen.py``)."""
+
+    def canon(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, canon(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(canon(x) for x in v)
+        if hasattr(v, "__dataclass_fields__"):
+            return _key(v)
+        return v
+
+    def _key(c):
+        return (type(c).__name__,) + tuple(
+            (f.name, canon(getattr(c, f.name))) for f in fields(c))
+
+    return _key(cfg)
+
+
+class StructuralIdentity:
+    """Structural jit-static identity for the functional model classes.
+
+    Everything a model instance holds (RoPE/sinusoidal tables, sub-models)
+    is a pure function of its config plus the constructor options named in
+    ``_identity_fields``, so two instances built from equal arguments are
+    interchangeable as ``jax.jit`` static arguments. Without this, models
+    hash by object identity and a REBUILT model (fresh serving engine,
+    re-created wrapper) retraces every jitted program that takes it as a
+    static arg — ~10 min of remote compilation for a 1B-param serving
+    engine on this rig; with it, both the in-process jit cache and the
+    persistent compile cache hit.
+
+    Subclasses whose constructors take options beyond ``config`` list the
+    *attributes* that capture them in ``_identity_fields``; values must be
+    hashable or themselves structural (sub-models using this mixin compare
+    structurally). Classes composed purely of sub-models override
+    ``_identity()`` instead.
+    """
+
+    _identity_fields: tuple = ()
+
+    def _identity(self) -> tuple:
+        return (type(self).__name__, config_key(self.config),
+                tuple(getattr(self, f) for f in self._identity_fields))
+
+    def __hash__(self):
+        return hash(self._identity())
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other._identity() == self._identity())
 
 
 @dataclass(frozen=True)

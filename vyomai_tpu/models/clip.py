@@ -13,13 +13,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import CLIPConfig
+from ..config import CLIPConfig, StructuralIdentity
 from ..core import nn as cnn
 from .encoder import EncoderModel
 from .vision import Vit
 
 
-class CLIPModel:
+class CLIPModel(StructuralIdentity):
+    _identity_fields = ("text_model",)
+
     def __init__(self, config: CLIPConfig,
                  text_pos_embedding_type: str = "absolute",
                  text_attention_type: Optional[str] = None) -> None:

@@ -25,7 +25,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import EncoderConfig
+from ..config import EncoderConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..core.masks import bidirectional_mask, causal_mask_static_kv
 from ..layers import attention as attn
@@ -36,10 +36,12 @@ from .encoder import lm_head_init, lm_head_apply, stacked_layers_init
 from .outputs import CLMOutput
 
 
-class DecoderModel:
+class DecoderModel(StructuralIdentity):
     """Functional causal LM. ``apply`` is pure/jittable; pass ``cache``
     (pytree from ``layers.kv_cache.init_cache``) + ``start_pos`` to use the
     static KV cache."""
+
+    _identity_fields = ("pos_embedding_type", "kind", "remat")
 
     def __init__(self, config: EncoderConfig,
                  pos_embedding_type: Optional[str] = "absolute",

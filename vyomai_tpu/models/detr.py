@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from ..config import EncoderConfig
+from ..config import EncoderConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..layers import attention as attn
 from ..layers import ffn as ffn_mod
@@ -41,7 +41,9 @@ class DETRConfig:
         return self.hidden_size // self.num_attention_heads
 
 
-class DETRModel:
+class DETRModel(StructuralIdentity):
+    _identity_fields = ("in_channels",)
+
     def __init__(self, config: DETRConfig, in_channels: int = 3):
         self.config = config
         enc_cfg = EncoderConfig(

@@ -15,7 +15,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import EncoderConfig
+from ..config import EncoderConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..core.masks import bidirectional_mask
 from ..layers import attention as attn
@@ -38,9 +38,11 @@ def stacked_layers_init(key, config, kind: str, dtype, layer_init=_layer_init):
     return jax.vmap(lambda k: layer_init(k, config, kind, dtype))(keys)
 
 
-class EncoderModel:
+class EncoderModel(StructuralIdentity):
     """Functional encoder. ``init(key)`` -> params; ``apply(params, ...)``
     is pure/jittable and returns ``EncoderOutput(logits=last_hidden)``."""
+
+    _identity_fields = ("pos_embedding_type", "kind", "remat")
 
     def __init__(self, config: EncoderConfig,
                  pos_embedding_type: Optional[str] = "absolute",
@@ -161,8 +163,10 @@ def lm_head_apply(p, hidden, config):
     return cnn.linear(p["decoder"], x)
 
 
-class EncoderForMaskedLM:
+class EncoderForMaskedLM(StructuralIdentity):
     """Encoder + MLM head (reference ``models/encoder.py:180-217``)."""
+
+    _identity_fields = ("encoder",)
 
     def __init__(self, config: EncoderConfig,
                  pos_embedding_type: Optional[str] = "absolute",

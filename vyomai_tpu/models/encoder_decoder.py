@@ -21,7 +21,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import EncoderConfig
+from ..config import EncoderConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..core.masks import bidirectional_mask, causal_mask_static_kv
 from ..layers import attention as attn
@@ -42,9 +42,11 @@ def _seq2seq_layer_init(key, config, kind, dtype):
     }
 
 
-class Seq2SeqDecoderModel:
+class Seq2SeqDecoderModel(StructuralIdentity):
     """Decoder stack with self- + cross-attention
     (reference ``encoder_decoder.py:111-258``)."""
+
+    _identity_fields = ("pos_embedding_type", "kind")
 
     def __init__(self, config: EncoderConfig,
                  pos_embedding_type: Optional[str] = "absolute",
@@ -198,9 +200,12 @@ class Seq2SeqDecoderModel:
         return cls(config)
 
 
-class EncoderDecoderModel:
+class EncoderDecoderModel(StructuralIdentity):
     """Encoder + seq2seq decoder + LM head
     (reference ``encoder_decoder.py:261-391``)."""
+
+    def _identity(self) -> tuple:  # composed of sub-models, no own config
+        return (type(self).__name__, self.encoder, self.decoder)
 
     def __init__(self, encoder_config, decoder_config,
                  encoder: Optional[EncoderModel] = None,

@@ -16,7 +16,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import GemmaConfig
+from ..config import GemmaConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..core.masks import causal_mask_static_kv, prefix_lm_mask
 from ..layers import positional as pos
@@ -25,7 +25,7 @@ from ..layers.modern import modern_layer_init, modern_layer_apply
 from .outputs import CLMOutput
 
 
-class GemmaModel:
+class GemmaModel(StructuralIdentity):
     def __init__(self, config: GemmaConfig) -> None:
         self.config = config
         self.emb_freq = pos.rope_freqs(config.max_position_embeddings,

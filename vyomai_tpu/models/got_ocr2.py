@@ -14,7 +14,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import QwenConfig
+from ..config import QwenConfig, StructuralIdentity
 from ..core import nn as cnn
 from .outputs import CLMOutput
 from .qwen import ModelForCausalLM
@@ -33,7 +33,7 @@ class GOTOCR2Config:
         return (self.vision_config.grid // 4) ** 2
 
 
-class GOTOCR2Model:
+class GOTOCR2Model(StructuralIdentity):
     def __init__(self, config: GOTOCR2Config):
         self.config = config
         self.vision = ImageEncoderViT(config.vision_config)

@@ -12,7 +12,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import EncoderConfig
+from ..config import EncoderConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..core.masks import bidirectional_mask, causal_mask_static_kv
 from ..layers import attention as attn
@@ -23,9 +23,11 @@ from .encoder import lm_head_init, lm_head_apply, stacked_layers_init
 from .outputs import DecoderOutput
 
 
-class VisionLanguageDecoderModel:
+class VisionLanguageDecoderModel(StructuralIdentity):
     """Causal decoder that prepends an image CLS embedding at step 0
     (reference ``multimodel.py:97-255``)."""
+
+    _identity_fields = ("pos_embedding_type", "kind")
 
     def __init__(self, config: EncoderConfig,
                  pos_embedding_type: Optional[str] = "absolute",
@@ -155,9 +157,12 @@ class VisionLanguageDecoderModel:
         return cls(config, pos_embedding_type, attention_type)
 
 
-class VisionLanguageModel:
+class VisionLanguageModel(StructuralIdentity):
     """Vision encoder + CLS-fusion decoder
     (reference ``multimodel.py:258-314``)."""
+
+    def _identity(self) -> tuple:  # composed of sub-models, no own config
+        return (type(self).__name__, self.encoder, self.decoder)
 
     def __init__(self, config: EncoderConfig, encoder,
                  pos_embedding_type: Optional[str] = "absolute",

@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import EncoderConfig
+from ..config import EncoderConfig, StructuralIdentity
 from ..core import nn as cnn
 from .encoder import lm_head_init, lm_head_apply
 from .encoder_decoder import Seq2SeqDecoderModel
@@ -56,9 +56,11 @@ def _conv(p, x, stride=1, padding="SAME"):
     return out + p["bias"][None, :, None, None]
 
 
-class DeepResNetEncoder:
+class DeepResNetEncoder(StructuralIdentity):
     """Residual CNN image encoder -> patch sequence with 2-D sinusoidal
     positions (reference ``DeepResNetEncoder``)."""
+
+    _identity_fields = ("in_channels", "channels")
 
     def __init__(self, config: EncoderConfig, in_channels: int = 1,
                  channels: Tuple[int, ...] = (32, 64, 128)):
@@ -103,8 +105,10 @@ class DeepResNetEncoder:
         return seq + pos[None]
 
 
-class OCRModel:
+class OCRModel(StructuralIdentity):
     """CNN encoder + seq2seq decoder + LM head (char-level OCR)."""
+
+    _identity_fields = ("encoder", "decoder")
 
     def __init__(self, config: EncoderConfig, in_channels: int = 1,
                  decoder_pos_embedding_type: str = "absolute",

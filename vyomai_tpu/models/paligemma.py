@@ -21,14 +21,14 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import PaliGemmaConfig
+from ..config import PaliGemmaConfig, StructuralIdentity
 from ..core import nn as cnn
 from .gemma import GemmaModel
 from .siglip import SiglipVisionModel
 from .outputs import CLMOutput
 
 
-class PaliGemmaForConditionalGeneration:
+class PaliGemmaForConditionalGeneration(StructuralIdentity):
     def __init__(self, config: PaliGemmaConfig) -> None:
         self.config = config
         self.vision_tower = SiglipVisionModel(config.vision_config)

@@ -13,7 +13,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import QwenConfig
+from ..config import QwenConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..core.masks import causal_mask_static_kv
 from ..layers import positional as pos
@@ -22,7 +22,7 @@ from ..layers.modern import modern_layer_init, modern_layer_apply
 from .outputs import CLMOutput
 
 
-class ModelForCausalLM:
+class ModelForCausalLM(StructuralIdentity):
     """Functional Qwen-style CLM."""
 
     def __init__(self, config: QwenConfig) -> None:

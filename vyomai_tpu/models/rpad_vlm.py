@@ -14,7 +14,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import EncoderConfig
+from ..config import EncoderConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..core.masks import (bidirectional_mask, causal_mask_static_kv,
                           prefix_lm_mask)
@@ -23,11 +23,13 @@ from .outputs import CLMOutput
 from .vision import Vit
 
 
-class RPADVisionLanguageModel:
+class RPADVisionLanguageModel(StructuralIdentity):
     """ViT + decoder with image-token scatter fusion.
 
     ``image_token_id`` marks the span in ``input_ids`` that receives the
     ViT patch sequence (CLS + patches, projected to the decoder width)."""
+
+    _identity_fields = ("encoder", "decoder", "image_token_id")
 
     def __init__(self, config: EncoderConfig, vision_encoder: Vit,
                  image_token_id: int,

@@ -17,6 +17,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from ..config import StructuralIdentity
+
 from ..core import nn as cnn
 
 
@@ -134,7 +136,7 @@ def _attention_apply(p, x, num_heads: int, use_rel_pos: bool):
     return cnn.linear(p["proj"], out)
 
 
-class ImageEncoderViT:
+class ImageEncoderViT(StructuralIdentity):
     def __init__(self, config: SamVitConfig):
         self.config = config
 

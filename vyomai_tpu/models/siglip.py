@@ -8,7 +8,7 @@ lowers to a single MXU matmul under XLA.
 import jax
 import jax.numpy as jnp
 
-from ..config import SiglipVisionConfig
+from ..config import SiglipVisionConfig, StructuralIdentity
 from ..core import nn as cnn
 from ..layers.attention import sdpa, _merge_heads
 
@@ -39,7 +39,7 @@ def _siglip_layer_init(key, cfg, dtype):
     }
 
 
-class SiglipVisionModel:
+class SiglipVisionModel(StructuralIdentity):
     def __init__(self, config: SiglipVisionConfig) -> None:
         self.config = config
 

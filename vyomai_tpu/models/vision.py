@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..config import VisionConfig
+from ..config import VisionConfig, StructuralIdentity
 from ..core.masks import bidirectional_mask
 from ..layers import attention as attn
 from ..layers import ffn as ffn_mod
@@ -36,9 +36,11 @@ def _vision_layer_init(key, config, kind, dtype):
     }
 
 
-class Vit:
+class Vit(StructuralIdentity):
     """Functional ViT. ``apply(params, pixel_values [B,C,H,W])`` ->
     ``EncoderOutput`` of shape [B, num_patches+1, hidden]."""
+
+    _identity_fields = ("pos_embedding_type",)
 
     def __init__(self, config: VisionConfig,
                  pos_embedding_type: Optional[str] = "absolute") -> None:
