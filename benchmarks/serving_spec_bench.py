@@ -95,16 +95,32 @@ def train(model, steps: int, batch: int = 8, seq: int = 64,
     return jax.device_get(state.params), float(loss)  # fetch = true sync
 
 
+def _fingerprint(cfg, **hp) -> str:
+    """8-hex digest of the model config + train hyperparams, so editing
+    TARGET_CFG/DRAFT_CFG or lr/warmup/seed invalidates the pickle cache
+    instead of silently reusing stale trained params (code-review r3)."""
+    import dataclasses
+    import hashlib
+    import json
+    d = (dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg)
+         else dict(vars(cfg)))
+    d.update(hp)
+    return hashlib.sha1(
+        json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:8]
+
+
 def _cached_train(model, cache_key: str, **kw):
-    """Train once per (model, workload) and pickle the host params to
-    /tmp — the 0.9B train costs ~6 min on-chip, and bench iterations
-    (debugging a phase, re-recording a metric) shouldn't repay it."""
+    """Train once per (model config, workload) and pickle the host params
+    to /tmp — the 0.9B train costs ~6 min on-chip, and bench iterations
+    (debugging a phase, re-recording a metric) shouldn't repay it.
+    Returns ``(params, loss)``; loss is None when served from cache."""
     import pickle
-    path = f"/tmp/spec_bench_{cache_key}.pkl"
+    tag = _fingerprint(getattr(model, "config", None), **kw)
+    path = f"/tmp/spec_bench_{cache_key}_{tag}.pkl"
     if _os.path.exists(path):
         print(f"[train] cached params: {path}", flush=True)
         with open(path, "rb") as f:
-            return pickle.load(f), float("nan")
+            return pickle.load(f), None
     params, loss = train(model, **kw)
     with open(path, "wb") as f:
         pickle.dump(params, f)
@@ -133,10 +149,12 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
         d_params, d_loss = _cached_train(draft, f"draft_{active}_{steps}",
                                          steps=steps, lr=1e-3, seed=1,
                                          active=active)
-        print(f"[train] {steps} steps each: target loss {t_loss:.3f}, "
-              f"draft loss {d_loss:.3f} ({time.perf_counter() - t0:.0f}s)")
+        fmt = lambda l: "cached" if l is None else f"{l:.3f}"  # noqa: E731
+        print(f"[train] {steps} steps each: target loss {fmt(t_loss)}, "
+              f"draft loss {fmt(d_loss)} ({time.perf_counter() - t0:.0f}s)")
     else:
-        print(f"[train] {steps} steps: target loss {t_loss:.3f} "
+        fmt = lambda l: "cached" if l is None else f"{l:.3f}"  # noqa: E731
+        print(f"[train] {steps} steps: target loss {fmt(t_loss)} "
               f"(mod {active}, {time.perf_counter() - t0:.0f}s)")
 
     # drop the training step's device state (params + Adam moments of a

@@ -20,6 +20,10 @@ import sys as _sys
 _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ.get("VYOMAI_JAX_CACHE", "/tmp/jax_cache"))
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -106,6 +106,35 @@ def test_prefix_cache_shares_identical_image_prompt(pg):
     assert eng.counters["cached_prompt_tokens"] == cached_before
 
 
+def test_distinct_images_same_prompt_never_share(pg):
+    """Distinct images with the SAME caption prompt have identical token
+    ids — the media salt is the only disambiguator, so it must be
+    collision-free (the r2 22-bit hash salt could silently serve another
+    image's cached KV; interned sequential ids cannot, code-review r3)."""
+    model, params = pg
+    text = list(range(3, 12))
+    eng = _engine(model, params)
+    for i in range(4):
+        px = jax.random.normal(jax.random.PRNGKey(10 + i), (1, 3, 32, 32))
+        emb = np.asarray(model.serving_prefix_embeds(params, px))[0]
+        eng.submit(_prompt(text), prefix_embeds=emb, prefix_lm=True,
+                   media_key=f"img-{i}")
+        eng.run()
+    # four distinct (image, prompt) pairs: zero cross-image sharing
+    assert eng.counters["cached_prompt_tokens"] == 0
+    # interned ids are sequential and engine-unique — never hash-colliding
+    assert sorted(eng._media_salts.values()) == [1, 2, 3, 4]
+
+    # a REPEAT of a seen pair still shares (the intern table hits)
+    px = jax.random.normal(jax.random.PRNGKey(10), (1, 3, 32, 32))
+    emb = np.asarray(model.serving_prefix_embeds(params, px))[0]
+    eng.submit(_prompt(text), prefix_embeds=emb, prefix_lm=True,
+               media_key="img-0")
+    eng.run()
+    assert eng.counters["cached_prompt_tokens"] > 0
+    assert len(eng._media_salts) == 4
+
+
 def test_multimodal_tight_pool(pg):
     """A tight pool (queueing / possible preemption): the multimodal
     request must still reproduce the roomy-pool tokens exactly."""

@@ -1151,6 +1151,42 @@ def test_llm_offline_api_stop_and_best_of(qwen):
     assert len(mixed[1].outputs) == 1            # best_of surfaces a winner
 
 
+def test_llm_greedy_seed_and_ignore_eos_finish(qwen):
+    """vLLM compat edges (code-review r3): seed on an all-greedy batch is
+    accepted as a no-op (not forwarded to the greedy engine, which would
+    reject it); under ignore_eos a length-capped run whose LAST token
+    coincidentally equals an EOS id reports "length" and keeps the token
+    in .text (it is a real generated token, not a stop)."""
+    from vyomai_tpu.serving import LLM, SamplingParams
+
+    class Tok:
+        def encode(self, s):
+            return [3 + (ord(c) % 100) for c in s]
+
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    model, params = qwen
+    llm = LLM(model, params, dtype=jnp.float32)
+    base = llm.generate([[3, 17, 42, 9]],
+                        SamplingParams(temperature=0.0, max_tokens=6))
+    gen = base[0].outputs[0].token_ids
+    seeded = llm.generate([[3, 17, 42, 9]],
+                          SamplingParams(temperature=0.0, max_tokens=6,
+                                         seed=7))
+    assert seeded[0].outputs[0].token_ids == gen
+
+    # rebuild with EOS pinned to the greedy run's final token
+    llm2 = LLM(model, params, tokenizer=Tok(), dtype=jnp.float32,
+               eos_token_id=gen[-1])
+    out = llm2.generate([[3, 17, 42, 9]],
+                        SamplingParams(temperature=0.0, max_tokens=6,
+                                       ignore_eos=True))[0].outputs[0]
+    assert out.token_ids == gen
+    assert out.finish_reason == "length"
+    assert out.text == Tok().decode(gen)  # trailing token NOT trimmed
+
+
 def test_engine_long_prefill_flash_path_matches_dense(qwen):
     """A prompt long enough to engage the Pallas flash prefill path
     (suffix bucket and gathered context >= the 512 flash threshold) must

@@ -140,7 +140,7 @@ def _seg_block_mask(qs_ref, ks_ref):
     return jnp.where(qs == ks, 0.0, NEG_INF)
 
 
-def _unpack_refs(args, has_bias, has_seg, n_out):
+def _unpack_refs(args, has_bias, has_seg):
     """Pallas passes (inputs..., outputs..., scratch...) positionally; the
     optional bias/segment operands make the input list variable-length."""
     q_ref, k_ref, v_ref = args[:3]
@@ -158,7 +158,7 @@ def _fwd_kernel(*args, scale, num_kv_blocks, bq, bk,
                 q_offset, causal, window=None, win_blocks=None,
                 has_bias=False, has_seg=False):
     (q_ref, k_ref, v_ref, bias_ref, qs_ref, ks_ref, o_ref, lse_ref,
-     acc_ref, m_ref, l_ref) = _unpack_refs(args, has_bias, has_seg, 2)
+     acc_ref, m_ref, l_ref) = _unpack_refs(args, has_bias, has_seg)
     iq = pl.program_id(2)
     ikg = pl.program_id(3)
     if win_blocks is not None:
@@ -358,7 +358,7 @@ def _bwd_dq_kernel(*args, scale, num_kv_blocks, bq, bk,
                    q_offset, causal, window=None, win_blocks=None,
                    has_bias=False, has_seg=False):
     (q_ref, k_ref, v_ref, bias_ref, qs_ref, ks_ref, do_ref, lse_ref,
-     delta_ref, dq_ref, dq_acc) = _unpack_refs(args, has_bias, has_seg, 1)
+     delta_ref, dq_ref, dq_acc) = _unpack_refs(args, has_bias, has_seg)
     iq = pl.program_id(2)
     ikg = pl.program_id(3)
     if win_blocks is not None:   # windowed kv sweep (see _fwd_kernel)

@@ -11,6 +11,7 @@ match, finished harvest) around jitted static-shape device steps:
 Sampling is greedy argmax (the reference's choice).
 """
 
+import hashlib
 import time
 from collections import deque
 from functools import partial
@@ -310,6 +311,9 @@ class ContinuousBatchEngine:
         self._ttft: List[float] = []
         self._t_start = time.monotonic()
         self._families: Dict[int, list] = {}  # best_of rollout groups
+        # (media_key, sha256(prompt ids)) -> interned radix salt id; see
+        # the prefix-LM block in submit() for why this must be sequential
+        self._media_salts: Dict[tuple, int] = {}
         # sliding-window memory reclaim: blocks behind the band are freed
         # as the sequence advances (python manager only — the native
         # backend keeps the plain always-grow tables)
@@ -529,15 +533,29 @@ class ContinuousBatchEngine:
             # Prefix-LM KV depends on the WHOLE bidirectional region (and
             # on the image, which token ids don't encode): radix prefixes
             # may be shared only between requests with an identical
-            # (image, prompt) pair. Fold both into the salt; media_key=None
-            # means "this image is unique" (no cross-request sharing).
-            src = (media_key if media_key is not None else ("#sid", sid),
-                   tuple(map(int, prompt)))
-            # bits 40..62 (disjoint from the lora salt's 33..39 and from
-            # token ids) keep salted keys inside the native manager's
-            # int64; 22 hash bits — a collision additionally requires
-            # identical prompt token chunks to cause any sharing
-            state.cache_salt += ((abs(hash(src)) % ((1 << 22) - 1)) + 1) << 40
+            # (image, prompt) pair. Each distinct pair gets an INTERNED
+            # sequential salt id in bits 40..61 (disjoint from the lora
+            # salt's 33..39 and from token ids; keys stay inside the native
+            # manager's int64). Sequential ids, not a hash: two images with
+            # the same caption prompt have identical token ids, so a hash
+            # collision would silently serve the wrong image's cached KV
+            # (code-review r3). media_key=None means "this image is unique"
+            # — sharing is impossible by construction, so bypass the radix
+            # cache entirely; ditto if the 2^22-2 id space is ever
+            # exhausted (never sharing is always sound).
+            salt_id = None
+            if media_key is not None:
+                src = (media_key, hashlib.sha256(np.asarray(
+                    prompt, dtype=np.int64).tobytes()).digest())
+                salt_id = self._media_salts.get(src)
+                if salt_id is None and \
+                        len(self._media_salts) < (1 << 22) - 2:
+                    salt_id = len(self._media_salts) + 1
+                    self._media_salts[src] = salt_id
+            if salt_id is None:
+                state.no_radix = True
+                salt_id = (1 << 22) - 1  # reserved: registered, never shared
+            state.cache_salt += salt_id << 40
         state.logprobs = []
         state.t_submit = time.monotonic()
         state.family = None
@@ -558,6 +576,7 @@ class ContinuousBatchEngine:
                              "repetition_penalty", "min_tokens",
                              "ignore_eos", "logit_bias",
                              "fsm_id", "fsm_state", "lora_id", "cache_salt",
+                             "no_radix",
                              "stop_seqs", "t_submit", "prefix_embeds",
                              "embed_len", "prefix_lm", "bidir_len"):
                     setattr(sib, attr, getattr(state, attr))
@@ -614,7 +633,9 @@ class ContinuousBatchEngine:
         if state is None:
             return False
         state.finished = True  # decode ticks in flight drop it
-        self.kv.free(state)
+        # no_radix: never deposit (the native manager's deposit gate is
+        # this argument; the Python manager also checks the flag itself)
+        self.kv.free(state, cache_prefix=not state.no_radix)
         return True
 
     def score(self, prompt: Sequence[int],
@@ -888,7 +909,7 @@ class ContinuousBatchEngine:
         rollouts through family resolution (a family counts as ONE
         completed request, at resolution), surface singles directly."""
         state.finished = True
-        self.kv.free(state)
+        self.kv.free(state, cache_prefix=not state.no_radix)
         self.active.pop(state.seq_id, None)
         if getattr(state, "family", None) is not None:
             self._maybe_resolve_family(state.family)

@@ -60,6 +60,11 @@ class SequenceState:
         # (the block table then contains -1 holes and the sequence must not
         # deposit into the radix cache — its chunk->block chain is broken)
         self.has_holes = False
+        # radix bypass: the sequence neither matches nor deposits cached
+        # prefixes. Set by the engine when sharing is impossible by
+        # construction (unique image, media_key=None) or when the interned
+        # media-salt namespace is exhausted — never sharing is always sound.
+        self.no_radix = False
 
     def __len__(self):
         return len(self.tokens)
@@ -95,6 +100,9 @@ class PagedKVManager:
     def match_prefix(self, state: SequenceState) -> int:
         """Attach the longest cached whole-block prefix to ``state``.
         Returns the number of prompt tokens covered."""
+        if getattr(state, "no_radix", False):
+            state.num_cached_tokens = 0
+            return 0
         node = self.radix_root
         for chunk in _chunks(state.tokens[:state.prefill_len],
                              self.block_size, state.cache_salt):
@@ -213,9 +221,10 @@ class PagedKVManager:
         n_cached = len(state.cached_nodes)
         for node in state.cached_nodes:
             self._release(node)
-        if getattr(state, "has_holes", False):
-            # out-of-window blocks were already freed: the chunk->block
-            # chain is broken, so never deposit (freeing only, below)
+        if getattr(state, "has_holes", False) or \
+                getattr(state, "no_radix", False):
+            # holes: the chunk->block chain is broken; no_radix: the engine
+            # ruled out sharing for this sequence — never deposit either way
             cache_prefix = False
         owned = [b for b in state.block_table[n_cached:] if b >= 0]
         # Only tokens whose KV was actually WRITTEN may be cached: the

@@ -207,7 +207,10 @@ class LLM:
                 kwargs["best_of"] = best_of
             row = []
             for si in range(sp.n):
-                if sp.seed is not None:
+                # vLLM accepts seed with greedy sampling (it is a no-op);
+                # the engine validates seed needs do_sample — only forward
+                # it when the engine actually samples (code-review r3)
+                if sp.seed is not None and eng.do_sample:
                     kwargs["seed"] = (sp.seed + si) % (2 ** 31)
                 row.append(eng.submit(list(toks), **kwargs))
             sids[pi] = row
@@ -220,13 +223,16 @@ class LLM:
             for si, sid in enumerate(sids[pi]):
                 res = results[sid]
                 gen, lps = res if isinstance(res, tuple) else (res, None)
-                finish = ("length" if len(gen) >= sp.max_tokens
-                          and not (gen and gen[-1] in eng.eos_ids)
-                          else "stop")
+                # under ignore_eos the run is length-capped and a trailing
+                # token that coincidentally equals an EOS id is a REAL
+                # generated token: report "length" and keep it in .text
+                hit_eos = (not sp.ignore_eos and bool(gen)
+                           and gen[-1] in eng.eos_ids)
+                finish = ("stop" if hit_eos or len(gen) < sp.max_tokens
+                          else "length")
                 text = None
                 if self.tokenizer is not None:
-                    shown = gen[:-1] if (gen and gen[-1] in eng.eos_ids) \
-                        else gen
+                    shown = gen[:-1] if hit_eos else gen
                     text = self.tokenizer.decode(shown)
                 comps.append(CompletionOutput(
                     index=si, token_ids=list(gen), text=text,

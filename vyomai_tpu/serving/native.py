@@ -111,7 +111,11 @@ class NativeKVManager:
 
     def match_prefix(self, state: SequenceState) -> int:
         # cache_salt shifts radix keys into a per-adapter namespace (the
-        # C++ tree only ever sees salted ids — see SequenceState.cache_salt)
+        # C++ tree only ever sees salted ids — see SequenceState.cache_salt).
+        # no_radix sequences still register via kvm_begin (allocate needs
+        # it) but can never match: they carry the RESERVED salt id and no
+        # sequence with that salt ever deposits (engine frees them with
+        # cache_prefix=False), so the namespace stays empty by construction.
         arr = np.asarray(state.tokens[:state.prompt_len],
                          dtype=np.int64) + state.cache_salt
         covered = self._lib.kvm_begin(
