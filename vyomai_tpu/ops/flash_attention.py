@@ -413,7 +413,7 @@ def _bwd_dkv_kernel(*args, scale, num_q_blocks,
     less dkv HBM traffic, the expensive half of training at GQA group 4)."""
     (q_ref, k_ref, v_ref, bias_ref, qs_ref, ks_ref, do_ref, lse_ref,
      delta_ref, dk_ref, dv_ref, dk_acc, dv_acc) = _unpack_refs(
-         args, has_bias, has_seg, 2)
+         args, has_bias, has_seg)
     ik = pl.program_id(2)
     t = pl.program_id(3)
     if win_qblocks is not None:
