@@ -274,6 +274,19 @@ class ContinuousBatchEngine:
                         self.draft_params, self.draft_pool, mesh)
             self._kernel_mesh = mesh if tp > 1 else None
             self._replicated = NamedSharding(mesh, PartitionSpec())
+        else:
+            # Commit host (numpy) params to device ONCE. Numpy leaves
+            # passed into the per-tick jitted steps are re-transferred on
+            # EVERY dispatch (jit does not cache host->device puts) — on
+            # the remote-tunneled chip that turned a 1.6k tok/s 0.9B
+            # engine into ~4 tok/s (~1.8 GB re-uploaded per tick) and
+            # leaked ~350 MB/tick of host transfer buffers, which read as
+            # "the chip degraded". jnp.asarray is a no-op on leaves
+            # already on device.
+            self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
+            if self.draft_params is not None:
+                self.draft_params = jax.tree_util.tree_map(
+                    jnp.asarray, self.draft_params)
         self.fsms = list(fsms) if fsms else None
         self._fsm_next_dev = None
         if self.fsms:
