@@ -164,8 +164,9 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
     rng = np.random.default_rng(7)
     prompts = [list(row) for row in
                synthetic_batch(rng, requests, prompt, active)]
-    kw = dict(num_blocks=256, block_size=64, max_batch=batch,
-              max_blocks_per_seq=4, max_new_tokens=new,
+    maxb = -(-(prompt + new + 1) // 64) + 1
+    kw = dict(num_blocks=max(256, batch * maxb * 2), block_size=64,
+              max_batch=batch, max_blocks_per_seq=maxb, max_new_tokens=new,
               prefill_buckets=(32, 64), eos_token_id=VOCAB - 1)
 
     def run(with_spec: bool, tag: str = ""):

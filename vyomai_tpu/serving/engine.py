@@ -1212,7 +1212,13 @@ class ContinuousBatchEngine:
         for i, state in enumerate(states[:b]):
             pos = len(state.tokens) - 1
             cap = self.max_blocks_per_seq * self.block_size - pos
-            r = min(self.spec_rounds, cap // gp1)
+            # cap the grant by the lane's REMAINING token need too: rounds
+            # past max_new produce tokens the host drops, and at high
+            # acceptance they were ~half of a finishing tick's device time
+            # (each wasted round still streams the full target weights)
+            limit = getattr(state, "max_new", self.max_new_tokens)
+            need = max(1, limit - (len(state.tokens) - state.prompt_len))
+            r = min(self.spec_rounds, cap // gp1, -(-need // gp1))
             while r >= 1 and not self.kv.allocate(state, pos + r * gp1):
                 r //= 2  # pool pressure: shrink the grant
             if r < 1:
