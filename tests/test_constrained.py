@@ -68,6 +68,20 @@ def test_trie_fsm_semantics():
         fsm.advance(0, 7)    # 7 is not a valid first token
 
 
+def test_trie_fsm_eos_inside_sequence():
+    """eos_token_id appearing MID-sequence must not be clobbered by the
+    accepting state's EOS self-loop — continuation wins (code-review r3;
+    the longer sequence was silently ungeneratable before)."""
+    fsm = fsm_from_token_sequences([[5], [5, 2, 7]], vocab_size=10,
+                                   eos_token_id=2)
+    s1 = fsm.advance(0, 5)
+    s2 = fsm.advance(s1, 2)
+    assert s2 != s1                     # trie edge, not a self-loop
+    s3 = fsm.advance(s2, 7)
+    assert fsm.accepting[s3]
+    assert set(np.nonzero(fsm.allowed(s3))[0]) == {2}   # stop via EOS
+
+
 def test_regex_fsm_lift_exhaustive():
     """Every token path the lifted FSM accepts decodes to a regex fullmatch,
     and known-good strings are reachable."""

@@ -92,10 +92,18 @@ def test_electra_inputs():
 
 
 def test_sft_collate():
+    """Reference-exact semantics (vyom-ai-llm-sft-dpo-training.ipynb): pad
+    to max(len)+1; the batch-longest rows keep their single pad as the EOS
+    label; rows with >1 pads get ALL pads ignored (the notebook's
+    ``targets[indices] = ignore_index`` hits every pad); the attention
+    mask covers only real tokens."""
     ids, labels, mask = sft_collate([[5, 6, 7], [8, 9]], pad_token_id=1)
-    assert ids.shape == (2, 3)
-    assert labels[1, 2] == 1      # first pad kept as EOS label
-    assert labels[0, 2] == 7
+    assert ids.shape == (2, 4)
+    assert list(ids[0]) == [5, 6, 7, 1]
+    assert list(labels[0]) == [5, 6, 7, 1]       # single pad = EOS label
+    assert list(labels[1]) == [8, 9, -100, -100]  # >1 pads: all ignored
+    assert list(mask[0]) == [1, 1, 1, 0]          # EOS pad is masked input
+    assert list(mask[1]) == [1, 1, 0, 0]
 
 
 def test_dpo_loss_prefers_chosen():
@@ -259,7 +267,9 @@ def test_param_pspec_rules():
     assert lay["attention"]["out"]["dense"]["kernel"] == P(None, "model", None)
     assert lay["ffn"]["intermediate"]["kernel"] == P(None, None, "model")
     assert lay["ffn"]["out"]["kernel"] == P(None, "model", None)
-    assert specs["word_embeddings"]["weight"] == P(None, "model")
+    # vocab-sharded (Megatron embedding): hidden-sharded would all-gather
+    # on every lookup
+    assert specs["word_embeddings"]["weight"] == P("model", None)
     assert specs["lm_head"]["decoder"]["kernel"] == P(None, "model")
     # norms replicated
     assert lay["attention"]["out"]["layernorm"]["weight"] == P()

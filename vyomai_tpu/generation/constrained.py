@@ -102,7 +102,11 @@ def fsm_from_token_sequences(sequences: Sequence[Sequence[int]],
     for s, kids in enumerate(children):
         for tok, nxt in kids.items():
             next_state[s, tok] = nxt
-        if accepting[s]:
+        # EOS self-loop marks "may stop here" — but never clobber a real
+        # trie edge: if eos_token_id is also a valid CONTINUATION at this
+        # accepting state (it appears mid-sequence), continuation wins
+        # (code-review r3; the sequence would otherwise be ungeneratable)
+        if accepting[s] and next_state[s, eos_token_id] < 0:
             next_state[s, eos_token_id] = s
     return TokenFSM(next_state, np.asarray(accepting, bool))
 
@@ -233,6 +237,10 @@ def _parse_regex(pattern: str):
                 digits = ""
                 while peek() is not None and peek().isdigit():
                     digits += eat()
+                if not digits:
+                    raise ValueError(
+                        "'{' must start a {m}/{m,}/{m,n} quantifier "
+                        "(escape a literal brace as \\{)")
                 m = int(digits)
                 if peek() == "}":
                     eat()
@@ -612,21 +620,43 @@ def token_strings_from_hf(tokenizer, vocab_size: Optional[int] = None):
     """Per-token decoded strings for :func:`fsm_from_regex` /
     :func:`fsm_from_json_schema` from a HuggingFace tokenizer.
 
-    Each id is decoded ALONE (the byte-level-BPE-safe way to get its
-    standalone text). Banned (``None``): special tokens, empty decodes,
+    Each id maps to its standalone text: SentencePiece pieces keep their
+    leading-space marker (U+2581 -> ' '; ``decode([id])`` would strip it),
+    byte pieces become their byte, everything else is decoded alone (the
+    byte-level-BPE-safe way). Banned (``None``): special tokens, empty decodes,
     and tokens containing U+FFFD — a lone continuation byte of a multi-byte
     UTF-8 character cannot participate in a character-level DFA walk (the
     grammar operates on text, not bytes; multi-byte characters still work
     through tokens that carry the whole character)."""
     n = vocab_size if vocab_size is not None else len(tokenizer)
     special = set(getattr(tokenizer, "all_special_ids", ()) or ())
+    # SentencePiece tokenizers (Gemma/Llama) mark a leading space with
+    # U+2581 which decode([id]) STRIPS when the id is decoded alone — the
+    # character-level DFA would then disagree with real detokenized text
+    # (outlines applies the same restoration). Prefer the raw token piece
+    # and restore the marker; byte pieces like <0x0A> become their byte.
+    pieces = None
+    if hasattr(tokenizer, "convert_ids_to_tokens"):
+        try:
+            pieces = tokenizer.convert_ids_to_tokens(list(range(n)))
+        except Exception:
+            pieces = None
     out: List[Optional[str]] = []
     for i in range(n):
         if i in special:
             out.append(None)
             continue
-        text = tokenizer.decode([i], skip_special_tokens=False,
-                                clean_up_tokenization_spaces=False)
+        text = None
+        piece = pieces[i] if pieces is not None else None
+        if isinstance(piece, str) and "▁" in piece:
+            text = piece.replace("▁", " ")
+        elif isinstance(piece, str) and len(piece) == 6 and \
+                piece.startswith("<0x") and piece.endswith(">"):
+            b = int(piece[3:5], 16)
+            text = chr(b) if b < 0x80 else None  # lone UTF-8 cont. byte
+        else:
+            text = tokenizer.decode([i], skip_special_tokens=False,
+                                    clean_up_tokenization_spaces=False)
         out.append(text if text and "�" not in text else None)
     return out
 
@@ -736,9 +766,16 @@ def constrained_generate(model, params, input_ids, fsm: TokenFSM, *,
     if eos_token_id is None:
         raise ValueError("constrained decoding needs eos_token_id (EOS is "
                          "how a completed grammar terminates)")
-    vocab = getattr(model.config, "vocab_size")
+    cfg = model.config
+    vocab = (cfg.vocab_size if hasattr(cfg, "vocab_size")
+             else cfg.text_config.vocab_size)   # VLM-style nested config
     if fsm.vocab_size != vocab:
         raise ValueError(f"FSM vocab {fsm.vocab_size} != model vocab {vocab}")
+    if int(max_new_tokens) < 1:
+        # the jitted loop's first emit would clobber the last prompt token
+        # (dynamic_update_slice clamps the out-of-bounds start)
+        ids = jnp.asarray(input_ids, jnp.int32)
+        return ids, jnp.zeros((ids.shape[0],), jnp.int32)
     toks, states = _constrained_generate(
         model, params, jnp.asarray(input_ids, jnp.int32),
         int(max_new_tokens), bool(do_sample), rng, float(temperature),

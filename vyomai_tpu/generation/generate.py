@@ -26,7 +26,10 @@ def _sample(logits, temperature, do_sample, rng):
         # argmax is temperature-invariant; dividing first (as the reference
         # does) breaks at temperature=0.0 — documented deviation
         return jnp.argmax(logits, axis=-1)
-    return jax.random.categorical(rng, logits / temperature, axis=-1)
+    # clamp: do_sample=True with temperature=0.0 is the common "make it
+    # greedy" idiom — logits/0 would be inf/NaN and categorical garbage
+    return jax.random.categorical(
+        rng, logits / jnp.maximum(temperature, 1e-6), axis=-1)
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 6, 7))
@@ -194,10 +197,15 @@ def generate_hf(model, params, input_ids, *, max_new_tokens: int = 32,
         rng = jax.random.PRNGKey(0)
     if eos_token_id is None:
         eos_token_id = getattr(model.config, "eos_token_id", None)
-    eos = None if eos_token_id is None else \
-        tuple(eos_token_id) if isinstance(eos_token_id, (list, tuple)) \
-        else (int(eos_token_id),)
-    return _generate_hf(model, params, jnp.asarray(input_ids, jnp.int32),
+    from .sampling import normalize_eos
+    _, eos = normalize_eos(eos_token_id)
+    eos = tuple(eos) if eos else None
+    ids = jnp.asarray(input_ids, jnp.int32)
+    if int(max_new_tokens) < 1:
+        # the jitted loop's first emit would clobber the last prompt token
+        # (dynamic_update_slice clamps the out-of-bounds start)
+        return ids
+    return _generate_hf(model, params, ids,
                         int(max_new_tokens), bool(do_sample), rng,
                         float(temperature), int(top_k), float(top_p),
                         float(min_p), float(repetition_penalty),

@@ -41,10 +41,11 @@ def norm_fn(x, eps: float = 0.0):
     return x_max / (jnp.sum(x_max, axis=-1, keepdims=True) + eps)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def _forward_chunk(model, params, chunk, start_pos, chunk_len: int, cache):
-    """Run ``chunk_len`` tokens through the cached model at ``start_pos``.
-    One compiled program per distinct ``chunk_len``."""
+@partial(jax.jit, static_argnums=(0,))
+def _forward_chunk(model, params, chunk, start_pos, cache):
+    """Run a token chunk through the cached model at ``start_pos``.
+    One compiled program per distinct chunk length (jit specializes on
+    ``chunk.shape`` — no explicit static length needed)."""
     out = model.apply(params, chunk, cache=cache, start_pos=start_pos)
     return out.logits, out.kv_cache
 
@@ -81,7 +82,11 @@ def speculative_generate(
     assert drafter_model.config.vocab_size == target_model.config.vocab_size
 
     prompt_len = inputs.shape[1]
-    max_seq = getattr(target_model.config, "max_position_embeddings", 512)
+    # cap by BOTH models' positional ranges (the on-chip variant already
+    # does): driving the drafter past its table silently degrades drafts
+    max_seq = min(
+        getattr(target_model.config, "max_position_embeddings", 512),
+        getattr(drafter_model.config, "max_position_embeddings", 512))
     total_len = min(max_seq, prompt_len + max_gen_len)
     if total_len <= prompt_len:  # prompt at/over the context limit
         return [], 0.0
@@ -99,10 +104,9 @@ def speculative_generate(
 
     def run(model, params, cache, cache_pos, upto):
         """Feed tokens [cache_pos, upto) through the cached model."""
-        chunk_len = upto - cache_pos
         chunk = jnp.asarray(input_ids[:, cache_pos:upto])
         logits, cache = _forward_chunk(model, params, chunk,
-                                       cache_pos, chunk_len, cache)
+                                       cache_pos, cache)
         return logits, cache, upto
 
     if first_target:
@@ -448,7 +452,7 @@ def speculative_generate_onchip(
         # context-limit tail: plain cached single-token target steps
         logits, t_cache = _forward_chunk(
             target_model, target_params, buf[:, current - 1:current],
-            current - 1, 1, with_length(t_cache, current - 1))
+            current - 1, with_length(t_cache, current - 1))
         r = jax.random.fold_in(rng, current)
         tok = int(logits_processor.sample(
             logits_processor(logits[0, -1]), r)[0])
@@ -486,7 +490,12 @@ def speculative_generate_multimodel(
     fused K/V. Later rounds only touch generated (text) positions.
     """
     if drafter_pixel_values is not None:
-        img_idx = getattr(target_model.config, "image_token_index", None)
+        # the corruption this guards happens in the DRAFTER's catch-up
+        # re-encode — check the drafter's image token id (falling back to
+        # the target's for drafters that share its tokenizer)
+        img_idx = getattr(
+            drafter_model.config, "image_token_index",
+            getattr(target_model.config, "image_token_index", None))
         if img_idx is not None and int(np.asarray(inputs)[0, -1]) == img_idx:
             raise ValueError(
                 "VLM drafter requires the prompt to end with a text token "

@@ -74,7 +74,14 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None,
     (``lax.platform_dependent``): the Pallas kernel on TPU, the einsum path
     everywhere else — so a computation placed on a CPU mesh takes the XLA
     path even when the process default backend is TPU (no
-    ``set_sdpa_impl("xla")`` needed on CPU meshes)."""
+    ``set_sdpa_impl("xla")`` needed on CPU meshes).
+
+    FULLY-MASKED query rows are implementation-defined: the flash kernel
+    emits exactly 0 (online-softmax floor), the XLA path emits the uniform
+    average of V (clamped softmax — the torch reference's behavior). Both
+    are garbage-in/garbage-out values; mask such rows out downstream
+    (pooling, loss) rather than reading them. Rows that exist only as the
+    flash path's internal block padding are sliced away and never differ."""
     impl = _SDPA_IMPL
     if impl == "auto" and _flash_shapes_ok(q, k, mask):
         from ..ops import flash_attention as fa

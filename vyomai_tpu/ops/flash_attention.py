@@ -228,6 +228,7 @@ def _fwd_kernel(*args, scale, num_kv_blocks, bq, bk,
 
 
 def _bias_spec(bias, bq, bk, order, win=None):
+    bb = bias.shape[0]
     bh = bias.shape[1]
     brow = bias.shape[2]
 
@@ -237,7 +238,11 @@ def _bias_spec(bias, bq, bk, order, win=None):
             nkw, _, nk, bq_, q_off = win
             ik = jnp.clip(_win_top_block(iq, bq_, bk, q_off)
                           - (nkw - 1) + ik, 0, nk - 1)
-        return (b_, 0 if bh == 1 else h_, 0 if brow == 1 else iq, ik)
+        # broadcast dims pin to block 0 explicitly (like bh/brow) — a
+        # synthesized [1,1,1,Lk] tail bias under a B>1 grid must not rely
+        # on implicit OOB-index clamping
+        return (0 if bb == 1 else b_, 0 if bh == 1 else h_,
+                0 if brow == 1 else iq, ik)
 
     rows = 1 if brow == 1 else bq
     return pl.BlockSpec((1, 1, rows, bk), idx, memory_space=pltpu.VMEM)

@@ -77,6 +77,7 @@ def zigzag_shard(x, n: int, seq_axis: int = 2):
 def zigzag_unshard(x, n: int, seq_axis: int = 2):
     """Inverse permutation of :func:`zigzag_shard`."""
     l = x.shape[seq_axis]
+    assert l % (2 * n) == 0, f"seq len {l} not divisible by 2n={2 * n}"
     c = l // (2 * n)
     order = []
     for i in range(n):
@@ -356,9 +357,15 @@ def _make_flash_ring(mesh: Mesh, axis: str, n: int, causal: bool,
     (out, lse) only; backward is a second ring pass of per-pair Pallas
     flash backward kernels — sequence-parallel TRAINING at kernel speed
     with O(Lc) residual memory, the piece the forward-only v2 lacked."""
-    key = (id(mesh), axis, n, causal, layout)
+    # structural key: id(mesh) would leak one entry per Mesh OBJECT (and
+    # never hit for equal meshes rebuilt per call); equal device layouts
+    # share the closures instead, and the cache is bounded
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+           axis, n, causal, layout)
     if key in _FLASH_RING_CACHE:
         return _FLASH_RING_CACHE[key]
+    if len(_FLASH_RING_CACHE) >= 32:   # bounded: drop the oldest entry
+        _FLASH_RING_CACHE.pop(next(iter(_FLASH_RING_CACHE)))
     spec = P(None, None, axis, None)
     kw = dict(axis=axis, n=n, causal=causal, layout=layout)
     fwd_res = jax.shard_map(
@@ -415,6 +422,21 @@ def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "sp",
         # path (the kernel would otherwise lower for the wrong platform)
         impl = "flash" if mesh.devices.flat[0].platform == "tpu" else "xla"
     if impl == "flash":
+        # validate the kernel's shape preconditions HERE with a real
+        # message — inside shard_map tracing a violation surfaces as an
+        # opaque `int // None` TypeError from the block-size picker
+        from . import flash_attention as fa
+        lc = q.shape[2] // n
+        run = lc // 2 if layout == "zigzag" else lc
+        if fa._block_size(run, (256, 128, 64, 32, 16, 8)) is None:
+            raise ValueError(
+                f"impl='flash' needs each within-shard position run "
+                f"(L/n{'/2' if layout == 'zigzag' else ''} = {run}) "
+                f"divisible by 8; pad L or use impl='xla'")
+        if q.shape[-1] not in (64, 128, 256):
+            raise ValueError(
+                f"impl='flash' supports head_dim 64/128/256, got "
+                f"{q.shape[-1]}; use impl='xla'")
         # differentiable flash ring (custom VJP; shard_maps run with
         # check_vma=False — pallas outputs carry no varying-axes type)
         return _make_flash_ring(mesh, axis, n, causal, layout)(q, k, v)

@@ -101,7 +101,9 @@ _RULES = [
     (r"ffn/intermediate/kernel$",            lambda: P(None, "model")),
     (r"ffn/intermediate/bias$",              lambda: P("model")),
     (r"ffn/out/kernel$",                     lambda: P("model", None)),
-    (r"word_embeddings/weight$",             lambda: P(None, "model")),
+    # vocab-sharded like the modern stack's embed_tokens (the table is
+    # [vocab, hidden]; sharding hidden would all-gather on every lookup)
+    (r"word_embeddings/weight$",             lambda: P("model", None)),
     (r"lm_head/decoder/kernel$",             lambda: P(None, "model")),
     (r"lm_head/decoder/bias$",               lambda: P("model")),
     # modern (pre-LN RMSNorm/SwiGLU) stack: qkv/FFN-in column-parallel,

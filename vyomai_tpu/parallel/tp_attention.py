@@ -28,14 +28,17 @@ def sharded_sdpa(mesh: Mesh, q, k, v, mask=None, *, causal: bool = False,
     assert k.shape[1] % n == 0, "num_kv_heads must divide the model axis"
     head_spec = P(None, axis, None, None)
 
+    # check_vma=False: the per-shard sdpa may lower to the Pallas flash
+    # kernel, whose outputs carry no varying-mesh-axes type (CLAUDE.md) —
+    # shard_map's default typecheck rejects it
     if mask is None:
         fn = jax.shard_map(
             partial(sdpa, causal=causal), mesh=mesh,
             in_specs=(head_spec, head_spec, head_spec),
-            out_specs=head_spec)
+            out_specs=head_spec, check_vma=False)
         return fn(q, k, v)
     fn = jax.shard_map(
         lambda q_, k_, v_, m_: sdpa(q_, k_, v_, m_, causal=causal),
         mesh=mesh, in_specs=(head_spec, head_spec, head_spec, P()),
-        out_specs=head_spec)
+        out_specs=head_spec, check_vma=False)
     return fn(q, k, v, mask)

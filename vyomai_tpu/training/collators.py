@@ -64,19 +64,25 @@ def electra_inputs(rng, gen_logits, input_ids, masked_indices,
 
 def sft_collate(sequences: Sequence[Sequence[int]], pad_token_id: int,
                 ignore_index: int = -100):
-    """Dynamic right-padding; the first pad after the answer is kept as the
-    EOS label, the rest are ignored (reference nb ``sft_collate``)."""
-    max_len = max(len(s) for s in sequences)
+    """Dynamic right-padding to ``max(len) + 1`` (reference nb
+    ``sft_collate``, vyom-ai-llm-sft-dpo-training.ipynb).
+
+    Reference quirk preserved EXACTLY: a row with a single pad (the
+    batch-longest sequences) keeps that pad as its EOS label, while rows
+    with more than one pad get ALL their pads ignored — the notebook's
+    ``targets[indices] = ignore_index`` fires on every pad position, not
+    "all but the first" as its comment claims. The attention mask covers
+    only real tokens (the EOS-label pad is masked out as input)."""
+    max_len = max(len(s) for s in sequences) + 1
     batch = np.full((len(sequences), max_len), pad_token_id, dtype=np.int64)
-    labels = np.full((len(sequences), max_len), ignore_index, dtype=np.int64)
+    labels = np.full((len(sequences), max_len), pad_token_id, dtype=np.int64)
+    mask = np.zeros((len(sequences), max_len), dtype=np.int64)
     for i, s in enumerate(sequences):
         batch[i, :len(s)] = s
         labels[i, :len(s)] = s
-        if len(s) < max_len:
-            labels[i, len(s)] = pad_token_id  # first pad acts as EOS label
-    mask = (batch != pad_token_id).astype(np.int64)
-    mask |= (labels == pad_token_id) & (np.arange(max_len)[None, :] <
-                                        np.array([len(s) + 1 for s in sequences])[:, None])
+        mask[i, :len(s)] = 1
+        if max_len - len(s) > 1:           # >1 pads: every pad is ignored
+            labels[i, len(s):] = ignore_index
     return batch, labels, mask
 
 
@@ -124,8 +130,18 @@ class LanguageModeling:
             raise ValueError(f"Input file path {file_path} not found")
         block_size = block_size - num_special_tokens
         directory, filename = os.path.split(file_path)
+        # the cache key must cover the tokenization scheme, not just the
+        # block size — a stale cache built with a different tokenizer would
+        # otherwise be silently reused (wrong token ids, no error)
+        import hashlib
+        tok_id = hashlib.sha1("|".join((
+            getattr(tokenize, "__qualname__", repr(type(tokenize))),
+            getattr(add_special_tokens, "__qualname__",
+                    repr(add_special_tokens)),
+            str(num_special_tokens))).encode()).hexdigest()[:8]
         cached = os.path.join(cache_dir or directory,
-                              f"cached_lm_{block_size}_{filename}.npz")
+                              f"cached_lm_{block_size}_{tok_id}_{filename}"
+                              ".npz")
         if os.path.exists(cached):
             self.examples = list(np.load(cached)["examples"])
         else:

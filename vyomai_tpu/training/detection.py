@@ -13,6 +13,24 @@ def box_cxcywh_to_xyxy(b):
                            axis=-1)
 
 
+def paired_giou(a, b):
+    """Elementwise GIoU of matched pairs a [K,4], b [K,4] (xyxy) -> [K]
+    (the O(K) row-wise form of :func:`generalized_iou`'s diagonal)."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = jnp.maximum(a[:, :2], b[:, :2])
+    rb = jnp.minimum(a[:, 2:], b[:, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[:, 0] * wh[:, 1]
+    union = area_a + area_b - inter
+    iou = inter / jnp.maximum(union, 1e-8)
+    lt_hull = jnp.minimum(a[:, :2], b[:, :2])
+    rb_hull = jnp.maximum(a[:, 2:], b[:, 2:])
+    wh_hull = jnp.clip(rb_hull - lt_hull, 0)
+    hull = wh_hull[:, 0] * wh_hull[:, 1]
+    return iou - (hull - union) / jnp.maximum(hull, 1e-8)
+
+
 def generalized_iou(a, b):
     """GIoU between box sets a [N,4], b [M,4] (xyxy). Returns [N, M]."""
     area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
@@ -73,8 +91,8 @@ def detr_loss_single(class_logits, boxes, gt_labels, gt_boxes, match,
     pb = boxes[qi]
     gb = jnp.asarray(gt_boxes)[gi]
     loss_bbox = jnp.abs(pb - gb).sum(-1).mean()
-    giou = generalized_iou(box_cxcywh_to_xyxy(pb), box_cxcywh_to_xyxy(gb))
-    loss_giou = (1.0 - jnp.diagonal(giou)).mean()
+    giou = paired_giou(box_cxcywh_to_xyxy(pb), box_cxcywh_to_xyxy(gb))
+    loss_giou = (1.0 - giou).mean()
     return w_class * loss_class + w_bbox * loss_bbox + w_giou * loss_giou
 
 
@@ -82,6 +100,8 @@ def detr_loss(class_logits, boxes, targets, *, num_classes: int):
     """Batch loss: match on host per image, average the jittable losses.
 
     targets: list of (gt_labels [M_i], gt_boxes [M_i, 4])."""
+    if not targets:   # empty batch tail: no images, no loss
+        return jnp.float32(0.0)
     total = 0.0
     for i, (gt_labels, gt_boxes) in enumerate(targets):
         match = hungarian_match(class_logits[i], boxes[i], gt_labels,

@@ -138,8 +138,11 @@ def token_logprobs(logits, labels):
 def distillation_loss(student_logits, teacher_logits, labels, *,
                       temperature: float = 2.0, alpha: float = 0.5,
                       ignore_index: int = -100):
-    """alpha * CE(student, labels) + (1-alpha) * T^2 * KL(teacher || student)."""
-    ce = cross_entropy(student_logits, labels, ignore_index=ignore_index)
+    """alpha * CE(student, labels) + (1-alpha) * T^2 * KL(teacher || student).
+
+    ``labels=None`` gives the pure-KL mode (no hard-label CE term)."""
+    ce = (0.0 if labels is None else
+          cross_entropy(student_logits, labels, ignore_index=ignore_index))
     t = temperature
     s_logp = jax.nn.log_softmax(student_logits.astype(jnp.float32) / t, -1)
     t_prob = jax.nn.softmax(teacher_logits.astype(jnp.float32) / t, -1)

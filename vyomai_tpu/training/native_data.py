@@ -50,6 +50,10 @@ def _load():
     global _lib, _build_error
     if _lib is not None:
         return _lib
+    if _build_error is not None:
+        # fail fast: a failed build would otherwise be re-attempted (up to
+        # the 120 s g++ timeout) on EVERY available()/loader construction
+        return None
     if not os.path.exists(_SO) or \
             os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         _build_error = _build()

@@ -112,6 +112,10 @@ class MetricLogger:
 
     def log(self, step: int, metrics: dict):
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
+        # ONE device_get for the whole dict: per-metric float() would pay
+        # one ~25 ms device->host round trip EACH on the remote-tunneled
+        # chip (CLAUDE.md)
+        metrics = jax.device_get(metrics)
         rec.update({k: float(v) for k, v in metrics.items()})
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
