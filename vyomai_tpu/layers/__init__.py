@@ -1,1 +1,2 @@
-from . import attention, ffn, positional, kv_cache, adapters, modern, moe  # noqa: F401
+from . import (attention, ffn, positional, kv_cache, adapters, modern,  # noqa: F401
+               moe, medusa)

@@ -107,7 +107,8 @@ class ContinuousBatchEngine:
                  seed: int = 0, mesh=None, draft_model=None,
                  draft_params=None, draft_plus_one: bool = False,
                  gamma: int = 4, spec_rounds: int = 2,
-                 ngram_speculation: bool = False, fsms=None,
+                 ngram_speculation: bool = False, medusa_params=None,
+                 fsms=None,
                  loras=None, return_logprobs: bool = False,
                  position_offset: int = 0):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
@@ -142,6 +143,19 @@ class ContinuousBatchEngine:
         extraction). Greedy only, token-exact vs the plain engine; same
         incompatibilities as draft-model speculation.
 
+        ``medusa_params`` enables SELF-speculative decoding via Medusa
+        heads (``layers.medusa``, arXiv:2401.10774): each decode tick runs
+        up to ``spec_rounds`` rounds of (propose ``gamma`` tokens from the
+        previous round's verified hidden state through the K trained head
+        blocks -> one multi-token target verification) on device
+        (``paged_model.medusa_horizon``). The cheapest proposer of the
+        three speculative flavors: no draft model, no second pool, no
+        history buffer — proposals are one batched einsum + one lm_head
+        matmul riding the verification dispatch. Requires
+        ``gamma <= K`` heads; token-exact vs the plain engine for ANY head
+        weights (training only moves acceptance). Same incompatibilities
+        as draft-model speculation.
+
         ``fsms``: a list of ``generation.constrained.TokenFSM`` grammars
         for guided decoding — a request submitted with ``fsm_id=i`` only
         ever emits tokens its grammar allows (structured output). The
@@ -168,10 +182,14 @@ class ContinuousBatchEngine:
         self.model = model
         self.params = params
         self.ngram_speculation = bool(ngram_speculation)
-        if self.ngram_speculation and draft_model is not None:
-            raise ValueError("pick ONE speculator: draft_model or "
-                             "ngram_speculation")
-        speculative = draft_model is not None or self.ngram_speculation
+        self.medusa_params = medusa_params
+        n_spec = sum((draft_model is not None, self.ngram_speculation,
+                      medusa_params is not None))
+        if n_spec > 1:
+            raise ValueError("pick ONE speculator: draft_model, "
+                             "ngram_speculation, or medusa_params")
+        speculative = n_spec > 0
+        self.speculative = speculative
         self.num_loras = 0
         if loras:
             if speculative:
@@ -238,6 +256,11 @@ class ContinuousBatchEngine:
                     "vs the plain engine); do_sample=True is unsupported")
             if self.gamma < 1:
                 raise ValueError("gamma must be >= 1")
+        if medusa_params is not None:
+            k_heads = int(medusa_params["w1"].shape[0])
+            if self.gamma > k_heads:
+                raise ValueError(f"gamma={self.gamma} needs at least that "
+                                 f"many Medusa heads (got {k_heads})")
         if draft_model is not None:
             if draft_model.config.vocab_size != self.cfg.vocab_size:
                 raise ValueError(
@@ -246,8 +269,7 @@ class ContinuousBatchEngine:
             self.draft_pool = paged_model.init_pool(
                 draft_model.config, num_blocks, block_size, dtype=dtype)
         self.position_offset = int(position_offset)
-        if self.position_offset and (draft_model is not None
-                                     or ngram_speculation):
+        if self.position_offset and speculative:
             raise ValueError("position_offset (PaliGemma 1-indexed RoPE) "
                              "is unsupported with speculative decoding")
         self.mesh = mesh
@@ -287,6 +309,17 @@ class ContinuousBatchEngine:
             if self.draft_params is not None:
                 self.draft_params = jax.tree_util.tree_map(
                     jnp.asarray, self.draft_params)
+        if self.medusa_params is not None:
+            # commit once, in the model's hidden dtype (the head einsum
+            # runs in w1's dtype — fp32 heads on a bf16 model would
+            # silently upcast the proposer)
+            from ..core import nn as _cnn
+            hd = _cnn.embedding_dtype(self.params["embed_tokens"])
+            m = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype=hd), self.medusa_params)
+            if mesh is not None:
+                m = jax.device_put(m, self._replicated)
+            self.medusa_params = m
         self.fsms = list(fsms) if fsms else None
         self._fsm_next_dev = None
         if self.fsms:
@@ -424,7 +457,7 @@ class ContinuousBatchEngine:
             if self.eos_token_id is None:
                 raise ValueError("guided decoding needs eos_token_id (EOS "
                                  "terminates a completed grammar)")
-        if (self.draft_model is not None or self.ngram_speculation) and (
+        if self.speculative and (
                 presence_penalty or frequency_penalty or
                 self.presence_penalty or self.frequency_penalty or
                 (repetition_penalty not in (None, 1.0)) or
@@ -475,7 +508,7 @@ class ContinuousBatchEngine:
             # multimodal / prefix-LM request (PaliGemma-style captioning
             # through the continuous batch — reference paligemma.ipynb +
             # simple_vllm.ipynb combined)
-            if self.draft_model is not None or self.ngram_speculation:
+            if self.speculative:
                 raise ValueError("multimodal/prefix-LM requests are "
                                  "unsupported with speculative decoding")
             if getattr(self.cfg, "sliding_window", None):
@@ -1295,6 +1328,27 @@ class ContinuousBatchEngine:
             allow_pallas=self._allow_pallas, mesh=self._kernel_mesh)
         self._spec_commit(lanes["live"], gen, counts, acc, spec)
 
+    def _medusa_decode_batch(self):
+        """Self-speculative decode tick via Medusa heads: proposals come
+        from the previous round's verified hidden state through the head
+        blocks, in-graph (``paged_model.medusa_horizon``) — no drafter, no
+        history shipping, the proposer rides the verification dispatch."""
+        states = [s for s in self.active.values() if not s.finished]
+        if not states:
+            return
+        lanes = self._spec_lane_setup(states, with_history=False)
+        if lanes is None:
+            return
+        gen, counts, acc, spec, self.pool = paged_model.medusa_horizon(
+            self.model, self.plus_one, self.params, self.medusa_params,
+            self.pool, self._put(lanes["tokens2"]),
+            self._put(lanes["positions"]), self._put(lanes["tables"]),
+            self._put(lanes["live_mask"]), self.gamma, self.spec_rounds,
+            eos=(-1 if self.eos_token_id is None else self.eos_token_id),
+            budget=self._put(lanes["budget"]),
+            allow_pallas=self._allow_pallas, mesh=self._kernel_mesh)
+        self._spec_commit(lanes["live"], gen, counts, acc, spec)
+
     def _maybe_finish(self, state: SequenceState):
         new = len(state.tokens) - state.prompt_len
         hit_eos = (self.eos_token_id is not None
@@ -1342,5 +1396,7 @@ class ContinuousBatchEngine:
             self._spec_decode_batch()
         elif self.ngram_speculation:
             self._ngram_decode_batch()
+        elif self.medusa_params is not None:
+            self._medusa_decode_batch()
         else:
             self._decode_batch()

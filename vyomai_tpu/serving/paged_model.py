@@ -1006,3 +1006,132 @@ def ngram_horizon(model, plus_one: bool, params, pool, tokens2, positions,
     (_, _, _, _, _, counts, acc, spec, out, _, _, pool) = \
         jax.lax.while_loop(cond, body, carry)
     return out, counts, acc, spec, pool
+
+
+@partial(jax.jit, static_argnums=(0, 1, 9, 10), donate_argnums=(4,),
+         static_argnames=("allow_pallas", "mesh"))
+def medusa_horizon(model, plus_one: bool, params, medusa, pool, tokens2,
+                   positions, block_tables, live, gamma: int, rounds: int,
+                   eos=-1, budget=None, allow_pallas: bool = True,
+                   mesh=None):
+    """SELF-speculative decode via Medusa heads (``layers.medusa``,
+    arXiv:2401.10774): up to ``rounds`` rounds of (propose ``gamma`` tokens
+    from the previous round's verified hidden state -> one multi-token
+    target verification) fully on device.
+
+    The proposer is FREE relative to the other two speculative flavors:
+    the draft-model tick pays ``gamma`` sequential drafter forward passes
+    per round, the ngram tick needs a per-lane history buffer shipped each
+    tick — here the gamma proposals are one batched ``[B, K, H]`` einsum +
+    one lm_head matmul over the hidden state the PREVIOUS verification
+    already produced (head ``k`` predicts offset ``k + 2``; the base
+    lm_head's own prediction at offset 1 was committed as that round's
+    correction token). No draft pool, no history, no extra decode steps.
+
+    Greedy only and token-exact vs the plain engine for ANY head weights:
+    every proposal is verified against the target's own argmax (the same
+    acceptance rule as ``speculative_horizon`` — reference
+    ``speculative_decoding.py:85-245``); head training moves only the
+    acceptance rate. Round 0 of each tick has no prior hidden state and
+    proposes ``last`` repeated (the ngram tick's no-match fallback) —
+    self-bootstrap costs one low-acceptance round per dispatch, which
+    ``rounds >> 1`` amortizes, and keeps the engine stateless across ticks.
+
+    tokens2/positions/live/budget: as ``ngram_horizon``. medusa:
+    ``{"w1": [K, H, H], "b1": [K, H]}`` with ``K >= gamma``. Returns
+    (emitted [B, rounds*(gamma+1)], counts [B], accepted [B],
+    speculated [B], pool).
+    """
+    from ..layers.medusa import medusa_hidden
+
+    b = tokens2.shape[0]
+    bs = pool["kv"].shape[3]
+    gp1 = gamma + 1
+    width = rounds * gp1
+    eos = jnp.asarray(eos, jnp.int32)
+    if budget is None:
+        budget = jnp.full((b,), width, dtype=jnp.int32)
+    out0 = jnp.zeros((b, width), dtype=jnp.int32)
+    zeros = jnp.zeros((b,), dtype=jnp.int32)
+    iota = jnp.arange(gp1)[None, :]
+    rows = jnp.arange(b)[:, None]
+    hdtype = cnn.embedding_dtype(params["embed_tokens"])
+    h0 = jnp.zeros((b, model.config.hidden_size), dtype=hdtype)
+
+    def cond(carry):
+        r, alive = carry[0], carry[3]
+        return (r < rounds) & jnp.any(alive)
+
+    def body(carry):
+        (r, t2, pos, alive, rem, counts, acc, spec, out, h_prop, have_h,
+         pl) = carry
+        # -- propose: heads over the previous round's accepted hidden.
+        # One einsum + one vocab projection for ALL gamma proposals
+        # (cheap: gamma extra lm_head rows vs the verification pass's
+        # full weight stream). Lanes without a hidden yet (round 0)
+        # propose `last` repeated.
+        hk = medusa_hidden(medusa, h_prop)                    # [B, K, H]
+        prop = jnp.argmax(_head(params, hk[:, :gamma]),
+                          axis=-1).astype(jnp.int32)          # [B, gamma]
+        drafted = jnp.where(have_h[:, None], prop,
+                            jnp.broadcast_to(t2[:, 1:2], prop.shape))
+
+        # -- target verifies all gamma+1 positions in one pass
+        ids_v = jnp.concatenate([t2[:, 1:2], drafted], axis=1)  # [B, g+1]
+        pos_v = pos[:, None] + iota
+        sbv, sov = _slot_of(block_tables, bs, pos_v, alive)
+        ctxv = jnp.where(alive, pos + gp1, 0)
+        t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v,
+                                   pos_v, sbv, sov, block_tables, ctxv,
+                                   allow_pallas=allow_pallas, mesh=mesh)
+        t_hat = jnp.argmax(_head(params, t_hidden),
+                           axis=-1).astype(jnp.int32)           # [B, g+1]
+
+        # -- greedy acceptance: longest proposed prefix == target argmax
+        miss = t_hat[:, :gamma] != drafted
+        n = jnp.where(miss.any(axis=1), jnp.argmax(miss, axis=1),
+                      gamma).astype(jnp.int32)
+        corr = jnp.take_along_axis(t_hat, n[:, None], axis=1)   # [B, 1]
+        drafted_pad = jnp.concatenate(
+            [drafted, jnp.zeros((b, 1), jnp.int32)], axis=1)
+        emitted = jnp.where(iota < n[:, None], drafted_pad, corr)
+        c = n + 1
+        stop = (emitted == eos) & (iota < c[:, None])
+        hit = stop.any(axis=1)
+        c = jnp.where(hit, jnp.argmax(stop, axis=1).astype(jnp.int32) + 1, c)
+
+        # -- next round's proposal source: the hidden at the accepted
+        # index n — the state whose lm_head argmax produced this round's
+        # correction token (= the new last committed token)
+        h_prop = jnp.take_along_axis(
+            t_hidden, n[:, None, None], axis=1)[:, 0].astype(hdtype)
+        have_h = have_h | alive
+
+        # -- commit: scatter this round's tokens at each lane's offset
+        idx = jnp.where(alive[:, None] & (iota < c[:, None]),
+                        counts[:, None] + iota, width)          # OOB = drop
+        out = out.at[rows, idx].set(emitted, mode="drop")
+        counts = jnp.where(alive, counts + c, counts)
+        acc = acc + jnp.where(alive, n, 0)
+        spec = spec + jnp.where(alive, gamma, 0)
+        new_last = jnp.take_along_axis(emitted, (c - 1)[:, None],
+                                       axis=1)[:, 0]
+        new_prev = jnp.where(
+            c >= 2,
+            jnp.take_along_axis(emitted,
+                                jnp.maximum(c - 2, 0)[:, None], axis=1)[:, 0],
+            t2[:, 1])
+        t2 = jnp.where(alive[:, None],
+                       jnp.stack([new_prev, new_last], axis=1), t2)
+        pos = jnp.where(alive, pos + c, pos)
+        rem = jnp.where(alive, rem - c, rem)
+        alive = alive & ~hit & (rem >= gp1)
+        return (r + 1, t2, pos, alive, rem, counts, acc, spec, out, h_prop,
+                have_h, pl)
+
+    carry = (jnp.int32(0), tokens2.astype(jnp.int32), positions, live,
+             budget, zeros, zeros, zeros, out0, h0,
+             jnp.zeros((b,), dtype=bool), pool)
+    (_, _, _, _, _, counts, acc, spec, out, _, _, pool) = \
+        jax.lax.while_loop(cond, body, carry)
+    return out, counts, acc, spec, pool

@@ -3,7 +3,8 @@ from .trainer import (  # noqa: F401
     MetricLogger)
 from .losses import (  # noqa: F401
     sft_loss, dpo_loss, compute_logprobs, electra_loss, clip_loss,
-    distillation_loss, grpo_loss, group_advantages, token_logprobs)
+    distillation_loss, grpo_loss, group_advantages, token_logprobs,
+    medusa_loss)
 from .collators import (  # noqa: F401
     masked_language_modeling, electra_inputs, gumbel_sample, sft_collate,
     dpo_collate, lm_blocks, LanguageModeling)

@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.fused import cross_entropy
+from ..ops.fused import cross_entropy, lm_head_ce_loss
 
 
 def sft_loss(logits, labels, *, ignore_index: int = -100):
@@ -153,3 +153,45 @@ def distillation_loss(student_logits, teacher_logits, labels, *,
     else:
         kl = kl.mean()
     return alpha * ce + (1 - alpha) * (t ** 2) * kl
+
+
+def medusa_loss(params, medusa, hidden, ids, *, ignore_index: int = -100,
+                chunk_size: int = 1024):
+    """Mean per-offset CE of the Medusa heads over a FROZEN target's hidden
+    states (``layers.medusa``; Medusa-1 training, arXiv:2401.10774 §3.1).
+
+    hidden: [B, T, H] final-normed hidden from the target's forward pass
+    (gradient is stopped — heads-only training); ids: [B, T] the same
+    batch's token ids. Head ``i`` at position ``t`` learns to predict
+    ``ids[t + 2 + i]`` (the base lm_head owns ``t + 1``). Logits never
+    materialize at [B, T, K, V]: each head runs the row-chunked fused
+    lm-head CE (``ops.fused.lm_head_ce_loss``)."""
+    from ..layers.medusa import medusa_hidden
+
+    if "lm_head" in params:
+        if "kernel_q" in params["lm_head"] or "weight_q" in params.get(
+                "embed_tokens", {}):
+            raise ValueError("medusa_loss needs an fp vocabulary "
+                             "projection (train heads before quantizing)")
+        kernel = params["lm_head"]["kernel"]
+        bias = params["lm_head"].get("bias")
+    else:
+        if "weight_q" in params["embed_tokens"]:
+            raise ValueError("medusa_loss needs an fp vocabulary "
+                             "projection (train heads before quantizing)")
+        kernel = params["embed_tokens"]["weight"].T
+        bias = None
+    # the whole target is frozen: hidden AND the reused vocab projection
+    kernel = jax.lax.stop_gradient(kernel)
+    if bias is not None:
+        bias = jax.lax.stop_gradient(bias)
+    hk = medusa_hidden(medusa, jax.lax.stop_gradient(hidden))  # [B,T,K,H]
+    k_heads = hk.shape[2]
+    total = jnp.float32(0.0)
+    for i in range(k_heads):
+        # head i predicts ids[:, t + 2 + i] from position t
+        off = 2 + i
+        total = total + lm_head_ce_loss(
+            hk[:, :-off, i], kernel.astype(hk.dtype), bias, ids[:, off:],
+            ignore_index=ignore_index, chunk_size=chunk_size)
+    return total / k_heads
