@@ -95,6 +95,44 @@ def train(model, steps: int, batch: int = 8, seq: int = 64,
     return jax.device_get(state.params), float(loss)  # fetch = true sync
 
 
+def train_medusa_heads(model, params, steps: int, *, k_heads: int = 4,
+                       batch: int = 8, seq: int = 64, lr: float = 1e-3,
+                       seed: int = 2, active: int = ACTIVE):
+    """Medusa-1 head training over the FROZEN trained target: grad flows
+    only into the K head blocks (``training.losses.medusa_loss`` stops it
+    at the hidden states and the reused lm_head). On the deterministic
+    synthetic task every offset is a function of the current token, so
+    trained heads approach perfect acceptance — the bench then measures
+    the SERVING mechanics (one verify dispatch per gamma+1 tokens), not
+    head quality."""
+    import optax
+
+    from vyomai_tpu.training.losses import medusa_loss
+    from vyomai_tpu.layers.medusa import medusa_init
+
+    heads = medusa_init(None, model.config.hidden_size, k_heads)
+
+    def loss_fn(m, ids):
+        hidden = model.apply(params, ids).hidden_state
+        return medusa_loss(params, m, hidden, ids)
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(m, st, ids):
+        loss, g = jax.value_and_grad(loss_fn)(m, ids)
+        upd, st = opt.update(g, st, m)
+        return optax.apply_updates(m, upd), st, loss
+
+    st = opt.init(heads)
+    rng = np.random.default_rng(seed)
+    loss = None
+    for _ in range(steps):
+        ids = jnp.asarray(synthetic_batch(rng, batch, seq, active))
+        heads, st, loss = step(heads, st, ids)
+    return jax.device_get(heads), float(loss)
+
+
 def _fingerprint(cfg, **hp) -> str:
     """8-hex digest of the model config + train hyperparams, so editing
     TARGET_CFG/DRAFT_CFG or lr/warmup/seed invalidates the pickle cache
@@ -136,24 +174,43 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
     argmax gaps are decisive (unlike random-init logits, whose top-2 gaps
     sit below TPU matmul rounding and flip across differently-fused
     programs)."""
-    active = active or (499 if speculator == "draft" else 41)
+    active = active or (41 if speculator == "ngram" else 499)
 
     target = vt.ModelForCausalLM(TARGET_CFG)
     t0 = time.perf_counter()
     t_params, t_loss = _cached_train(target, f"target_{active}_{steps}",
                                      steps=steps, lr=3e-4, warmup=100,
                                      seed=0, active=active)
-    d_params = draft = None
+    fmt = lambda l: "cached" if l is None else f"{l:.3f}"  # noqa: E731
+    d_params = draft = m_heads = None
     if speculator == "draft":
         draft = vt.ModelForCausalLM(DRAFT_CFG)
         d_params, d_loss = _cached_train(draft, f"draft_{active}_{steps}",
                                          steps=steps, lr=1e-3, seed=1,
                                          active=active)
-        fmt = lambda l: "cached" if l is None else f"{l:.3f}"  # noqa: E731
         print(f"[train] {steps} steps each: target loss {fmt(t_loss)}, "
               f"draft loss {fmt(d_loss)} ({time.perf_counter() - t0:.0f}s)")
+    elif speculator == "medusa":
+        import pickle
+        m_steps = max(1, steps // 2)  # heads are 17M params on a solved task
+        tag = _fingerprint(TARGET_CFG, medusa=True, steps=m_steps,
+                           k_heads=max(4, gamma), active=active,
+                           target_steps=steps)
+        path = f"/tmp/spec_bench_medusa_{tag}.pkl"
+        if _os.path.exists(path):
+            print(f"[train] cached medusa heads: {path}", flush=True)
+            with open(path, "rb") as f:
+                m_heads = pickle.load(f)
+            m_loss = None
+        else:
+            m_heads, m_loss = train_medusa_heads(
+                target, t_params, m_steps, k_heads=max(4, gamma),
+                active=active)
+            with open(path, "wb") as f:
+                pickle.dump(m_heads, f)
+        print(f"[train] target loss {fmt(t_loss)}, medusa head loss "
+              f"{fmt(m_loss)} ({time.perf_counter() - t0:.0f}s)")
     else:
-        fmt = lambda l: "cached" if l is None else f"{l:.3f}"  # noqa: E731
         print(f"[train] {steps} steps: target loss {fmt(t_loss)} "
               f"(mod {active}, {time.perf_counter() - t0:.0f}s)")
 
@@ -181,6 +238,11 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
         if with_spec and speculator == "ngram":
             eng = ContinuousBatchEngine(target, t_params,
                                         ngram_speculation=True,
+                                        gamma=gamma,
+                                        spec_rounds=rounds, **kw)
+        elif with_spec and speculator == "medusa":
+            eng = ContinuousBatchEngine(target, t_params,
+                                        medusa_params=m_heads,
                                         gamma=gamma,
                                         spec_rounds=rounds, **kw)
         elif with_spec:
@@ -242,11 +304,11 @@ def main():
     ap.add_argument("--prompt", type=int, default=32)
     ap.add_argument("--new", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--speculator", choices=("draft", "ngram"),
+    ap.add_argument("--speculator", choices=("draft", "ngram", "medusa"),
                     default="draft")
     ap.add_argument("--active", type=int, default=None,
                     help="synthetic vocab modulus (cycle length); default "
-                         "499 for draft, 41 for ngram")
+                         "41 for ngram, 499 otherwise")
     args = ap.parse_args()
     run_spec_bench(args.speculator, args.steps, args.gamma, args.rounds,
                    args.requests, args.prompt, args.new, args.batch,
