@@ -170,6 +170,48 @@ def test_medusa_validation(qwen, heads):
         eng.submit(PROMPTS[0], presence_penalty=0.5)
 
 
+def test_medusa_pool_pressure_stress(qwen, heads):
+    """Tiny pool + mixed prompt lengths + mid-flight aborts: spec-grant
+    shrinking, plain-tick fallback, and preemption must keep every
+    surviving lane token-exact vs the dense cached-greedy reference and
+    leak no blocks."""
+    from vyomai_tpu.generation import generate
+    model, params = qwen
+    rng = np.random.default_rng(3)
+    eng = ContinuousBatchEngine(model, params, num_blocks=24, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=10, dtype=jnp.float32,
+                                medusa_params=heads, gamma=3, spec_rounds=2)
+    free0 = eng.kv.num_free()
+    reqs = {}
+    for _ in range(10):
+        prompt = list(rng.integers(1, QCFG.vocab_size,
+                                   size=rng.integers(2, 40)))
+        reqs[eng.submit(prompt)] = prompt
+    aborted = set()
+    steps = 0
+    while eng.waiting or eng.active or eng.needs_prefill:
+        eng.step()
+        steps += 1
+        if steps % 4 == 0:
+            live = [s for s in reqs if s not in aborted
+                    and s not in eng.finished]
+            if live:
+                victim = int(rng.choice(live))
+                if eng.abort(victim):
+                    aborted.add(victim)
+        assert steps < 400, "scheduler failed to drain"
+    out = {sid: s.tokens[s.prompt_len:] for sid, s in eng.finished.items()}
+    for sid, prompt in reqs.items():
+        if sid not in out:
+            continue  # aborted before finishing
+        dense = generate(model, params, jnp.asarray([prompt]),
+                         max_new_tokens=10, use_cache=True)
+        assert out[sid] == np.asarray(dense)[0, len(prompt):].tolist(), sid
+    eng.finished.clear()
+    assert eng.kv.num_free() == free0, "leaked blocks after full drain"
+
+
 def test_medusa_tp_matches_single_chip(qwen, heads):
     """Medusa heads are replicated; verification runs SPMD — greedy tokens
     match the single-chip medusa engine exactly."""

@@ -18,6 +18,8 @@ from .layers.kv_cache import (  # noqa: F401
 from .layers.adapters import (  # noqa: F401
     LoraLinear, DoraLinear, trainable_mask, masked_optimizer,
     inject_lora, inject_dora, merge_adapters, embed_multi_lora)
+from .layers.medusa import (  # noqa: F401
+    medusa_init, medusa_propose)
 from .generation import (  # noqa: F401
     generate, generate_seq2seq, generate_multimodel, speculative_generate,
     speculative_generate_onchip, speculative_generate_multimodel,
