@@ -111,25 +111,27 @@ def train_medusa_heads(model, params, steps: int, *, k_heads: int = 4,
     from vyomai_tpu.layers.medusa import medusa_init
 
     heads = medusa_init(None, model.config.hidden_size, k_heads)
-
-    def loss_fn(m, ids):
-        hidden = model.apply(params, ids).hidden_state
-        return medusa_loss(params, m, hidden, ids)
-
     opt = optax.adam(lr)
 
+    # params is a jit ARGUMENT, not a closure: closing over the ~1.8 GB
+    # host tree would embed it in the lowered program as constants (the
+    # remote compile helper rejects such payloads with HTTP 413)
     @jax.jit
-    def step(m, st, ids):
-        loss, g = jax.value_and_grad(loss_fn)(m, ids)
+    def step(p, m, st, ids):
+        def loss_fn(m):
+            hidden = model.apply(p, ids).hidden_state
+            return medusa_loss(p, m, hidden, ids)
+        loss, g = jax.value_and_grad(loss_fn)(m)
         upd, st = opt.update(g, st, m)
         return optax.apply_updates(m, upd), st, loss
 
+    params = jax.tree_util.tree_map(jnp.asarray, params)  # commit once
     st = opt.init(heads)
     rng = np.random.default_rng(seed)
     loss = None
     for _ in range(steps):
         ids = jnp.asarray(synthetic_batch(rng, batch, seq, active))
-        heads, st, loss = step(heads, st, ids)
+        heads, st, loss = step(params, heads, st, ids)
     return jax.device_get(heads), float(loss)
 
 

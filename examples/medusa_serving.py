@@ -92,7 +92,8 @@ def main():
 
     # -- 3. serve with and without the heads
     rng = np.random.default_rng(7)
-    prompts = [list(next(iter(batches(rng, 1, batch=1, seq=16)))[0])
+    prompts = [[int(t) for t in next(iter(batches(rng, 1, batch=1,
+                                                  seq=16)))[0]]
                for _ in range(8)]
     kw = dict(num_blocks=256, block_size=16, max_batch=8,
               max_blocks_per_seq=16, max_new_tokens=96,

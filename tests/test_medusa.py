@@ -103,6 +103,20 @@ def test_medusa_loss_trains_heads_only(qwen):
                for x in jax.tree_util.tree_leaves(gp))
 
 
+def test_medusa_loss_rejects_quantized_head(qwen):
+    """Head training needs an fp vocab projection: int8- and int4-quantized
+    param trees are rejected with the friendly error, not a KeyError."""
+    model, params = qwen
+    ids = jnp.asarray(np.random.default_rng(1).integers(
+        0, QCFG.vocab_size, size=(1, 16)), jnp.int32)
+    hidden = model.apply(params, ids).hidden_state
+    m = medusa_init(None, QCFG.hidden_size, 2)
+    for bits in (8, 4):
+        qp = vt.quantize_params(params, bits=bits)
+        with pytest.raises(ValueError, match="quantizing"):
+            medusa_loss(qp, m, hidden, ids)
+
+
 def test_medusa_engine_token_exact(qwen, heads):
     """Mixed prompts, multiple ticks: medusa engine greedy == plain engine
     greedy; the proposer runs (speculated > 0) without a draft model."""

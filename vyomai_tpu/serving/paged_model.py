@@ -728,6 +728,77 @@ def _slot_of(block_tables, bs, p, alive):
     return blk, off
 
 
+def _verify_accept(model, plus_one, params, pl, t2, drafted, pos,
+                   block_tables, bs, alive, gamma: int, eos,
+                   allow_pallas, mesh):
+    """Shared verification + greedy acceptance for all three speculative
+    flavors (draft-model / ngram / medusa): the target scores
+    ``[last, drafted...]`` (gamma+1 positions) in one ``_multi_core`` pass,
+    accepts the longest drafted prefix matching its own argmax, and emits
+    its correction token — the acceptance rule of reference
+    ``speculative_decoding.py:85-245``. EOS truncates the round's emission.
+
+    Returns ``(t_hidden [B,g+1,H], emitted [B,g+1], n accepted [B],
+    c committed [B], hit-EOS [B], pool)``.
+    """
+    b = t2.shape[0]
+    gp1 = gamma + 1
+    iota = jnp.arange(gp1)[None, :]
+    ids_v = jnp.concatenate([t2[:, 1:2], drafted], axis=1)     # [B, g+1]
+    pos_v = pos[:, None] + iota
+    sbv, sov = _slot_of(block_tables, bs, pos_v, alive)
+    ctxv = jnp.where(alive, pos + gp1, 0)
+    t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v, pos_v,
+                               sbv, sov, block_tables, ctxv,
+                               allow_pallas=allow_pallas, mesh=mesh)
+    t_hat = jnp.argmax(_head(params, t_hidden),
+                       axis=-1).astype(jnp.int32)              # [B, g+1]
+    miss = t_hat[:, :gamma] != drafted
+    n = jnp.where(miss.any(axis=1), jnp.argmax(miss, axis=1),
+                  gamma).astype(jnp.int32)
+    corr = jnp.take_along_axis(t_hat, n[:, None], axis=1)      # [B, 1]
+    drafted_pad = jnp.concatenate(
+        [drafted, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    emitted = jnp.where(iota < n[:, None], drafted_pad, corr)
+    c = n + 1
+    stop = (emitted == eos) & (iota < c[:, None])
+    hit = stop.any(axis=1)
+    c = jnp.where(hit, jnp.argmax(stop, axis=1).astype(jnp.int32) + 1, c)
+    return t_hidden, emitted, n, c, hit, pl
+
+
+def _commit_round(emitted, n, c, hit, alive, rem, counts, acc, spec, out,
+                  t2, pos, gamma: int, width: int):
+    """Shared per-round commit for the speculative horizons: scatter this
+    round's tokens at each lane's output offset (OOB index = drop), update
+    the accept/speculate stats, and advance the lane state (last-two
+    tokens, position, remaining budget, aliveness).
+
+    Returns ``(out, counts, acc, spec, t2, pos, rem, alive)``.
+    """
+    b, gp1 = emitted.shape
+    iota = jnp.arange(gp1)[None, :]
+    rows = jnp.arange(b)[:, None]
+    idx = jnp.where(alive[:, None] & (iota < c[:, None]),
+                    counts[:, None] + iota, width)             # OOB = drop
+    out = out.at[rows, idx].set(emitted, mode="drop")
+    counts = jnp.where(alive, counts + c, counts)
+    acc = acc + jnp.where(alive, n, 0)
+    spec = spec + jnp.where(alive, gamma, 0)
+    new_last = jnp.take_along_axis(emitted, (c - 1)[:, None], axis=1)[:, 0]
+    new_prev = jnp.where(
+        c >= 2,
+        jnp.take_along_axis(emitted,
+                            jnp.maximum(c - 2, 0)[:, None], axis=1)[:, 0],
+        t2[:, 1])
+    t2 = jnp.where(alive[:, None],
+                   jnp.stack([new_prev, new_last], axis=1), t2)
+    pos = jnp.where(alive, pos + c, pos)
+    rem = jnp.where(alive, rem - c, rem)
+    alive = alive & ~hit & (rem >= gp1)
+    return out, counts, acc, spec, t2, pos, rem, alive
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 12, 13), donate_argnums=(6, 7),
          static_argnames=("allow_pallas", "mesh"))
 def speculative_horizon(model, draft_model, plus_one: bool,
@@ -777,8 +848,6 @@ def speculative_horizon(model, draft_model, plus_one: bool,
         budget = jnp.full((b,), width, dtype=jnp.int32)
     out0 = jnp.zeros((b, width), dtype=jnp.int32)
     zeros = jnp.zeros((b,), dtype=jnp.int32)
-    iota = jnp.arange(gp1)[None, :]
-    rows = jnp.arange(b)[:, None]
 
     def slot_of(p, alive):
         return _slot_of(block_tables, bs, p, alive)
@@ -820,48 +889,13 @@ def speculative_horizon(model, draft_model, plus_one: bool,
         else:
             drafted = d1[:, None]
 
-        # -- target verifies all gamma+1 positions in one pass
-        ids_v = jnp.concatenate([t2[:, 1:2], drafted], axis=1)  # [B, g+1]
-        pos_v = pos[:, None] + iota
-        sbv, sov = slot_of(pos_v, alive)
-        ctxv = jnp.where(alive, pos + gp1, 0)
-        t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v, pos_v,
-                                   sbv, sov, block_tables, ctxv,
-                                   allow_pallas=allow_pallas, mesh=mesh)
-        t_hat = jnp.argmax(_head(params, t_hidden),
-                           axis=-1).astype(jnp.int32)           # [B, g+1]
-
-        # -- greedy acceptance: longest drafted prefix == target argmax
-        miss = t_hat[:, :gamma] != drafted
-        n = jnp.where(miss.any(axis=1), jnp.argmax(miss, axis=1),
-                      gamma).astype(jnp.int32)
-        corr = jnp.take_along_axis(t_hat, n[:, None], axis=1)   # [B, 1]
-        drafted_pad = jnp.concatenate(
-            [drafted, jnp.zeros((b, 1), jnp.int32)], axis=1)
-        emitted = jnp.where(iota < n[:, None], drafted_pad, corr)
-        c = n + 1
-        stop = (emitted == eos) & (iota < c[:, None])
-        hit = stop.any(axis=1)
-        c = jnp.where(hit, jnp.argmax(stop, axis=1).astype(jnp.int32) + 1, c)
-
-        # -- commit: scatter this round's tokens at each lane's offset
-        idx = jnp.where(alive[:, None] & (iota < c[:, None]),
-                        counts[:, None] + iota, width)          # OOB = drop
-        out = out.at[rows, idx].set(emitted, mode="drop")
-        counts = jnp.where(alive, counts + c, counts)
-        acc = acc + jnp.where(alive, n, 0)
-        spec = spec + jnp.where(alive, gamma, 0)
-        new_last = jnp.take_along_axis(emitted, (c - 1)[:, None], axis=1)[:, 0]
-        new_prev = jnp.where(
-            c >= 2,
-            jnp.take_along_axis(emitted,
-                                jnp.maximum(c - 2, 0)[:, None], axis=1)[:, 0],
-            t2[:, 1])
-        t2 = jnp.where(alive[:, None],
-                       jnp.stack([new_prev, new_last], axis=1), t2)
-        pos = jnp.where(alive, pos + c, pos)
-        rem = jnp.where(alive, rem - c, rem)
-        alive = alive & ~hit & (rem >= gp1)
+        # -- verify + greedy-accept + commit (shared helpers)
+        _, emitted, n, c, hit, pl = _verify_accept(
+            model, plus_one, params, pl, t2, drafted, pos, block_tables,
+            bs, alive, gamma, eos, allow_pallas, mesh)
+        out, counts, acc, spec, t2, pos, rem, alive = _commit_round(
+            emitted, n, c, hit, alive, rem, counts, acc, spec, out, t2,
+            pos, gamma, width)
         return (r + 1, t2, pos, alive, rem, counts, acc, spec, out, pl, dpl)
 
     carry = (jnp.int32(0), tokens2.astype(jnp.int32), positions, live,
@@ -950,53 +984,20 @@ def ngram_horizon(model, plus_one: bool, params, pool, tokens2, positions,
                             jnp.broadcast_to(t2[:, 1:2], prop.shape))
         drafted = jnp.maximum(drafted, 0)   # -1 history padding -> legal id
 
-        # -- target verifies all gamma+1 positions in one pass
-        ids_v = jnp.concatenate([t2[:, 1:2], drafted], axis=1)  # [B, g+1]
-        pos_v = pos[:, None] + iota
-        sbv, sov = _slot_of(block_tables, bs, pos_v, alive)
-        ctxv = jnp.where(alive, pos + gp1, 0)
-        t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v, pos_v,
-                                   sbv, sov, block_tables, ctxv,
-                                   allow_pallas=allow_pallas, mesh=mesh)
-        t_hat = jnp.argmax(_head(params, t_hidden),
-                           axis=-1).astype(jnp.int32)           # [B, g+1]
+        # -- verify + greedy-accept (shared helper)
+        _, emitted, n, c, hit, pl = _verify_accept(
+            model, plus_one, params, pl, t2, drafted, pos, block_tables,
+            bs, alive, gamma, eos, allow_pallas, mesh)
 
-        # -- greedy acceptance: longest proposed prefix == target argmax
-        miss = t_hat[:, :gamma] != drafted
-        n = jnp.where(miss.any(axis=1), jnp.argmax(miss, axis=1),
-                      gamma).astype(jnp.int32)
-        corr = jnp.take_along_axis(t_hat, n[:, None], axis=1)   # [B, 1]
-        drafted_pad = jnp.concatenate(
-            [drafted, jnp.zeros((b, 1), jnp.int32)], axis=1)
-        emitted = jnp.where(iota < n[:, None], drafted_pad, corr)
-        c = n + 1
-        stop = (emitted == eos) & (iota < c[:, None])
-        hit = stop.any(axis=1)
-        c = jnp.where(hit, jnp.argmax(stop, axis=1).astype(jnp.int32) + 1, c)
-
-        # -- commit: scatter this round's tokens at each lane's offset,
-        # and append them to the history for the next round's lookup
+        # -- append committed tokens to the history for the next round's
+        # lookup (pre-commit alive/c), then the shared commit
         live_tok = alive[:, None] & (iota < c[:, None])
-        idx = jnp.where(live_tok, counts[:, None] + iota, width)  # OOB=drop
-        out = out.at[rows, idx].set(emitted, mode="drop")
         hw = jnp.where(live_tok, hlen[:, None] + iota, hl)
         hist = hist.at[rows, hw].set(emitted, mode="drop")
         hlen = jnp.where(alive, jnp.minimum(hlen + c, hl), hlen)
-        counts = jnp.where(alive, counts + c, counts)
-        acc = acc + jnp.where(alive, n, 0)
-        spec = spec + jnp.where(alive, gamma, 0)
-        new_last = jnp.take_along_axis(emitted, (c - 1)[:, None],
-                                       axis=1)[:, 0]
-        new_prev = jnp.where(
-            c >= 2,
-            jnp.take_along_axis(emitted,
-                                jnp.maximum(c - 2, 0)[:, None], axis=1)[:, 0],
-            t2[:, 1])
-        t2 = jnp.where(alive[:, None],
-                       jnp.stack([new_prev, new_last], axis=1), t2)
-        pos = jnp.where(alive, pos + c, pos)
-        rem = jnp.where(alive, rem - c, rem)
-        alive = alive & ~hit & (rem >= gp1)
+        out, counts, acc, spec, t2, pos, rem, alive = _commit_round(
+            emitted, n, c, hit, alive, rem, counts, acc, spec, out, t2,
+            pos, gamma, width)
         return (r + 1, t2, pos, alive, rem, counts, acc, spec, out, hist,
                 hlen, pl)
 
@@ -1053,8 +1054,6 @@ def medusa_horizon(model, plus_one: bool, params, medusa, pool, tokens2,
         budget = jnp.full((b,), width, dtype=jnp.int32)
     out0 = jnp.zeros((b, width), dtype=jnp.int32)
     zeros = jnp.zeros((b,), dtype=jnp.int32)
-    iota = jnp.arange(gp1)[None, :]
-    rows = jnp.arange(b)[:, None]
     hdtype = cnn.embedding_dtype(params["embed_tokens"])
     h0 = jnp.zeros((b, model.config.hidden_size), dtype=hdtype)
 
@@ -1076,29 +1075,10 @@ def medusa_horizon(model, plus_one: bool, params, medusa, pool, tokens2,
         drafted = jnp.where(have_h[:, None], prop,
                             jnp.broadcast_to(t2[:, 1:2], prop.shape))
 
-        # -- target verifies all gamma+1 positions in one pass
-        ids_v = jnp.concatenate([t2[:, 1:2], drafted], axis=1)  # [B, g+1]
-        pos_v = pos[:, None] + iota
-        sbv, sov = _slot_of(block_tables, bs, pos_v, alive)
-        ctxv = jnp.where(alive, pos + gp1, 0)
-        t_hidden, pl = _multi_core(model, plus_one, params, pl, ids_v,
-                                   pos_v, sbv, sov, block_tables, ctxv,
-                                   allow_pallas=allow_pallas, mesh=mesh)
-        t_hat = jnp.argmax(_head(params, t_hidden),
-                           axis=-1).astype(jnp.int32)           # [B, g+1]
-
-        # -- greedy acceptance: longest proposed prefix == target argmax
-        miss = t_hat[:, :gamma] != drafted
-        n = jnp.where(miss.any(axis=1), jnp.argmax(miss, axis=1),
-                      gamma).astype(jnp.int32)
-        corr = jnp.take_along_axis(t_hat, n[:, None], axis=1)   # [B, 1]
-        drafted_pad = jnp.concatenate(
-            [drafted, jnp.zeros((b, 1), jnp.int32)], axis=1)
-        emitted = jnp.where(iota < n[:, None], drafted_pad, corr)
-        c = n + 1
-        stop = (emitted == eos) & (iota < c[:, None])
-        hit = stop.any(axis=1)
-        c = jnp.where(hit, jnp.argmax(stop, axis=1).astype(jnp.int32) + 1, c)
+        # -- verify + greedy-accept (shared helper)
+        t_hidden, emitted, n, c, hit, pl = _verify_accept(
+            model, plus_one, params, pl, t2, drafted, pos, block_tables,
+            bs, alive, gamma, eos, allow_pallas, mesh)
 
         # -- next round's proposal source: the hidden at the accepted
         # index n — the state whose lm_head argmax produced this round's
@@ -1107,25 +1087,9 @@ def medusa_horizon(model, plus_one: bool, params, medusa, pool, tokens2,
             t_hidden, n[:, None, None], axis=1)[:, 0].astype(hdtype)
         have_h = have_h | alive
 
-        # -- commit: scatter this round's tokens at each lane's offset
-        idx = jnp.where(alive[:, None] & (iota < c[:, None]),
-                        counts[:, None] + iota, width)          # OOB = drop
-        out = out.at[rows, idx].set(emitted, mode="drop")
-        counts = jnp.where(alive, counts + c, counts)
-        acc = acc + jnp.where(alive, n, 0)
-        spec = spec + jnp.where(alive, gamma, 0)
-        new_last = jnp.take_along_axis(emitted, (c - 1)[:, None],
-                                       axis=1)[:, 0]
-        new_prev = jnp.where(
-            c >= 2,
-            jnp.take_along_axis(emitted,
-                                jnp.maximum(c - 2, 0)[:, None], axis=1)[:, 0],
-            t2[:, 1])
-        t2 = jnp.where(alive[:, None],
-                       jnp.stack([new_prev, new_last], axis=1), t2)
-        pos = jnp.where(alive, pos + c, pos)
-        rem = jnp.where(alive, rem - c, rem)
-        alive = alive & ~hit & (rem >= gp1)
+        out, counts, acc, spec, t2, pos, rem, alive = _commit_round(
+            emitted, n, c, hit, alive, rem, counts, acc, spec, out, t2,
+            pos, gamma, width)
         return (r + 1, t2, pos, alive, rem, counts, acc, spec, out, h_prop,
                 have_h, pl)
 

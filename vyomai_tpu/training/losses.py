@@ -169,14 +169,13 @@ def medusa_loss(params, medusa, hidden, ids, *, ignore_index: int = -100,
     from ..layers.medusa import medusa_hidden
 
     if "lm_head" in params:
-        if "kernel_q" in params["lm_head"] or "weight_q" in params.get(
-                "embed_tokens", {}):
+        if "kernel" not in params["lm_head"]:  # int8/int4 quantized layouts
             raise ValueError("medusa_loss needs an fp vocabulary "
                              "projection (train heads before quantizing)")
         kernel = params["lm_head"]["kernel"]
         bias = params["lm_head"].get("bias")
     else:
-        if "weight_q" in params["embed_tokens"]:
+        if "weight" not in params["embed_tokens"]:
             raise ValueError("medusa_loss needs an fp vocabulary "
                              "projection (train heads before quantizing)")
         kernel = params["embed_tokens"]["weight"].T
