@@ -9,6 +9,8 @@ from .collators import (  # noqa: F401
     masked_language_modeling, electra_inputs, gumbel_sample, sft_collate,
     dpo_collate, lm_blocks, LanguageModeling)
 from .distill import select_layers, default_student_indices  # noqa: F401
+from .muon import (  # noqa: F401
+    muon, scale_by_muon, newton_schulz_orthogonalize)
 from .packing import (  # noqa: F401
     pack_sequences, pack_sft, packing_efficiency)
 from . import checkpoint  # noqa: F401

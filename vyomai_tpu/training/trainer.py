@@ -29,9 +29,14 @@ class TrainState(NamedTuple):
 def make_optimizer(learning_rate=1e-4, *, clip_norm: Optional[float] = 1.0,
                    weight_decay: float = 0.0, warmup_steps: int = 0,
                    total_steps: Optional[int] = None,
-                   schedule: str = "constant"):
+                   schedule: str = "constant", kind: str = "adamw"):
     """AdamW + global-norm clipping + optional warmup-cosine schedule
-    (the reference recipes' cosine LR + clip_grad_norm(1.0))."""
+    (the reference recipes' cosine LR + clip_grad_norm(1.0)).
+
+    ``kind="muon"`` swaps the AdamW core for :func:`muon` (orthogonalized
+    momentum on matrix kernels, AdamW on the rest — see
+    ``training/muon.py``); the schedule then drives the Muon branch, whose
+    LRs run ~100× Adam's (pass e.g. ``learning_rate=0.02``)."""
     if schedule == "cosine" and not total_steps:
         raise ValueError(
             "schedule='cosine' requires total_steps (silently running at "
@@ -47,7 +52,13 @@ def make_optimizer(learning_rate=1e-4, *, clip_norm: Optional[float] = 1.0,
     chain = []
     if clip_norm is not None:
         chain.append(optax.clip_by_global_norm(clip_norm))
-    chain.append(optax.adamw(lr, weight_decay=weight_decay))
+    if kind == "muon":
+        from .muon import muon
+        chain.append(muon(lr, weight_decay=weight_decay))
+    elif kind == "adamw":
+        chain.append(optax.adamw(lr, weight_decay=weight_decay))
+    else:
+        raise ValueError(f"unknown optimizer kind: {kind!r}")
     return optax.chain(*chain)
 
 
