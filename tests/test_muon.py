@@ -111,3 +111,50 @@ def test_muon_trains_decoder_at_least_as_fast_as_adamw():
     l0 = float(loss_fn(params, batch, None)[0])
     assert l_muon < 0.5 * l0                 # it actually trains
     assert l_muon < l_adam * 1.15            # and matches AdamW's pace
+
+
+def test_muon_matches_unsharded_under_tp_mesh():
+    # NS orthogonalization is pure matmuls, so GSPMD shards the optimizer
+    # step like any other program: a TP-sharded muon update must equal the
+    # single-device update (fp32 bitwise-close; bf16 NS is deterministic)
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vyomai_tpu.parallel import create_mesh
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 8:
+        pytest.skip("need 8 cpu devices")
+    mesh = create_mesh((1, 8), devices=cpus[:8])
+
+    params = {"blk": {"kernel": jax.random.normal(jax.random.PRNGKey(0),
+                                                  (64, 256)) * 0.02,
+                      "bias": jnp.zeros((256,))}}
+    grads = {"blk": {"kernel": jax.random.normal(jax.random.PRNGKey(1),
+                                                 (64, 256)),
+                     "bias": jnp.ones((256,))}}
+    opt = muon(0.02, adam_learning_rate=1e-3)
+
+    def step(p, g):
+        s = opt.init(p)
+        u, _ = opt.update(g, s, p)
+        import optax
+        return optax.apply_updates(p, u)
+
+    with jax.default_device(cpus[0]):
+        ref = jax.jit(step)(params, grads)
+
+    shard = NamedSharding(mesh, P(None, "model"))
+    rep = NamedSharding(mesh, P())
+    ps = {"blk": {"kernel": jax.device_put(params["blk"]["kernel"], shard),
+                  "bias": jax.device_put(params["blk"]["bias"], rep)}}
+    gs = {"blk": {"kernel": jax.device_put(grads["blk"]["kernel"], shard),
+                  "bias": jax.device_put(grads["blk"]["bias"], rep)}}
+    with mesh:
+        out = jax.jit(step)(ps, gs)
+
+    np.testing.assert_allclose(np.asarray(out["blk"]["kernel"]),
+                               np.asarray(ref["blk"]["kernel"]),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["blk"]["bias"]),
+                               np.asarray(ref["blk"]["bias"]),
+                               atol=1e-7)
