@@ -22,6 +22,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--grad-accum", type=int, default=2)
+    ap.add_argument("--optimizer", choices=("adamw", "muon"),
+                    default="adamw",
+                    help="muon = Newton-Schulz orthogonalized momentum on "
+                         "matrix kernels (training/muon.py); its LR runs "
+                         "~100x AdamW's")
     args = ap.parse_args()
 
     cfg = vt.EncoderConfig(hidden_size=256, num_attention_heads=8,
@@ -51,7 +56,9 @@ def main():
                                batch["ids"], shift=True, chunk_size=512)
         return loss, {}
 
-    tr = Trainer(model, loss_fn, optimizer=make_optimizer(3e-4),
+    lr = 0.02 if args.optimizer == "muon" else 3e-4
+    tr = Trainer(model, loss_fn,
+                 optimizer=make_optimizer(lr, kind=args.optimizer),
                  grad_accum_steps=args.grad_accum)
     state = tr.init_state(params)
     rng = jax.random.PRNGKey(1)
