@@ -134,9 +134,15 @@ def bench_e2e(batch: int = 8, prompt: int = 128, new: int = 256):
     print(f"[e2e decode] {n_params/1e6:.0f}M-param model B={batch} new={new}")
     fp = measure(params, "bf16")
     q = measure(qparams, "int8")
-    print(f"  int8 vs bf16: {q/fp:.2f}x")
+    # int4: linears pack two weights per byte with per-128-group scales
+    # (embedding/tied head stay int8 — gather wants whole dequant rows)
+    q4params = vt.quantize_params(params, bits=4)
+    q4 = measure(q4params, "int4")
+    print(f"  int8 vs bf16: {q/fp:.2f}x   int4 vs bf16: {q4/fp:.2f}x")
     return {"e2e_bf16_tok_s": round(fp, 1), "e2e_int8_tok_s": round(q, 1),
-            "e2e_speedup": round(q / fp, 3)}
+            "e2e_speedup": round(q / fp, 3),
+            "e2e_int4_tok_s": round(q4, 1),
+            "e2e_int4_speedup": round(q4 / fp, 3)}
 
 
 if __name__ == "__main__":
