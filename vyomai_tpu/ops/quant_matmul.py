@@ -232,30 +232,56 @@ def _unpack_int4(p8):
 
 
 def _kernel_int4(xe_ref, xo_ref, wp_ref, s_ref, o_ref, acc_ref):
+    """One K-block of packed rows per grid step. The block may span
+    SEVERAL scale groups (Mosaic requires the block's minor dim — packed
+    rows on the x side — to be 128-divisible, while a default gs=128 group
+    is only 64 packed rows), so the dot is split per group over in-VMEM
+    slices and each partial product gets its own scale row: slicing VMEM
+    values is free of the HBM block-mapping tiling constraint."""
     g = pl.program_id(1)
 
     @pl.when(g == 0)
     def _zero():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi = _unpack_int4(wp_ref[:])
-    part = jnp.dot(xe_ref[:], lo.astype(xe_ref.dtype),
-                   preferred_element_type=jnp.float32)
-    part += jnp.dot(xo_ref[:], hi.astype(xo_ref.dtype),
-                    preferred_element_type=jnp.float32)
-    acc_ref[:] += part * s_ref[:].astype(jnp.float32)
+    lo, hi = _unpack_int4(wp_ref[:])          # [R, bn] packed-row halves
+    xe, xo = xe_ref[:], xo_ref[:]
+    groups = s_ref.shape[1]                   # s block: [1, gpb, bn]
+    per = lo.shape[0] // groups               # packed rows per group
+    acc = jnp.zeros_like(acc_ref)
+    for i in range(groups):                   # static unroll (1 or 2)
+        sl = slice(i * per, (i + 1) * per)
+        part = jnp.dot(xe[:, sl], lo[sl].astype(xe.dtype),
+                       preferred_element_type=jnp.float32)
+        part += jnp.dot(xo[:, sl], hi[sl].astype(xo.dtype),
+                        preferred_element_type=jnp.float32)
+        acc += part * s_ref[0, i:i + 1, :].astype(jnp.float32)
+    acc_ref[:] += acc
 
     @pl.when(g == pl.num_programs(1) - 1)
     def _out():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _int4_block_rows(group_size: int) -> int:
+    """Packed K rows per kernel block: the smallest multiple of the
+    per-group packed-row count that satisfies Mosaic's 128-divisible
+    minor-dim rule (0 = unsupported group size)."""
+    half = group_size // 2
+    if half % 128 == 0:
+        return half
+    if 128 % half == 0:
+        return 128
+    return 0
+
+
 def supported_int4(k_dim: int, n_dim: int, group_size: int) -> bool:
     """True when the Pallas int4 kernel can run this shape."""
     if not _INTERPRET and not _on_tpu():
         return False
-    half = group_size // 2
-    return (k_dim % group_size == 0 and half % 32 == 0 and
+    rows = _int4_block_rows(group_size)
+    return (k_dim % group_size == 0 and rows > 0 and
+            (k_dim // 2) % rows == 0 and
             _pick_block(n_dim, (512, 256, 128)) > 0)
 
 
@@ -271,15 +297,21 @@ def _int4_matmul_2d(x, w_p, scale, interpret: bool):
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     xe = x[:, 0::2]                                           # [M, K/2]
     xo = x[:, 1::2]
-    half = gs // 2
+    rows = _int4_block_rows(gs)                # packed rows per K block
+    gpb = rows // (gs // 2)                    # scale groups per K block
+    kb = (k_dim // 2) // rows
+    # [kb, gpb, N]: a (1, gpb, bn) block's second-minor EQUALS its array
+    # dim, satisfying Mosaic's tiling rule where a 2-D (gpb, bn) block
+    # with gpb=2 cannot (second-minor must be 8-divisible or full)
+    s3 = scale.reshape(kb, gpb, n_dim)
     out = pl.pallas_call(
         _kernel_int4,
-        grid=(n_dim // bn, g_dim),
+        grid=(n_dim // bn, kb),
         in_specs=[
-            pl.BlockSpec((m_pad, half), lambda n, g: (0, g)),
-            pl.BlockSpec((m_pad, half), lambda n, g: (0, g)),
-            pl.BlockSpec((half, bn), lambda n, g: (g, n)),
-            pl.BlockSpec((1, bn), lambda n, g: (g, n)),
+            pl.BlockSpec((m_pad, rows), lambda n, g: (0, g)),
+            pl.BlockSpec((m_pad, rows), lambda n, g: (0, g)),
+            pl.BlockSpec((rows, bn), lambda n, g: (g, n)),
+            pl.BlockSpec((1, gpb, bn), lambda n, g: (g, 0, n)),
         ],
         out_specs=pl.BlockSpec((m_pad, bn), lambda n, g: (0, n)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_dim), x.dtype),
@@ -287,7 +319,7 @@ def _int4_matmul_2d(x, w_p, scale, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xe, xo, w_p, scale)
+    )(xe, xo, w_p, s3)
     return out[:m] if m_pad != m else out
 
 
