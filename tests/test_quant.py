@@ -426,3 +426,28 @@ def test_engine_tp_int4_matches_single_chip(qwen_quant4):
             assert run(mesh) == single
     finally:
         qm.set_impl4("pallas")
+
+
+@pytest.mark.parametrize("m,gs", [(8, 128), (1024, 128), (7, 256)])
+def test_int4_matmul_kernel_on_tpu(m, gs):
+    """Real-hardware compile of the int4 kernel (NOT interpret mode):
+    Mosaic's block-mapping rules only apply here — the gs=128 per-group
+    block (64 packed rows) once lowered fine in interpret mode but was
+    rejected on the chip (r3 fix: K-blocks span whole 128-row tiles).
+    m=1024 covers the prefill shape that first exposed it."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("real TPU only")
+    k, n = 512, 512
+    w = jax.random.normal(jax.random.PRNGKey(20), (k, n)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(21), (m, k), jnp.bfloat16)
+    p, s = qm.quantize_weight_int4(w, group_size=gs)
+    assert qm.supported_int4(k, n, gs)
+    out = qm.int4_matmul(x, p, s)                    # Pallas, on-chip
+    lo, hi = qm._unpack_int4(p)
+    wd = (jnp.stack([lo, hi], axis=1).reshape(k, n)
+          .reshape(k // gs, gs, n).astype(jnp.float32)
+          * s[:, None, :]).reshape(k, n)
+    ref = x.astype(jnp.float32) @ wd
+    rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)) /
+                (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert rel < 0.01, rel
