@@ -451,3 +451,86 @@ def test_int4_matmul_kernel_on_tpu(m, gs):
     rel = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)) /
                 (jnp.max(jnp.abs(ref)) + 1e-9))
     assert rel < 0.01, rel
+
+
+# ---------------------------------------------------------------------------
+# W8A8 (dynamic per-token activation quant, int8 MXU contraction)
+# ---------------------------------------------------------------------------
+
+def test_quantize_activation_roundtrip_bound():
+    x = jax.random.normal(jax.random.PRNGKey(30), (6, 96), jnp.float32) * 3.0
+    xq, xs = qm.quantize_activation(x)
+    assert xq.dtype == jnp.int8 and xs.shape == (6, 1)
+    err = np.abs(np.asarray(x) - np.asarray(xq, np.float32) * np.asarray(xs))
+    assert (err <= np.asarray(xs) * 0.5 + 1e-8).all()
+    # zero row gets scale 1 and exact zeros
+    xq0, xs0 = qm.quantize_activation(jnp.zeros((2, 96)))
+    assert (np.asarray(xq0) == 0).all() and (np.asarray(xs0) == 1.0).all()
+
+
+@pytest.mark.parametrize("layout", ["kn", "nk"])
+def test_w8a8_matmul_matches_dequant_reference(layout):
+    with jax.default_device(jax.devices("cpu")[0]):  # exact int32 contraction
+        x = jax.random.normal(jax.random.PRNGKey(31), (5, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(32), (256, 128)) * 0.05
+        wq, ws = qm.quantize_weight(w, contract_axis=0)
+        xq, xs = qm.quantize_activation(x)
+        ref = (xq.astype(jnp.float32) @ wq.astype(jnp.float32)) * xs * ws
+        if layout == "kn":
+            out = qm.w8a8_matmul(x, wq, ws)
+        else:
+            out = qm.w8a8_matmul(x, wq.T, ws, w_layout="nk")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+    # both-operand rounding stays within the combined quant error bound
+    full = np.asarray(x @ w)
+    assert np.max(np.abs(np.asarray(out) - full)) / np.max(np.abs(full)) < 0.05
+
+
+def test_w8a8_params_structure_and_guard():
+    model = vt.ModelForCausalLM(QCFG)
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    qp = vt.quantize_params(params, act_bits=8)
+    attn = qp["layers"]["self_attn"]
+    assert "act_q" in attn["q_proj"] and "kernel_q" in attn["q_proj"]
+    # embeddings/tied head stay weight-only (no act marker)
+    assert "act_q" not in qp["embed_tokens"]
+    with pytest.raises(AssertionError):
+        vt.quantize_params(params, bits=4, act_bits=8)
+
+
+def test_w8a8_model_tracks_fp_and_decode_exact():
+    """W8A8 apply stays close to fp logits, and cached greedy decode is
+    token-exact vs uncached (per-token dynamic scales are batch- and
+    position-independent, so prefill and single-token decode quantize each
+    token identically)."""
+    model = vt.ModelForCausalLM(QCFG)
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    qp = vt.quantize_params(params, act_bits=8)
+    ids = jnp.asarray([[3, 17, 42, 9, 21]], dtype=jnp.int32)
+    out_q = model.apply(qp, ids)
+    out_f = model.apply(params, ids)
+    np.testing.assert_allclose(np.asarray(out_q.logits),
+                               np.asarray(out_f.logits), atol=0.15)
+    cached = generate(model, qp, ids, max_new_tokens=6, use_cache=True)
+    uncached = generate(model, qp, ids, max_new_tokens=6, use_cache=False)
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(uncached))
+
+
+def test_w8a8_engine_matches_dense_quantized():
+    """Serving invariant, W8A8 edition: paged engine greedy == dense
+    static-cache greedy with the same W8A8 params."""
+    model = vt.ModelForCausalLM(QCFG)
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    qp = vt.quantize_params(params, act_bits=8)
+    prompts = [[3, 17, 42, 9], [5, 11, 7]]
+    eng = ContinuousBatchEngine(model, qp, num_blocks=64, block_size=8,
+                                max_batch=4, max_blocks_per_seq=8,
+                                max_new_tokens=5, dtype=jnp.float32,
+                                prefill_buckets=(8,))
+    sids = [eng.submit(p) for p in prompts]
+    out = eng.run()
+    for sid, prompt in zip(sids, prompts):
+        ref = generate(model, qp, jnp.asarray([prompt], jnp.int32),
+                       max_new_tokens=5, use_cache=True)
+        assert out[sid] == ref[0, len(prompt):].tolist(), f"seq {sid}"

@@ -82,8 +82,12 @@ def rms_norm_init(dim: int, dtype=jnp.float32):
 
 def linear(p, x):
     if "kernel_q" in p:  # int8 weight-only path (quant.quantize_params)
-        from ..ops.quant_matmul import int8_matmul
-        y = int8_matmul(x, p["kernel_q"], p["scale"])
+        if "act_q" in p:  # W8A8: dynamic per-token act quant, int8 MXU
+            from ..ops.quant_matmul import w8a8_matmul
+            y = w8a8_matmul(x, p["kernel_q"], p["scale"])
+        else:
+            from ..ops.quant_matmul import int8_matmul
+            y = int8_matmul(x, p["kernel_q"], p["scale"])
     elif "kernel_q4" in p:  # packed int4 + group scales (bits=4)
         from ..ops.quant_matmul import int4_matmul
         y = int4_matmul(x, p["kernel_q4"], p["scale"])

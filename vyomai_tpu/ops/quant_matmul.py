@@ -358,6 +358,52 @@ def int4_matmul(x, w_p, scale):
     return out.reshape(*lead, n_dim)
 
 
+def quantize_activation(x):
+    """Dynamic symmetric per-row (per-token) int8 activation quantization.
+
+    Returns ``(x_q int8 [..., K], scale f32 [..., 1])`` with ``x ≈ x_q *
+    scale``. Row-wise scales are computed in fp32 from the live activation
+    (no calibration pass): each token's scale depends only on that token's
+    features, so cached single-token decode and full-prompt prefill
+    quantize identically — the cached-vs-uncached token-exactness
+    invariant survives.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def w8a8_matmul(x, w_q, w_scale, *, w_layout: str = "kn"):
+    """``x @ dequant(w_q)`` with the contraction in int8×int8→int32.
+
+    Dynamically quantizes ``x`` per token (``quantize_activation``) and
+    feeds both operands to the MXU as int8: on the v5e the int8 systolic
+    path peaks at ~2× the bf16 FLOP rate, so compute-bound shapes
+    (prefill, training-sized matmuls) gain throughput on top of int8's
+    halved weight stream. The int32 accumulator is exact; the only
+    approximation is the 8-bit rounding of each operand, corrected by the
+    outer product of the per-token and per-output-channel scales.
+
+    Replaces (beats) the reference's fp16 compute path (SURVEY.md §2.3 —
+    it has no quantized compute at all). Weight layouts as in
+    :func:`int8_matmul`.
+    """
+    lead = x.shape[:-1]
+    k_dim = x.shape[-1]
+    n_dim = w_q.shape[1] if w_layout == "kn" else w_q.shape[0]
+    x2 = x.reshape(-1, k_dim)
+    xq, xs = quantize_activation(x2)
+    dims = (((1,), (0,)), ((), ())) if w_layout == "kn" else \
+        (((1,), (1,)), ((), ()))
+    acc = jax.lax.dot_general(xq, w_q, dims,
+                              preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * xs *
+           w_scale.astype(jnp.float32)).astype(x.dtype)
+    return out.reshape(*lead, n_dim)
+
+
 def int8_matmul(x, w_q, scale, *, w_layout: str = "kn"):
     """``x [..., K] @ dequant(w_q)`` with the dequant fused into the sweep.
 

@@ -38,7 +38,8 @@ _EXCLUDE_DEFAULT = ("router",)
 _EMBED_NAMES = ("embed_tokens", "word_embeddings")
 
 
-def _quantize_linear(p, bits: int = 8, group_size: int = 128):
+def _quantize_linear(p, bits: int = 8, group_size: int = 128,
+                     act_bits: int = 0):
     kern = p["kernel"]
     if bits == 4:
         key = "kernel_q4"
@@ -56,6 +57,13 @@ def _quantize_linear(p, bits: int = 8, group_size: int = 128):
     else:
         return p
     out = {key: q, "scale": s}
+    if act_bits == 8 and key == "kernel_q":
+        # size-1-per-layer marker (orbax refuses zero-size arrays):
+        # core.nn.linear dispatches to the W8A8 int8-MXU path when present.
+        # Scan-stacked kernels need the leading layer axis so lax.scan can
+        # slice the marker alongside the kernel it tags.
+        shape = (kern.shape[0], 1) if kern.ndim == 3 else (1,)
+        out["act_q"] = jnp.zeros(shape, jnp.int8)
     if "bias" in p:
         out["bias"] = p["bias"]
     return out
@@ -99,7 +107,7 @@ def _quantize_embedding(p):
 
 def quantize_params(params, *, embed: bool = True,
                     exclude=_EXCLUDE_DEFAULT, bits: int = 8,
-                    group_size: int = 128):
+                    group_size: int = 128, act_bits: int = 0):
     """Return a copy of ``params`` with linear kernels (and, when ``embed``,
     2-D embedding tables) quantized to int8 + per-output-channel scales.
 
@@ -109,10 +117,22 @@ def quantize_params(params, *, embed: bool = True,
     (the gather path wants whole dequantized rows; kernels whose K doesn't
     divide ``group_size`` also fall back to int8).
 
+    ``act_bits=8`` (requires ``bits=8``) additionally marks every linear
+    for W8A8: activations are dynamically quantized per token at apply
+    time and the contraction runs int8×int8→int32 on the MXU — ~2× the
+    bf16 FLOP rate on the v5e for compute-bound (prefill/scoring) shapes.
+    Embedding gathers, the tied lm_head, and MoE expert banks keep
+    weight-only dequant (the logits head is accuracy-sensitive and the
+    gather path wants whole rows). Prefill and cached decode quantize each
+    token identically, so cached-vs-uncached token-exactness holds.
+
     ``exclude``: dict-key names whose kernels stay full precision (the MoE
     router by default — routing decisions are scale-sensitive and tiny).
     """
     assert bits in (8, 4), bits
+    assert act_bits in (0, 8), act_bits
+    assert not (act_bits == 8 and bits == 4), \
+        "W8A8 needs unpacked int8 kernels (bits=8) for the int8 MXU path"
 
     def walk(node, name=""):
         if not isinstance(node, dict):
@@ -121,7 +141,8 @@ def quantize_params(params, *, embed: bool = True,
             return _quantize_moe(node)
         if "kernel" in node and name not in exclude and \
                 node["kernel"].ndim in (2, 3):
-            return _quantize_linear(node, bits=bits, group_size=group_size)
+            return _quantize_linear(node, bits=bits, group_size=group_size,
+                                    act_bits=act_bits)
         if embed and "weight" in node and node["weight"].ndim in (2, 3) \
                 and "bias" not in node and name in _EMBED_NAMES:
             return _quantize_embedding(node)
