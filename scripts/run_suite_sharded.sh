@@ -14,7 +14,7 @@ rc_all=0
 for s in /tmp/shard_*; do
   echo "=== shard $s: $(tr '\n' ' ' < $s)"
   timeout 2400 python -m pytest $(cat $s) -q 2>&1 | tail -3
-  rc=$?
+  rc=${PIPESTATUS[0]}   # pytest's status, not tail's
   echo "shard rc=$rc"
   [ $rc -ne 0 ] && rc_all=$rc
 done
