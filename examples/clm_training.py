@@ -22,11 +22,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--grad-accum", type=int, default=2)
-    ap.add_argument("--optimizer", choices=("adamw", "muon"),
+    ap.add_argument("--optimizer", choices=("adamw", "muon", "adamw8bit"),
                     default="adamw",
                     help="muon = Newton-Schulz orthogonalized momentum on "
                          "matrix kernels (training/muon.py); its LR runs "
-                         "~100x AdamW's")
+                         "~100x AdamW's. adamw8bit = blockwise int8 "
+                         "moments (training/quant_opt.py), ~4x less "
+                         "optimizer-state HBM")
     args = ap.parse_args()
 
     cfg = vt.EncoderConfig(hidden_size=256, num_attention_heads=8,

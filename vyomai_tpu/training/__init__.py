@@ -11,6 +11,7 @@ from .collators import (  # noqa: F401
 from .distill import select_layers, default_student_indices  # noqa: F401
 from .muon import (  # noqa: F401
     muon, scale_by_muon, newton_schulz_orthogonalize)
+from .quant_opt import adamw8bit, optimizer_state_bytes  # noqa: F401
 from .packing import (  # noqa: F401
     pack_sequences, pack_sft, packing_efficiency)
 from . import checkpoint  # noqa: F401

@@ -57,6 +57,9 @@ def make_optimizer(learning_rate=1e-4, *, clip_norm: Optional[float] = 1.0,
         chain.append(muon(lr, weight_decay=weight_decay))
     elif kind == "adamw":
         chain.append(optax.adamw(lr, weight_decay=weight_decay))
+    elif kind == "adamw8bit":
+        from .quant_opt import adamw8bit
+        chain.append(adamw8bit(lr, weight_decay=weight_decay))
     else:
         raise ValueError(f"unknown optimizer kind: {kind!r}")
     return optax.chain(*chain)
