@@ -1,0 +1,109 @@
+"""Radix prefix-cache benchmark (real TPU chip): shared-system-prompt
+serving with the radix cache on vs off.
+
+The workload is the one prefix caching exists for (vLLM/SGLang's
+automatic prefix caching; reference ``simple_vllm.ipynb`` V2's RadixNode
+tree): every request shares a long system prompt and differs only in a
+short user suffix. With the cache on, the first completed request deposits
+the prompt's KV blocks into the radix tree; every later request's
+``match_prefix`` covers the shared blocks, so its prefill runs only the
+unique tail (a 64-token bucket instead of 1024) AND the pool stores the
+shared prefix ONCE. With the cache off, every request re-prefills — and
+re-stores — the full prompt.
+
+Reported: end-to-end tokens/s ratio, mean TTFT ratio, prefix hit rate,
+and pool blocks touched (capacity win). Timing uses the engine's own
+completion (``run`` drains everything); per CLAUDE.md the first submit
+is a warm-up pass so compile time stays out of the measurement.
+"""
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import vyomai_tpu as vt
+from vyomai_tpu.serving import ContinuousBatchEngine
+
+
+def bench_prefix_cache(requests: int = 32, shared: int = 960,
+                       unique: int = 64, new: int = 32):
+    cfg = vt.QwenConfig(vocab_size=16384, hidden_size=768,
+                        intermediate_size=3072, num_hidden_layers=6,
+                        num_attention_heads=12, num_key_value_heads=4,
+                        head_dim=64, max_position_embeddings=2048,
+                        qk_norm=True, eos_token_id=2)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    system = list(rng.integers(5, cfg.vocab_size, size=shared))
+    users = [list(rng.integers(5, cfg.vocab_size, size=unique))
+             for _ in range(requests)]
+
+    def run(radix: bool):
+        eng = ContinuousBatchEngine(
+            model, params, num_blocks=2048, block_size=32, max_batch=32,
+            max_blocks_per_seq=64, max_new_tokens=new,
+            prefill_buckets=(64, 128, 256, 512, 1024),
+            decode_horizon=16, radix_cache=radix)
+        # warm-up request: compiles the buckets AND (radix on) deposits the
+        # shared prefix so measured requests all hit it
+        eng.submit(system + users[0])
+        eng.run()
+        # keep warm-up (compile-time TTFT, its uncached prompt) out of the
+        # measured stats
+        eng._ttft.clear()
+        eng.counters["prompt_tokens"] = 0
+        eng.counters["cached_prompt_tokens"] = 0
+        t0 = time.perf_counter()
+        for u in users:
+            eng.submit(system + u)
+        out = eng.run()
+        dt = time.perf_counter() - t0
+        m = eng.metrics()
+        tok = sum(len(v) for v in out.values())
+        return {"tokens_per_s": tok / dt, "ttft_mean_s": m["ttft_mean_s"],
+                "cache_hit_rate": m["cache_hit_rate"], "wall_s": dt}
+
+    print(f"[prefix cache] {requests} reqs, shared={shared} unique={unique} "
+          f"new={new}")
+    on = run(True)
+    off = run(False)
+    for label, r in (("radix on", on), ("radix off", off)):
+        print(f"  {label:9s} {r['tokens_per_s']:7.0f} tok/s   "
+              f"TTFT {r['ttft_mean_s']*1e3:6.1f} ms   "
+              f"hit {r['cache_hit_rate']:.0%}")
+    speedup = on["tokens_per_s"] / off["tokens_per_s"]
+    ttft_ratio = off["ttft_mean_s"] / max(on["ttft_mean_s"], 1e-9)
+    print(f"  speedup {speedup:.2f}x   TTFT {ttft_ratio:.1f}x lower   "
+          f"prefix hit rate {on['cache_hit_rate']:.0%}")
+    return {"speedup": round(speedup, 3),
+            "ttft_ratio": round(ttft_ratio, 2),
+            "hit_rate": round(on["cache_hit_rate"], 3),
+            "on_tokens_per_s": round(on["tokens_per_s"], 1),
+            "off_tokens_per_s": round(off["tokens_per_s"], 1),
+            "on_ttft_ms": round(on["ttft_mean_s"] * 1e3, 1),
+            "off_ttft_ms": round(off["ttft_mean_s"] * 1e3, 1),
+            "shared": shared, "unique": unique, "requests": requests,
+            "new": new}
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--shared", type=int, default=960)
+    ap.add_argument("--unique", type=int, default=64)
+    ap.add_argument("--new", type=int, default=32)
+    args = ap.parse_args()
+    r = bench_prefix_cache(args.requests, args.shared, args.unique, args.new)
+    print(json.dumps({"metric": "prefix_cache_bench", **r}))

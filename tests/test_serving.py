@@ -105,6 +105,33 @@ def test_engine_prefix_cache_reuse(qwen):
     assert eng.kv.num_free() == 64
 
 
+def test_engine_radix_cache_off(qwen):
+    # radix_cache=False: identical prompts never share KV (hit rate 0),
+    # greedy output unchanged, and every block still returns to the pool
+    model, params = qwen
+    p1 = [3, 17, 42, 9, 21, 33, 40, 2, 7, 1]
+
+    def run(radix):
+        eng = ContinuousBatchEngine(model, params, num_blocks=64,
+                                    block_size=8, max_batch=4,
+                                    max_blocks_per_seq=8, max_new_tokens=4,
+                                    dtype=jnp.float32, prefill_buckets=(8, 16),
+                                    radix_cache=radix)
+        sid1 = eng.submit(p1)
+        out1 = eng.run()[sid1]
+        sid2 = eng.submit(list(p1))
+        out2 = eng.run()[sid2]
+        assert out1 == out2
+        assert eng.kv.num_free() == 64
+        return out1, eng.metrics()["cache_hit_rate"]
+
+    out_on, hit_on = run(True)
+    out_off, hit_off = run(False)
+    assert out_on == out_off
+    assert hit_on > 0.0
+    assert hit_off == 0.0
+
+
 def test_engine_more_requests_than_batch(qwen):
     model, params = qwen
     eng = ContinuousBatchEngine(model, params, num_blocks=64, block_size=8,

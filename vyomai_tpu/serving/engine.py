@@ -110,7 +110,7 @@ class ContinuousBatchEngine:
                  ngram_speculation: bool = False, medusa_params=None,
                  fsms=None,
                  loras=None, return_logprobs: bool = False,
-                 position_offset: int = 0):
+                 position_offset: int = 0, radix_cache: bool = True):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -173,6 +173,17 @@ class ContinuousBatchEngine:
         gathers per-lane factors and adds two rank-r matmuls per linear.
         Incompatible with speculative decoding (the target verifier does
         not thread lanes).
+
+        ``dtype`` sets the paged pool storage: ``jnp.bfloat16`` (default),
+        ``jnp.int8`` (2x block capacity, per-row scales, in-kernel
+        dequant, greedy-token-exact on tested models), or the string
+        ``"int4"`` (4x capacity, per-(row, head) scales, documented LOSSY
+        — see ``paged_model.init_pool``).
+
+        ``radix_cache=False`` disables prefix caching entirely (every
+        request bypasses radix match AND deposit) — the ablation control
+        for shared-prefix workloads (``benchmarks/prefix_cache_bench.py``)
+        and the right setting when prompts provably never share prefixes.
 
         ``return_logprobs``: track each generated token's RAW model
         log-probability (fp32 log-softmax of unmasked/untempered logits —
@@ -268,6 +279,11 @@ class ContinuousBatchEngine:
                     f"vocab {self.cfg.vocab_size}")
             self.draft_pool = paged_model.init_pool(
                 draft_model.config, num_blocks, block_size, dtype=dtype)
+        # radix_cache=False: every request bypasses prefix matching AND
+        # deposit (ablation/bench control; also the right setting for
+        # workloads with provably disjoint prompts, where radix insert/
+        # evict bookkeeping is pure overhead)
+        self.radix_cache = bool(radix_cache)
         self.position_offset = int(position_offset)
         if self.position_offset and speculative:
             raise ValueError("position_offset (PaliGemma 1-indexed RoPE) "
@@ -545,6 +561,8 @@ class ContinuousBatchEngine:
         sid = self._next_id
         self._next_id += 1
         state = SequenceState(sid, prompt)
+        if not self.radix_cache:
+            state.no_radix = True
         state.stop_seqs = stop
         state.max_new = (self.max_new_tokens if max_new_tokens is None
                          else max_new_tokens)
