@@ -1,0 +1,232 @@
+"""Int4 paged KV pool (quarter the bytes of bf16, 4x block capacity):
+pack/unpack roundtrip, write/gather parity, Pallas kernel vs XLA fallback
+(exact — both compute on the same quantized values), int4-vs-fp accuracy
+bounds, and engine-level greedy parity between the two implementations.
+
+On a TPU backend the real Mosaic kernel runs; anywhere else the same
+kernel logic executes in Pallas interpret mode (the file-level pattern of
+``test_paged_decode_kernel.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vyomai_tpu as vt
+from vyomai_tpu.ops import paged_decode_pallas as pdp
+from vyomai_tpu.ops.paged_attention import (pack_int4_rows,
+                                            paged_attention_decode,
+                                            quantize_rows_int4,
+                                            unpack_int4_rows, write_kv)
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_off_tpu():
+    if not ON_TPU:
+        pdp.set_interpret(True)
+    yield
+    pdp.set_interpret(False)
+
+
+B, H, H_KV, D, BS, MAXB, NB = 3, 8, 4, 64, 8, 6, 32
+W = H_KV * D
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    q4 = jnp.asarray(rng.integers(-7, 8, size=(13, W)), dtype=jnp.int32)
+    packed = pack_int4_rows(q4, H_KV)
+    assert packed.shape == (13, W // 2) and packed.dtype == jnp.int8
+    back = unpack_int4_rows(packed, H_KV)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(q4))
+
+
+def test_pack_is_per_head_contiguous():
+    # head g's packed bytes live in [g*D/2, (g+1)*D/2) — a TP width split
+    # on head boundaries stays aligned. Check: zeroing one head's features
+    # changes only that head's byte span.
+    rng = np.random.default_rng(1)
+    q4 = rng.integers(-7, 8, size=(5, H_KV, D))
+    z = q4.copy()
+    z[:, 1] = 0
+    p_all = np.asarray(pack_int4_rows(jnp.asarray(q4.reshape(5, W)), H_KV))
+    p_z = np.asarray(pack_int4_rows(jnp.asarray(z.reshape(5, W)), H_KV))
+    span = slice(1 * D // 2, 2 * D // 2)
+    assert (p_all[:, :span.start] == p_z[:, :span.start]).all()
+    assert (p_all[:, span.stop:] == p_z[:, span.stop:]).all()
+    assert (p_z[:, span] == 0).all()
+
+
+def test_quantize_rows_int4_error_bound():
+    x = jax.random.normal(jax.random.PRNGKey(0), (11, W)) * \
+        jnp.exp(jax.random.normal(jax.random.PRNGKey(1), (11, 1)))
+    packed, sc = quantize_rows_int4(x, H_KV)
+    assert sc.shape == (11, H_KV)
+    deq = (unpack_int4_rows(packed, H_KV).astype(jnp.float32)
+           .reshape(11, H_KV, D) * sc[..., None]).reshape(11, W)
+    # symmetric rounding: per-element error <= scale/2 of the head's scale
+    err = jnp.abs(deq - x).reshape(11, H_KV, D)
+    bound = (sc * 0.5 + 1e-6)[..., None]
+    assert bool(jnp.all(err <= bound)), float((err - bound).max())
+
+
+def _setup_pools(seed=0):
+    """fp pool + the SAME rows written through write_kv into an int4 pool."""
+    rng = jax.random.PRNGKey(seed)
+    kq, kp = jax.random.split(rng)
+    q = jax.random.normal(kq, (B, H, D), dtype=jnp.float32)
+    pool_f = jax.random.normal(kp, (NB, 2, BS, W), dtype=jnp.float32)
+    pool_q = jnp.zeros((NB, 2, BS, W // 2), jnp.int8)
+    scales = jnp.ones((NB, 2, BS, H_KV), jnp.float32)
+    k_rows = pool_f[:, 0].reshape(-1, H_KV, D)
+    v_rows = pool_f[:, 1].reshape(-1, H_KV, D)
+    blocks = jnp.repeat(jnp.arange(NB), BS)
+    offs = jnp.tile(jnp.arange(BS), NB)
+    pool_q, scales = write_kv(pool_q, k_rows, v_rows, blocks, offs,
+                              scales=scales)
+    bt = jnp.asarray(
+        np.random.default_rng(seed).permutation(NB)[:B * MAXB].reshape(
+            B, MAXB).astype(np.int32))
+    seq_lens = jnp.asarray((17, 33, 48), dtype=jnp.int32)
+    return q, pool_f, pool_q, scales, bt, seq_lens
+
+
+def test_write_kv_int4_roundtrip_matches_manual():
+    _, pool_f, pool_q, scales, _, _ = _setup_pools()
+    deq = (unpack_int4_rows(pool_q, H_KV).astype(jnp.float32)
+           .reshape(NB, 2, BS, H_KV, D) * scales[..., None]
+           ).reshape(NB, 2, BS, W)
+    err = jnp.abs(deq - pool_f).reshape(NB, 2, BS, H_KV, D)
+    bound = (scales * 0.5 + 1e-6)[..., None]
+    assert bool(jnp.all(err <= bound))
+
+
+def test_kernel_int4_matches_xla_fallback():
+    """Same quantized values through both implementations: exact parity
+    (the kernel's pi-order unpack + score-matrix per-head dequant vs the
+    fallback's explicit dequantized gather)."""
+    q, _, pool_q, scales, bt, seq_lens = _setup_pools(seed=2)
+    out = pdp.paged_attention_decode_pallas(q, pool_q, bt, seq_lens, H_KV,
+                                            scales)
+    ref = paged_attention_decode(q, pool_q, bt, seq_lens, H_KV, scales)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)
+
+
+def test_int4_attention_close_to_fp():
+    """Lossy-cache accuracy on ISOTROPIC RANDOM KV — the worst case for
+    4-bit keys (scores lose ~sqrt(D)·step/2 of logit precision, and random
+    scores have no margin, so softmax weights shuffle). The bound below is
+    the calibrated behavior, not a quality promise: per-element quant RMSE
+    is step/sqrt(12) ≈ 0.115·amax/2.8, attention-output mean |err| lands
+    near 0.05 on unit-variance values (measured 0.047 @ seed 3). Real K/V
+    distributions are far more structured; int4 remains the documented
+    lossy/capacity option, int8 the accuracy-preserving one."""
+    q, pool_f, pool_q, scales, bt, seq_lens = _setup_pools(seed=3)
+    out4 = paged_attention_decode(q, pool_q, bt, seq_lens, H_KV, scales)
+    ref = paged_attention_decode(q, pool_f, bt, seq_lens, H_KV)
+    diff = np.abs(np.asarray(out4) - np.asarray(ref))
+    assert float(diff.mean()) < 0.10, float(diff.mean())
+    assert float(diff.max()) < 0.40, float(diff.max())
+    # int8 on the same inputs is an order of magnitude tighter
+    from vyomai_tpu.ops.paged_attention import quantize_rows
+    flat = pool_f.reshape(NB * 2 * BS, W)
+    q8, s8 = quantize_rows(flat)
+    out8 = paged_attention_decode(q, q8.reshape(NB, 2, BS, W), bt, seq_lens,
+                                  H_KV, s8.reshape(NB, 2, BS))
+    diff8 = np.abs(np.asarray(out8) - np.asarray(ref))
+    assert float(diff8.mean()) < 0.1 * float(diff.mean())
+
+
+@pytest.mark.parametrize("window,sinks", [(12, 0), (16, 8)])
+def test_kernel_int4_window_sinks(window, sinks):
+    q, _, pool_q, scales, bt, seq_lens = _setup_pools(seed=4)
+    out = pdp.paged_attention_decode_pallas(q, pool_q, bt, seq_lens, H_KV,
+                                            scales, window=window,
+                                            sinks=sinks)
+    ref = paged_attention_decode(q, pool_q, bt, seq_lens, H_KV, scales,
+                                 window=window, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5 if not ON_TPU else 2e-2)
+
+
+def test_kernel_int4_under_tp_shard_map():
+    """Int4 composes with tensor-parallel serving: packed width splits on
+    head boundaries, per-head scales shard with their heads."""
+    from jax.sharding import Mesh
+    from vyomai_tpu.serving.paged_model import _tp_paged_attn
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs 2 virtual CPU devices")
+    q, _, pool_q, scales, bt, seq_lens = _setup_pools(seed=5)
+    mesh = Mesh(np.asarray(cpus[:2]).reshape(1, 2), ("data", "model"))
+    pdp.set_interpret(True)
+    try:
+        with jax.default_device(cpus[0]):
+            out = jax.jit(
+                lambda qq, pp, b_, s_, sc: _tp_paged_attn(
+                    mesh, qq, pp, b_, s_, H_KV, sc, None, 0))(
+                q, pool_q, bt, seq_lens, scales)
+            ref = paged_attention_decode(q, pool_q, bt, seq_lens, H_KV,
+                                         scales)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+    finally:
+        pdp.set_interpret(not ON_TPU)
+
+
+@pytest.fixture(scope="module")
+def qwen():
+    # packed width = H_kv*D/2 = 128: the forced-pallas run below must be
+    # Mosaic-alignable on a real TPU (128-lane minor dim)
+    cfg = vt.QwenConfig(vocab_size=256, hidden_size=64,
+                        intermediate_size=128, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2,
+                        head_dim=128, max_position_embeddings=128,
+                        eos_token_id=-1)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    return model, params
+
+
+def test_engine_int4_pool_greedy_xla_vs_kernel(qwen):
+    """Engine with an int4 pool: the Pallas-kernel path and the XLA path
+    decode the SAME tokens (the int4 representation is shared; only the
+    attention implementation differs). fp-vs-int4 token equality is NOT
+    asserted — int4 KV is documented lossy."""
+    from vyomai_tpu.serving import ContinuousBatchEngine
+    model, params = qwen
+    prompts = [[3, 17, 42, 9, 21, 33, 40, 2], [5, 11, 7, 200, 150, 3]]
+
+    def run(impl):
+        pdp.set_paged_impl(impl)
+        try:
+            eng = ContinuousBatchEngine(
+                model, params, num_blocks=64, block_size=8, max_batch=4,
+                max_blocks_per_seq=8, max_new_tokens=6, dtype="int4",
+                prefill_buckets=(8, 16))
+            sids = [eng.submit(p) for p in prompts]
+            out = eng.run()
+            return [out[s] for s in sids]
+        finally:
+            pdp.set_paged_impl("auto")
+
+    a = run("pallas")
+    b = run("xla")
+    assert a == b
+    assert all(len(t) == 6 for t in a)
+
+
+def test_engine_int4_pool_capacity(qwen):
+    """The int4 pool stores 4x the tokens of bf16 at equal HBM: pool bytes
+    per (layer, block) = BS * W/2 + BS * H_kv * 4-byte scales."""
+    from vyomai_tpu.serving import paged_model
+    model, params = qwen
+    cfg = model.config
+    p4 = paged_model.init_pool(cfg, 16, 8, dtype="int4")
+    pbf = paged_model.init_pool(cfg, 16, 8, dtype=jnp.bfloat16)
+    kv4 = p4["kv"].nbytes + p4["scale"].nbytes
+    kvbf = pbf["kv"].nbytes
+    assert kv4 < 0.55 * kvbf, (kv4, kvbf)  # ~0.25 + scale sidecar

@@ -36,9 +36,9 @@ def set_interpret(flag: bool) -> None:
     _INTERPRET = flag
 
 
-def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
+def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, sel_ref, pool_ref, o_ref,
             kv_sc, sem, *, bs, h, width, nslots, window=None,
-            sinks: int = 0):
+            sinks: int = 0, int4: bool = False):
     """pool_ref: [NB, 2, BS, width] (k row 0, v row 1, width = H_kv * D).
 
     Int8 pools (``scale_ref`` not None, [NB, 2, BS] f32 resident in VMEM —
@@ -47,6 +47,21 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
     and a value row's scale folds into the probabilities (p *= vs[None,:])
     before the p@v dot — no [BS, width] rescaling, the DMA'd block feeds
     the MXU straight from int8, and HBM traffic halves vs bf16.
+
+    Int4 pools (``int4=True``: pool holds ``width/2`` packed bytes per
+    row, ``scale_ref`` [NB, 2, BS, H_kv] per-(row, head) f32, ``sel_ref``
+    [H, H_kv] the q-head -> kv-head one-hot) quarter the DMA bytes. The
+    nibble unpack is two shifts + a CONCAT along the feature axis — the
+    per-head-local split-halves packing (``ops.paged_attention.
+    pack_int4_rows``) is chosen so unpacked features land in a fixed "pi
+    order" (low halves head-major, then high halves) rather than needing a
+    lane interleave; the caller permutes q into the same order and
+    un-permutes the output, so the kernel never relayouts. Per-head scales
+    still fold through the score matrix: score row h only contracts
+    features of h's own kv head g(h), so ``sel @ scale^T`` expands the
+    [BS, H_kv] scales to the [H, BS] score scale exactly (the v-scale fold
+    into p is sound for the same reason — acc columns outside g(h)'s
+    feature block are discarded by the caller's head extraction).
 
     ``nslots``-deep multi-buffering: per-block compute is ~trivial (one
     [H,width]x[width,BS] dot), so the loop cost is DMA-bound. Measured
@@ -107,11 +122,31 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
 
         dma(slot, j).wait()
         jp = phys(j)
-        k = kv_sc[slot, 0].astype(jnp.float32)         # [BS, width]
-        v = kv_sc[slot, 1].astype(jnp.float32)
+        if int4:
+            def unpack(p8):
+                p32 = p8.astype(jnp.int32)
+                lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+                hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+                return jnp.concatenate([lo, hi],
+                                       axis=-1).astype(jnp.float32)
+            k = unpack(kv_sc[slot, 0])                 # [BS, width] pi order
+            v = unpack(kv_sc[slot, 1])
+        else:
+            k = kv_sc[slot, 0].astype(jnp.float32)     # [BS, width]
+            v = kv_sc[slot, 1].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [H, BS]
-        if scale_ref is not None:
+        if int4:
+            sc = scale_ref[bt_ref[b, jp]]              # [2, BS, H_kv]
+            sel = sel_ref[...]                         # [H, H_kv]
+            ks = jax.lax.dot_general(                  # [H, BS]
+                sel, sc[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vs = jax.lax.dot_general(
+                sel, sc[1], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * ks
+        elif scale_ref is not None:
             sc = scale_ref[bt_ref[b, jp]]              # [2, BS]
             s = s * sc[0:1, :]
         pos = jp * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
@@ -127,7 +162,9 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, pool_ref, o_ref,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        if scale_ref is not None:
+        if int4:
+            p = p * vs
+        elif scale_ref is not None:
             p = p * sc[1:2, :]
         acc_new = acc * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
@@ -148,12 +185,15 @@ _NSLOTS = 4  # DMA pipeline depth (see _kernel docstring — 4 swept best)
 def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
                                   h_kv: int, scales=None, window=None,
                                   sinks: int = 0):
-    """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout);
-    block_tables: [B, MAXB] int32; seq_lens: [B] int32; scales:
-    [NB, 2, BS] f32 per-row dequant scales, required for int8 pools (see
-    ``ops.paged_attention.write_kv``). Returns [B, H, D]."""
+    """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout;
+    H_kv*D/2 packed bytes for int4 pools); block_tables: [B, MAXB] int32;
+    seq_lens: [B] int32; scales: per-row dequant scales, required for
+    quantized pools — [NB, 2, BS] f32 (int8) or [NB, 2, BS, H_kv] f32
+    (int4; see ``ops.paged_attention.write_kv``). Returns [B, H, D]."""
     b, h, d = q.shape
-    nb, _, bs, width = pool.shape
+    nb, _, bs, pwidth = pool.shape
+    int4 = scales is not None and scales.ndim == 4
+    width = 2 * pwidth if int4 else pwidth              # H_kv * D
     nslots = _NSLOTS
     group = h // h_kv
     scale = 1.0 / (d ** 0.5)
@@ -162,18 +202,34 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     q_scaled = (q * scale).astype(jnp.float32)          # [B, H, D]
     sel = jnp.repeat(jnp.eye(h_kv, dtype=jnp.float32), group,
                      axis=0)                            # [H, H_kv]
-    q_exp = (q_scaled[:, :, None, :] * sel[None, :, :, None]
-             ).reshape(b, h, width)
+    if int4:
+        # pi order (kernel docstring): low half-features head-major, then
+        # high half-features — match the unpacked K/V layout
+        q1, q2 = q_scaled[..., :d // 2], q_scaled[..., d // 2:]
+        exp = [(qq[:, :, None, :] * sel[None, :, :, None]
+                ).reshape(b, h, width // 2) for qq in (q1, q2)]
+        q_exp = jnp.concatenate(exp, axis=-1)           # [B, H, width]
+    else:
+        q_exp = (q_scaled[:, :, None, :] * sel[None, :, :, None]
+                 ).reshape(b, h, width)
 
     quant = pool.dtype == jnp.int8
-    if quant:
-        assert scales is not None, "int8 pool needs its scales sidecar"
+    if int4:
+        # NOTE width kwarg = UNPACKED width (acc/output size); the scratch
+        # holds the packed pwidth bytes
         kern = functools.partial(_kernel, bs=bs, h=h, width=width,
-                                 nslots=nslots, window=window, sinks=sinks)
+                                 nslots=nslots, window=window, sinks=sinks,
+                                 int4=True)
+    elif quant:
+        kern = functools.partial(
+            lambda bt, ln, qe, sc, pr, o, sc_, sm, **kw:
+            _kernel(bt, ln, qe, sc, None, pr, o, sc_, sm, **kw),
+            bs=bs, h=h, width=width, nslots=nslots, window=window,
+            sinks=sinks)
     else:
         kern = functools.partial(
             lambda bt, ln, qe, pr, o, sc_, sm, **kw:
-            _kernel(bt, ln, qe, None, pr, o, sc_, sm, **kw),
+            _kernel(bt, ln, qe, None, None, pr, o, sc_, sm, **kw),
             bs=bs, h=h, width=width, nslots=nslots, window=window,
             sinks=sinks)
 
@@ -183,8 +239,11 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     ]
     if quant:
         # whole scales array resident in VMEM: NB*2*BS f32 is a few
-        # hundred KB even for thousands-of-blocks pools
+        # hundred KB even for thousands-of-blocks pools (int4's per-head
+        # sidecar is H_kv x bigger — still ~MBs at serving sizes)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if int4:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # sel
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # pool in HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -193,7 +252,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
         out_specs=pl.BlockSpec((1, h, width), lambda b_, *_: (b_, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nslots, 2, bs, width), pool.dtype),
+            pltpu.VMEM((nslots, 2, bs, pwidth), pool.dtype),
             pltpu.SemaphoreType.DMA((nslots,)),
         ],
     )
@@ -201,6 +260,8 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
             seq_lens.astype(jnp.int32), q_exp.astype(q.dtype)]
     if quant:
         args.append(scales.astype(jnp.float32))
+    if int4:
+        args.append(sel)
     args.append(pool)
     out = pl.pallas_call(
         kern,
@@ -211,8 +272,14 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
         interpret=_INTERPRET,
     )(*args)
 
-    # each head's output lives in its kv-head's column slice
-    out = out.reshape(b, h, h_kv, d)
+    if int4:
+        # undo pi order: [.., :w2] = low half-features, [.., w2:] = high
+        o1 = out[..., :width // 2].reshape(b, h, h_kv, d // 2)
+        o2 = out[..., width // 2:].reshape(b, h, h_kv, d // 2)
+        out = jnp.concatenate([o1, o2], axis=-1)        # [B, H, H_kv, D]
+    else:
+        # each head's output lives in its kv-head's column slice
+        out = out.reshape(b, h, h_kv, d)
     kv_idx = jnp.arange(h) // group
     return jnp.take_along_axis(
         out, kv_idx[None, :, None, None].repeat(b, 0), axis=2)[:, :, 0, :]

@@ -46,8 +46,25 @@ def init_pool(config, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
     equal HBM): rows are quantized symmetrically at write time with one f32
     scale per (layer, block, k/v, slot) kept in the small ``scale`` sidecar
     and dequantized inside the decode kernel's block sweep — fp32 scores/
-    accumulation throughout, so greedy decode stays argmax-stable."""
+    accumulation throughout, so greedy decode stays argmax-stable.
+
+    ``dtype="int4"`` packs two KV values per byte (4x block capacity at
+    equal HBM, quarter the decode DMA bytes) with per-(row, kv-head)
+    scales — finer than int8's per-row scale; see
+    ``ops.paged_attention.quantize_rows_int4``. Unlike the int8 pool
+    (greedy-token-exact in practice), int4 is a LOSSY cache: 4-bit keys
+    cost ~sqrt(D)/2 quantization steps of score precision, so outputs can
+    deviate where score margins are thin (calibrated worst-case bounds in
+    ``tests/test_int4_pool.py``). Kernel-vs-XLA parity stays exact —
+    both paths read the same quantized values."""
     width = config.num_key_value_heads * config.head_dim
+    if isinstance(dtype, str) and dtype == "int4":
+        shape = (config.num_hidden_layers, num_blocks, 2, block_size,
+                 width // 2)
+        return {"kv": jnp.zeros(shape, dtype=jnp.int8),
+                "scale": jnp.ones(shape[:4]
+                                  + (config.num_key_value_heads,),
+                                  dtype=jnp.float32)}
     shape = (config.num_hidden_layers, num_blocks, 2, block_size, width)
     pool = {"kv": jnp.zeros(shape, dtype=dtype)}
     if dtype == jnp.int8:
@@ -75,9 +92,14 @@ def shard_serving_state(params, pool, mesh: Mesh):
     params = shard_params(params, mesh)
     sharded = {"kv": jax.device_put(
         pool["kv"], NamedSharding(mesh, pool_pspec()))}
-    if "scale" in pool:  # int8 sidecar: tiny, replicated
-        sharded["scale"] = jax.device_put(
-            pool["scale"], NamedSharding(mesh, P()))
+    if "scale" in pool:
+        if pool["scale"].ndim == 5:   # int4: per-head scales shard with
+            sharded["scale"] = jax.device_put(   # their heads
+                pool["scale"],
+                NamedSharding(mesh, P(None, None, None, None, "model")))
+        else:                         # int8 sidecar: tiny, replicated
+            sharded["scale"] = jax.device_put(
+                pool["scale"], NamedSharding(mesh, P()))
     return params, sharded
 
 
@@ -126,9 +148,14 @@ def _tp_paged_attn(mesh, q, pkv, block_tables, seq_lens, h_kv, scales,
             lambda qL, pkvL, bt, sl: local(qL, pkvL, bt, sl, None),
             mesh=mesh, in_specs=(qs, ps, P(None, None), P(None)),
             out_specs=qs, check_vma=False)(q, pkv, block_tables, seq_lens)
+    # int8 scales [NB, 2, BS] are replicated; int4's [NB, 2, BS, H_kv]
+    # shard with their heads (packed width splits on head boundaries by
+    # the per-head-local packing — ops.paged_attention.pack_int4_rows)
+    sc_spec = (P(None, None, None, "model") if scales.ndim == 4
+               else P(None, None, None))
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(qs, ps, P(None, None), P(None), P(None, None, None)),
+        in_specs=(qs, ps, P(None, None), P(None), sc_spec),
         out_specs=qs, check_vma=False)(q, pkv, block_tables, seq_lens,
                                        scales)
 
