@@ -145,14 +145,106 @@ def bench_e2e(batch: int = 8, prompt: int = 128, new: int = 256):
             "e2e_int4_speedup": round(q4 / fp, 3)}
 
 
+def bench_w8a8_chain(m: int = 4096, dim: int = 4096, depth: int = 16,
+                     iters: int = 20):
+    """Compute-bound (prefill/training-shaped) chain: bf16 MXU vs W8A8
+    int8 MXU. Unlike the decode chains above (weight-stream-bound, where
+    int8's win is bandwidth), here the matmul FLOPs dominate and the win
+    is the v5e's ~2x int8 systolic rate. The per-layer tanh stands in for
+    the nonlinearity between real layers; activation re-quantization cost
+    is included (each layer quantizes its input per token)."""
+    from vyomai_tpu.ops.quant_matmul import w8a8_matmul
+
+    print(f"[w8a8 chain] M={m} K=N={dim} depth={depth}")
+    keys = jax.random.split(jax.random.PRNGKey(0), depth + 1)
+    ws = [jax.random.normal(k, (dim, dim), jnp.float32) / dim**0.5
+          for k in keys[:depth]]
+    x = jax.random.normal(keys[-1], (m, dim), jnp.bfloat16)
+    ws_bf = jnp.stack([w.astype(jnp.bfloat16) for w in ws])
+    qs = [quantize_weight(w, contract_axis=0) for w in ws]
+    wq = jnp.stack([q for q, _ in qs])
+    sc = jnp.stack([s for _, s in qs])
+
+    @jax.jit
+    def chain_bf16(x, ws):
+        def body(y, w):
+            return jnp.tanh(y @ w), None
+        return jax.lax.scan(body, x, ws)[0]
+
+    @jax.jit
+    def chain_w8a8(x, wq, sc):
+        def body(y, w_s):
+            w, s = w_s
+            return jnp.tanh(w8a8_matmul(y, w, s)), None
+        return jax.lax.scan(body, x, (wq, sc))[0]
+
+    flops = 2.0 * m * dim * dim * depth
+    t_bf = _time(chain_bf16, (x, ws_bf), iters, "bf16", depth * dim * dim * 2)
+    t_q = _time(chain_w8a8, (x, wq, sc), iters, "w8a8", depth * dim * dim * 1)
+    print(f"  bf16 {flops / t_bf / 1e12:6.1f} TFLOP/s   "
+          f"w8a8 {flops / t_q / 1e12:6.1f} TOP/s   "
+          f"speedup {t_bf / t_q:5.2f}x")
+    return {"shape": f"{m}x{dim}x{dim}x{depth}",
+            "bf16_ms": round(t_bf * 1e3, 3),
+            "w8a8_ms": round(t_q * 1e3, 3),
+            "bf16_tflops": round(flops / t_bf / 1e12, 1),
+            "w8a8_tops": round(flops / t_q / 1e12, 1),
+            "speedup_vs_bf16": round(t_bf / t_q, 3)}
+
+
+def bench_w8a8_prefill(batch: int = 8, seq: int = 1024, iters: int = 5):
+    """End-to-end prefill/scoring forward of the ~0.8B bench model: bf16
+    params vs W8A8 (``quantize_params(act_bits=8)``). Prefill at B*S=8192
+    tokens is compute-bound, the regime W8A8 targets (decode stays
+    weight-only int8 — see int8_decode_speedup)."""
+    cfg = vt.QwenConfig(vocab_size=32768, hidden_size=2048,
+                        intermediate_size=8192, num_hidden_layers=12,
+                        num_attention_heads=16, num_key_value_heads=4,
+                        head_dim=128, max_position_embeddings=seq,
+                        qk_norm=True, eos_token_id=-1,
+                        tie_word_embeddings=True)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 5,
+                             cfg.vocab_size, dtype=jnp.int32)
+    print(f"[w8a8 prefill] {n_params/1e6:.0f}M-param model B={batch} S={seq}")
+
+    def measure(p, label):
+        @jax.jit
+        def fwd(p, ids):
+            return model.apply(p, ids).logits[:, -1]
+        out = fwd(p, ids)
+        device_sync(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(p, ids)
+        device_sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        tps = batch * seq / dt
+        print(f"  {label:6s} {tps:9.0f} tok/s  ({dt*1e3:.1f} ms/forward)")
+        return tps
+
+    fp = measure(params, "bf16")
+    w8a8 = measure(vt.quantize_params(params, act_bits=8), "w8a8")
+    print(f"  w8a8 vs bf16 prefill: {w8a8/fp:.2f}x")
+    return {"prefill_bf16_tok_s": round(fp, 1),
+            "prefill_w8a8_tok_s": round(w8a8, 1),
+            "prefill_speedup": round(w8a8 / fp, 3)}
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["chain", "e2e", "all"], default="all")
+    ap.add_argument("--mode", choices=["chain", "e2e", "w8a8", "all"],
+                    default="all")
     args = ap.parse_args()
     recs = {}
     if args.mode in ("chain", "all"):
         recs["ffn_chain"] = bench_chain(m=32, dim=4096, depth=24)
         recs["wide_chain"] = bench_chain(m=8, dim=4096, depth=24)
+    if args.mode in ("w8a8", "all"):
+        recs["w8a8_chain"] = bench_w8a8_chain()
+        recs["w8a8_prefill"] = bench_w8a8_prefill()
     if args.mode in ("e2e", "all"):
         recs["e2e"] = bench_e2e()
     print(json.dumps({"metric": "int8_quant_bench", **recs}))
