@@ -164,6 +164,33 @@ def test_checkpoint_roundtrip(tmp_path):
     assert max(jax.tree_util.tree_leaves(d)) == 0.0
 
 
+def test_async_checkpoint_manager(tmp_path):
+    # background saves + retention + latest-step restore (the training
+    # loop's non-blocking path; context exit waits for in-flight writes)
+    from vyomai_tpu.training.checkpoint import AsyncCheckpointManager
+    model = vt.EncoderModel(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "async_ck")
+    states = {s: jax.tree_util.tree_map(lambda x, s=s: x + s, params)
+              for s in range(5)}
+    with AsyncCheckpointManager(path, max_to_keep=2,
+                                save_interval_steps=2) as mgr:
+        saved = [mgr.save(s, states[s]) for s in range(5)]
+    assert saved == [True, False, True, False, True]   # interval=2
+    mgr2 = AsyncCheckpointManager(path, max_to_keep=2)
+    assert mgr2.all_steps() == [2, 4]                  # keep-last-2
+    assert mgr2.latest_step() == 4
+    restored = mgr2.restore(target=params)
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                               states[4], restored)
+    assert max(jax.tree_util.tree_leaves(d)) == 0.0
+    older = mgr2.restore(step=2, target=params)
+    d2 = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).max()),
+                                states[2], older)
+    assert max(jax.tree_util.tree_leaves(d2)) == 0.0
+    mgr2.close()
+
+
 def test_distillation_layer_surgery():
     assert default_student_indices(12, 6) == [0, 2, 4, 7, 9, 11]
     teacher = vt.EncoderModel(CFG.replace(num_hidden_layers=2))

@@ -54,3 +54,71 @@ def save_params(path: str, params) -> None:
 
 def load_params(path: str, target: Optional[Any] = None):
     return restore_checkpoint(path, target)
+
+
+class AsyncCheckpointManager:
+    """Non-blocking checkpointing for the training loop (beyond the
+    reference's blocking ``torch.save``): ``save`` snapshots device arrays
+    and returns — serialization and disk writes run on orbax's background
+    thread while the next train steps execute — with keep-last-N retention
+    and step-indexed directories.
+
+    Usage::
+
+        with AsyncCheckpointManager(dir, max_to_keep=3) as mgr:
+            for step in range(n):
+                state, metrics = train_step(state, batch)
+                mgr.save(step, state)          # returns immediately
+        # context exit waits for in-flight writes
+        state = mgr.restore(target=state)      # latest step
+
+    ``save_interval_steps`` rate-limits saves (non-multiple steps are
+    no-ops), so the call can sit unconditionally in the loop body.
+    """
+
+    def __init__(self, directory: str, *, max_to_keep: int = 3,
+                 save_interval_steps: int = 1):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                enable_async_checkpointing=True))
+
+    def save(self, step: int, state) -> bool:
+        """Queue an async save of ``state`` at ``step``. Returns False when
+        rate-limited by ``save_interval_steps``."""
+        return self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def restore(self, step: Optional[int] = None, target=None):
+        """Restore ``step`` (default: latest). ``target`` enables
+        typed/sharded restoration as in :func:`restore_checkpoint`."""
+        if step is None:
+            step = self._mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError("no checkpoint steps saved yet")
+        if target is not None:
+            abstract = jax.tree_util.tree_map(_abstract_leaf, target)
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract))
+        return self._mgr.restore(step)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def wait(self) -> None:
+        """Block until every queued save has hit disk."""
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
