@@ -49,7 +49,7 @@ BATCH, SEQ = 4, 2048
 STEPS = 10
 
 
-def _build():
+def _build(optimizer: str = "adamw"):
     set_sdpa_impl("flash")
     model = vt.DecoderModel(CFG, pos_embedding_type="rope",
                             attention_type="gqa", remat=True)
@@ -66,36 +66,45 @@ def _build():
             chunk_size=2048)
         return loss, {}
 
-    opt = make_optimizer(1e-4)
+    opt = make_optimizer(1e-4, kind=optimizer)
     step = make_train_step(loss_fn, opt)
     state = create_train_state(params, opt)
     n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
     return step, state, n_params
 
 
-def bench_mfu_wide() -> dict:
-    step, state, n_params = _build()
-    ids = jax.random.randint(jax.random.PRNGKey(1), (BATCH, SEQ), 0,
+def bench_mfu_wide(batch: int = BATCH, optimizer: str = "adamw") -> dict:
+    step, state, n_params = _build(optimizer)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, SEQ), 0,
                              CFG.vocab_size, dtype=jnp.int32)
-    batch = {"ids": ids, "mask": jnp.ones_like(ids)}
+    data = {"ids": ids, "mask": jnp.ones_like(ids)}
     rng = jax.random.PRNGKey(2)
-    state, m = step(state, batch, rng)  # compile + warm
+    state, m = step(state, data, rng)  # compile + warm
     float(m["loss"])  # host fetch = true sync on the remote-attached chip
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, m = step(state, batch, rng)
+        state, m = step(state, data, rng)
     float(m["loss"])
     dt = (time.perf_counter() - t0) / STEPS
-    tok_s = BATCH * SEQ / dt
+    tok_s = batch * SEQ / dt
     # 6N matmul FLOPs per token + causal attention score/value fwd+bwd
     flops_tok = 6 * n_params + 12 * CFG.num_hidden_layers * SEQ * CFG.hidden_size
     mfu = flops_tok * tok_s / V5E_PEAK_BF16
     set_sdpa_impl("auto")
     return {"tokens_per_sec": round(tok_s, 1), "mfu": round(mfu, 4),
-            "n_params": n_params, "batch": BATCH, "seq": SEQ,
+            "n_params": n_params, "batch": batch, "seq": SEQ,
+            "optimizer": optimizer,
             "layers": CFG.num_hidden_layers, "hidden": CFG.hidden_size}
 
 
 if __name__ == "__main__":
-    r = bench_mfu_wide()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--optimizer", default="adamw",
+                    help="adamw | adamw8bit (int8 moments cut the Adam "
+                         "step's HBM traffic 4x and free ~6 GB at this "
+                         "size) | muon")
+    args = ap.parse_args()
+    r = bench_mfu_wide(batch=args.batch, optimizer=args.optimizer)
     print(json.dumps({"metric": "train_mfu_wide", **r}))
