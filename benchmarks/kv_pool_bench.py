@@ -2,12 +2,16 @@
 chip): bf16 vs int8 (per-row scales) vs int4 (per-(row, head) scales,
 packed nibbles).
 
-Decode attention is HBM-bandwidth-bound — the kernel's cost is streaming
-the live context blocks — so the expected ordering is bytes-proportional:
-int8 halves the DMA bytes of bf16, int4 halves them again (the unpack is
-two VPU shifts + a concat per block; see
-``ops/paged_decode_pallas._kernel``). Measured as CHAINED kernel calls in
-one jit (per-dispatch tunnel overhead is ~1.1 ms — CLAUDE.md).
+Measured answer (v5e, r3): the kernel is DMA-ISSUE and per-block-compute
+bound at serving block sizes, NOT bytes-bound — bf16 streams at only
+35-123 GB/s of the ~800 GB/s HBM, so halving or quartering the bytes
+moves latency < ~10% either way (int8 1.09x at BS=256/ctx 7936, 0.91x at
+BS=64/ctx 2k; int4 ~0.9-0.95x — its nibble unpack and per-head scale
+dots cost about what its bytes save). The QUANTIZED POOLS' value on this
+chip is CAPACITY, not kernel latency: 2x/4x more context per HBM byte =
+bigger batches and fewer preemptions at the engine level. Measured as
+CHAINED kernel calls in one jit (per-dispatch tunnel overhead is ~1.1 ms
+— CLAUDE.md).
 """
 
 import argparse
@@ -46,7 +50,8 @@ def bench_pool_dtypes(b: int = 16, h: int = 16, h_kv: int = 4, d: int = 128,
     sc8 = s8.reshape(nb, 2, bs)
     q4, s4 = quantize_rows_int4(flat, h_kv)
     pool4 = q4.reshape(nb, 2, bs, width // 2)
-    sc4 = s4.reshape(nb, 2, bs, h_kv)
+    # sidecar layout: [NB, 2, H_kv, BS] (BS minor — VMEM tiling)
+    sc4 = s4.reshape(nb, 2, bs, h_kv).transpose(0, 1, 3, 2)
 
     tabs = jnp.asarray(np.random.default_rng(0).integers(
         0, nb, size=(b, maxb)), dtype=jnp.int32)

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--max-new", type=int, default=32)
     ap.add_argument("--stream", action="store_true",
                     help="use engine.stream() and report time-to-first-token")
+    ap.add_argument("--kv", choices=("bf16", "int8", "int4"), default="bf16",
+                    help="paged-pool storage: int8 = 2x block capacity "
+                         "(token-exact), int4 = 4x (lossy; see "
+                         "paged_model.init_pool)")
     args = ap.parse_args()
 
     if args.weights:
@@ -42,10 +46,13 @@ def main():
         model = vt.ModelForCausalLM(cfg)
         params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
+    kv_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+                "int4": "int4"}[args.kv]
     eng = ContinuousBatchEngine(model, params, num_blocks=512, block_size=16,
                                 max_batch=8, max_blocks_per_seq=16,
                                 max_new_tokens=args.max_new,
-                                prefill_buckets=(32, 64, 128))
+                                prefill_buckets=(32, 64, 128),
+                                dtype=kv_dtype)
     rng = np.random.default_rng(0)
     shared_prefix = list(rng.integers(5, cfg.vocab_size, size=24))
     sids = []

@@ -79,7 +79,7 @@ def _setup_pools(seed=0):
     q = jax.random.normal(kq, (B, H, D), dtype=jnp.float32)
     pool_f = jax.random.normal(kp, (NB, 2, BS, W), dtype=jnp.float32)
     pool_q = jnp.zeros((NB, 2, BS, W // 2), jnp.int8)
-    scales = jnp.ones((NB, 2, BS, H_KV), jnp.float32)
+    scales = jnp.ones((NB, 2, H_KV, BS), jnp.float32)
     k_rows = pool_f[:, 0].reshape(-1, H_KV, D)
     v_rows = pool_f[:, 1].reshape(-1, H_KV, D)
     blocks = jnp.repeat(jnp.arange(NB), BS)
@@ -95,11 +95,12 @@ def _setup_pools(seed=0):
 
 def test_write_kv_int4_roundtrip_matches_manual():
     _, pool_f, pool_q, scales, _, _ = _setup_pools()
+    sc = scales.transpose(0, 1, 3, 2)                  # -> [NB, 2, BS, H]
     deq = (unpack_int4_rows(pool_q, H_KV).astype(jnp.float32)
-           .reshape(NB, 2, BS, H_KV, D) * scales[..., None]
+           .reshape(NB, 2, BS, H_KV, D) * sc[..., None]
            ).reshape(NB, 2, BS, W)
     err = jnp.abs(deq - pool_f).reshape(NB, 2, BS, H_KV, D)
-    bound = (scales * 0.5 + 1e-6)[..., None]
+    bound = (sc * 0.5 + 1e-6)[..., None]
     assert bool(jnp.all(err <= bound))
 
 

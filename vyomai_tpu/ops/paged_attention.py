@@ -50,9 +50,12 @@ def quantize_rows(x):
 #
 # Scales are per (row, head) — amax over the head's D features / 7 — four to
 # eight times finer than the int8 pool's per-row scale, which is what keeps
-# 15-level int4 usable for KV. Sidecar: [NB, 2, BS, H_kv] f32 (the int8
-# pool's is [NB, 2, BS]); every consumer discriminates int4-vs-int8 by that
-# ndim, so the plumbing (engine -> paged_model scan -> ops) is shared.
+# 15-level int4 usable for KV. Sidecar: [NB, 2, H_kv, BS] f32 — BS minor,
+# because the kernel keeps the whole sidecar VMEM-resident and a minor dim
+# of H_kv would pad to 128 lanes (32x inflation at H_kv=4 — measured VMEM
+# OOM). The int8 pool's sidecar is [NB, 2, BS]; every consumer
+# discriminates int4-vs-int8 by ndim, so the plumbing (engine ->
+# paged_model scan -> ops) is shared.
 # ---------------------------------------------------------------------------
 
 _INT4_EPS = 1e-8
@@ -108,7 +111,7 @@ def write_kv(pool, k_new, v_new, slot_block, slot_offset, scales=None):
     Int8 pools quantize each row symmetrically at write time (one f32
     scale per written row, amax/127 over the row's H_kv*D features) into
     the ``scales [NB, 2, BS]`` sidecar; pass it and receive
-    ``(pool, scales)`` back. Int4 pools (``scales [NB, 2, BS, H_kv]``,
+    ``(pool, scales)`` back. Int4 pools (``scales [NB, 2, H_kv, BS]``,
     pool holding H_kv*D/2 packed bytes per row) quantize per (row, head)
     — amax/7 over each head's D features — and pack via
     :func:`pack_int4_rows`.
@@ -122,14 +125,17 @@ def write_kv(pool, k_new, v_new, slot_block, slot_offset, scales=None):
     # real block (duplicate scatter indices have unspecified winner order).
     valid = slot_block >= 0
     blk = jnp.where(valid, slot_block, pool.shape[0])
-    if scales is not None and scales.ndim == 4:   # int4: [NB, 2, BS, H_kv]
+    if scales is not None and scales.ndim == 4:   # int4: [NB, 2, H_kv, BS]
+        # (BS minor, H_kv second-minor: the kernel keeps the whole sidecar
+        # VMEM-resident, and a minor dim of H_kv would pad to 128 lanes —
+        # 32x inflation at H_kv=4, measured as a VMEM OOM at NB=1024)
         h_kv = k_new.shape[1]
         k_q, k_s = quantize_rows_int4(k_flat, h_kv)
         v_q, v_s = quantize_rows_int4(v_flat, h_kv)
         pool = pool.at[blk, 0, slot_offset].set(k_q, mode="drop")
         pool = pool.at[blk, 1, slot_offset].set(v_q, mode="drop")
-        scales = scales.at[blk, 0, slot_offset].set(k_s, mode="drop")
-        scales = scales.at[blk, 1, slot_offset].set(v_s, mode="drop")
+        scales = scales.at[blk, 0, :, slot_offset].set(k_s, mode="drop")
+        scales = scales.at[blk, 1, :, slot_offset].set(v_s, mode="drop")
         return pool, scales
     if pool.dtype == jnp.int8:
         assert scales is not None, "int8 pool needs its scales sidecar"
@@ -159,10 +165,11 @@ def gather_kv(pool, tables, h_kv: int, scales=None):
     nb, _, bs, width = pool.shape
     kv = pool[tables]                                   # [MAXB, 2, BS, width]
     if scales is not None and scales.ndim == 4:         # int4 pool
-        sc = scales[tables]                             # [MAXB, 2, BS, H_kv]
+        sc = scales[tables]                             # [MAXB, 2, H_kv, BS]
         kv = unpack_int4_rows(kv, h_kv).astype(jnp.float32)
         d = (2 * width) // h_kv
-        kv = kv.reshape(maxb, 2, bs, h_kv, d) * sc[..., None]
+        kv = kv.reshape(maxb, 2, bs, h_kv, d) * \
+            sc.transpose(0, 1, 3, 2)[..., None]
     else:
         d = width // h_kv
         if pool.dtype == jnp.int8:

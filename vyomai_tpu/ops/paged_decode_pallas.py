@@ -49,7 +49,7 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, sel_ref, pool_ref, o_ref,
     the MXU straight from int8, and HBM traffic halves vs bf16.
 
     Int4 pools (``int4=True``: pool holds ``width/2`` packed bytes per
-    row, ``scale_ref`` [NB, 2, BS, H_kv] per-(row, head) f32, ``sel_ref``
+    row, ``scale_ref`` [NB, 2, H_kv, BS] per-(row, head) f32, ``sel_ref``
     [H, H_kv] the q-head -> kv-head one-hot) quarter the DMA bytes. The
     nibble unpack is two shifts + a CONCAT along the feature axis — the
     per-head-local split-halves packing (``ops.paged_attention.
@@ -59,7 +59,7 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, sel_ref, pool_ref, o_ref,
     un-permutes the output, so the kernel never relayouts. Per-head scales
     still fold through the score matrix: score row h only contracts
     features of h's own kv head g(h), so ``sel @ scale^T`` expands the
-    [BS, H_kv] scales to the [H, BS] score scale exactly (the v-scale fold
+    [H_kv, BS] scales to the [H, BS] score scale exactly (the v-scale fold
     into p is sound for the same reason — acc columns outside g(h)'s
     feature block are discarded by the caller's head extraction).
 
@@ -137,13 +137,13 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, sel_ref, pool_ref, o_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [H, BS]
         if int4:
-            sc = scale_ref[bt_ref[b, jp]]              # [2, BS, H_kv]
+            sc = scale_ref[bt_ref[b, jp]]              # [2, H_kv, BS]
             sel = sel_ref[...]                         # [H, H_kv]
             ks = jax.lax.dot_general(                  # [H, BS]
-                sel, sc[0], (((1,), (1,)), ((), ())),
+                sel, sc[0], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             vs = jax.lax.dot_general(
-                sel, sc[1], (((1,), (1,)), ((), ())),
+                sel, sc[1], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             s = s * ks
         elif scale_ref is not None:
@@ -188,7 +188,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     """q: [B, H, D]; pool: [NB, 2, BS, H_kv*D] (canonical serving layout;
     H_kv*D/2 packed bytes for int4 pools); block_tables: [B, MAXB] int32;
     seq_lens: [B] int32; scales: per-row dequant scales, required for
-    quantized pools — [NB, 2, BS] f32 (int8) or [NB, 2, BS, H_kv] f32
+    quantized pools — [NB, 2, BS] f32 (int8) or [NB, 2, H_kv, BS] f32
     (int4; see ``ops.paged_attention.write_kv``). Returns [B, H, D]."""
     b, h, d = q.shape
     nb, _, bs, pwidth = pool.shape

@@ -62,9 +62,9 @@ def init_pool(config, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
         shape = (config.num_hidden_layers, num_blocks, 2, block_size,
                  width // 2)
         return {"kv": jnp.zeros(shape, dtype=jnp.int8),
-                "scale": jnp.ones(shape[:4]
-                                  + (config.num_key_value_heads,),
-                                  dtype=jnp.float32)}
+                "scale": jnp.ones(
+                    shape[:3] + (config.num_key_value_heads, block_size),
+                    dtype=jnp.float32)}
     shape = (config.num_hidden_layers, num_blocks, 2, block_size, width)
     pool = {"kv": jnp.zeros(shape, dtype=dtype)}
     if dtype == jnp.int8:
@@ -96,7 +96,7 @@ def shard_serving_state(params, pool, mesh: Mesh):
         if pool["scale"].ndim == 5:   # int4: per-head scales shard with
             sharded["scale"] = jax.device_put(   # their heads
                 pool["scale"],
-                NamedSharding(mesh, P(None, None, None, None, "model")))
+                NamedSharding(mesh, P(None, None, None, "model", None)))
         else:                         # int8 sidecar: tiny, replicated
             sharded["scale"] = jax.device_put(
                 pool["scale"], NamedSharding(mesh, P()))
@@ -148,10 +148,10 @@ def _tp_paged_attn(mesh, q, pkv, block_tables, seq_lens, h_kv, scales,
             lambda qL, pkvL, bt, sl: local(qL, pkvL, bt, sl, None),
             mesh=mesh, in_specs=(qs, ps, P(None, None), P(None)),
             out_specs=qs, check_vma=False)(q, pkv, block_tables, seq_lens)
-    # int8 scales [NB, 2, BS] are replicated; int4's [NB, 2, BS, H_kv]
+    # int8 scales [NB, 2, BS] are replicated; int4's [NB, 2, H_kv, BS]
     # shard with their heads (packed width splits on head boundaries by
     # the per-head-local packing — ops.paged_attention.pack_int4_rows)
-    sc_spec = (P(None, None, None, "model") if scales.ndim == 4
+    sc_spec = (P(None, None, "model", None) if scales.ndim == 4
                else P(None, None, None))
     return jax.shard_map(
         local, mesh=mesh,
