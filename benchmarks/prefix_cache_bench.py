@@ -38,15 +38,23 @@ from vyomai_tpu.serving import ContinuousBatchEngine
 
 def bench_prefix_cache(requests: int = 32, shared: int = 960,
                        unique: int = 64, new: int = 32):
-    cfg = vt.QwenConfig(vocab_size=16384, hidden_size=768,
-                        intermediate_size=3072, num_hidden_layers=6,
-                        num_attention_heads=12, num_key_value_heads=4,
-                        head_dim=64, max_position_embeddings=2048,
-                        qk_norm=True, eos_token_id=2)
+    # ~0.9B model (quant/spec-bench config): one full-prompt prefill is
+    # ~6.6 TFLOP of weight matmuls, so the 94% of prefill compute the
+    # radix cache removes is actually visible over this rig's fixed
+    # per-call overheads (a 210M model's prefill is overhead-bound and
+    # measures nothing but dispatch costs)
+    cfg = vt.QwenConfig(vocab_size=32768, hidden_size=2048,
+                        intermediate_size=8192, num_hidden_layers=12,
+                        num_attention_heads=16, num_key_value_heads=4,
+                        head_dim=128, max_position_embeddings=2048,
+                        qk_norm=True, eos_token_id=-1,
+                        tie_word_embeddings=True)
     model = vt.ModelForCausalLM(cfg)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     system = list(rng.integers(5, cfg.vocab_size, size=shared))
+    warm_users = [list(rng.integers(5, cfg.vocab_size, size=unique))
+                  for _ in range(2)]
     users = [list(rng.integers(5, cfg.vocab_size, size=unique))
              for _ in range(requests)]
 
@@ -56,12 +64,16 @@ def bench_prefix_cache(requests: int = 32, shared: int = 960,
             max_blocks_per_seq=64, max_new_tokens=new,
             prefill_buckets=(64, 128, 256, 512, 1024),
             decode_horizon=16, radix_cache=radix)
-        # warm-up request: compiles the buckets AND (radix on) deposits the
-        # shared prefix so measured requests all hit it
-        eng.submit(system + users[0])
+        # warm-up 1: full-prompt bucket (and, radix on, deposits the
+        # shared prefix). warm-up 2: the CACHED-suffix bucket — without it
+        # the radix-on measured window would pay that program's
+        # compile/load while radix-off reuses warm-up 1's (measured: a
+        # 0.3-2s asymmetry on a 210M model, all of it program loading)
+        eng.submit(system + warm_users[0])
         eng.run()
-        # keep warm-up (compile-time TTFT, its uncached prompt) out of the
-        # measured stats
+        eng.submit(system + warm_users[1])
+        eng.run()
+        # keep warm-up (compile-time TTFT, its prompts) out of the stats
         eng._ttft.clear()
         eng.counters["prompt_tokens"] = 0
         eng.counters["cached_prompt_tokens"] = 0
