@@ -9,6 +9,7 @@ cd /root/repo
 files=$(ls tests/test_*.py)
 n=$(echo "$files" | wc -l)
 per=$(( (n + 3) / 4 ))
+rm -f /tmp/shard_*   # stale shards from an interrupted run
 echo "$files" | split -l $per - /tmp/shard_
 rc_all=0
 for s in /tmp/shard_*; do
@@ -20,3 +21,4 @@ for s in /tmp/shard_*; do
 done
 rm -f /tmp/shard_*
 echo "ALL SHARDS rc=$rc_all"
+exit $rc_all

@@ -499,6 +499,20 @@ def test_w8a8_params_structure_and_guard():
         vt.quantize_params(params, bits=4, act_bits=8)
 
 
+def test_w8a8_untied_lm_head_stays_weight_only():
+    # the docstring promises the logits head keeps weight-only dequant;
+    # with tie_word_embeddings=False the head is a plain linear named
+    # "lm_head" and must NOT receive the act_q marker.
+    import dataclasses
+    cfg = dataclasses.replace(QCFG, tie_word_embeddings=False)
+    model = vt.ModelForCausalLM(cfg)
+    params = model.init(jax.random.PRNGKey(2), dtype=jnp.float32)
+    qp = vt.quantize_params(params, act_bits=8)
+    assert "kernel_q" in qp["lm_head"]       # still weight-quantized
+    assert "act_q" not in qp["lm_head"]      # but not W8A8
+    assert "act_q" in qp["layers"]["self_attn"]["q_proj"]
+
+
 def test_w8a8_model_tracks_fp_and_decode_exact():
     """W8A8 apply stays close to fp logits, and cached greedy decode is
     token-exact vs uncached (per-token dynamic scales are batch- and

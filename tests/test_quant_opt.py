@@ -136,3 +136,19 @@ def test_schedule_and_jit():
     p, s = step(p, s)
     assert int(s.count) == 2
     assert np.isfinite(np.asarray(p["w"])).all()
+
+
+def test_schedule_evaluates_at_pre_increment_count():
+    # optax convention: the first step sees schedule(0) (scale_by_schedule
+    # evaluates at the PRE-increment count) — a warmup ramp starting at 0
+    # must produce a ZERO first update, so swapping kind="adamw" for
+    # "adamw8bit" cannot shift the whole LR trajectory by one step.
+    sched = optax.linear_schedule(0.0, 1e-3, 5)
+    opt = adamw8bit(sched, min_size=1)
+    params = {"w": jnp.ones((300,))}
+    s = opt.init(params)
+    u, s = opt.update({"w": jnp.ones((300,)) * 0.5}, s, params)
+    assert float(jnp.abs(u["w"]).max()) == 0.0
+    # second step sees schedule(1) != 0
+    u, s = opt.update({"w": jnp.ones((300,)) * 0.5}, s, params)
+    assert float(jnp.abs(u["w"]).max()) > 0.0

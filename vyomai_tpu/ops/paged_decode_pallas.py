@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.masks import NEG_INF  # canonical masking sentinel
+from .quant_matmul import _unpack_int4  # shared nibble sign-extend idiom
 
 _INTERPRET = False  # set True to run the kernel on CPU (tests/debugging)
 
@@ -124,9 +125,7 @@ def _kernel(bt_ref, len_ref, qexp_ref, scale_ref, sel_ref, pool_ref, o_ref,
         jp = phys(j)
         if int4:
             def unpack(p8):
-                p32 = p8.astype(jnp.int32)
-                lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
-                hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+                lo, hi = _unpack_int4(p8)
                 return jnp.concatenate([lo, hi],
                                        axis=-1).astype(jnp.float32)
             k = unpack(kv_sc[slot, 0])                 # [BS, width] pi order
@@ -259,6 +258,7 @@ def paged_attention_decode_pallas(q, pool, block_tables, seq_lens,
     args = [jnp.where(block_tables < 0, 0, block_tables).astype(jnp.int32),
             seq_lens.astype(jnp.int32), q_exp.astype(q.dtype)]
     if quant:
+        assert scales is not None, "quantized pool needs its scales sidecar"
         args.append(scales.astype(jnp.float32))
     if int4:
         args.append(sel)

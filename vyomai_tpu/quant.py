@@ -141,8 +141,12 @@ def quantize_params(params, *, embed: bool = True,
             return _quantize_moe(node)
         if "kernel" in node and name not in exclude and \
                 node["kernel"].ndim in (2, 3):
+            # the logits head keeps weight-only dequant under W8A8 (the
+            # docstring's accuracy guarantee) — the tied head gets this via
+            # the embedding path; the UNTIED "lm_head" must opt out here.
+            ab = 0 if name == "lm_head" else act_bits
             return _quantize_linear(node, bits=bits, group_size=group_size,
-                                    act_bits=act_bits)
+                                    act_bits=ab)
         if embed and "weight" in node and node["weight"].ndim in (2, 3) \
                 and "bias" not in node and name in _EMBED_NAMES:
             return _quantize_embedding(node)

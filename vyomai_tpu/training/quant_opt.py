@@ -114,7 +114,10 @@ def adamw8bit(learning_rate: Union[float, optax.Schedule] = 1e-4,
         count = state.count + 1
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
-        lr = learning_rate(count) if callable(learning_rate) \
+        # schedules evaluate at the PRE-increment count (optax
+        # scale_by_schedule convention: first step sees schedule(0)), while
+        # the bias corrections use the 1-based step as Adam requires.
+        lr = learning_rate(state.count) if callable(learning_rate) \
             else learning_rate
 
         decay_mask = None
