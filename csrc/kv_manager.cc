@@ -51,6 +51,11 @@ struct Manager {
   std::list<Node*> lru;  // oldest at front
   int idle_radix_blocks = 0;
   std::unordered_map<int64_t, Sequence> seqs;
+  // observability counters (kvm_stats; mirrored in kv_manager.py)
+  int64_t radix_lookups = 0;    // match_prefix calls
+  int64_t radix_hits = 0;       // lookups that matched >= 1 block
+  int64_t radix_hit_blocks = 0; // total blocks served from the cache
+  int64_t radix_evictions = 0;  // blocks reclaimed from the radix tree
 
   explicit Manager(int nb, int bs) : num_blocks(nb), block_size(bs) {
     for (int i = 0; i < nb; ++i) free_blocks.push_back(i);
@@ -98,6 +103,7 @@ struct Manager {
           lru_push(p);
       }
       --idle_radix_blocks;
+      ++radix_evictions;
       return block;
     }
     return -1;
@@ -143,7 +149,27 @@ struct Manager {
     }
     s.num_cached_tokens =
         static_cast<int>(s.cached_nodes.size()) * block_size;
+    ++radix_lookups;
+    if (s.num_cached_tokens > 0) ++radix_hits;
+    radix_hit_blocks += static_cast<int64_t>(s.cached_nodes.size());
     return s.num_cached_tokens;
+  }
+
+  // Longest cached prefix WITHOUT acquiring refs or touching LRU order —
+  // the scheduler's cache-aware-admission probe. Applies the same
+  // never-cover-the-entire-prompt cap as match_prefix.
+  int peek_prefix(const int64_t* prompt, int n) const {
+    const Node* node = &root;
+    int covered = 0;
+    for (int i = 0; i + block_size <= n; i += block_size) {
+      Chunk chunk(prompt + i, prompt + i + block_size);
+      auto it = node->children.find(chunk);
+      if (it == node->children.end()) break;
+      node = it->second.get();
+      covered += block_size;
+    }
+    if (covered >= n) covered -= block_size;
+    return covered;
   }
 
   bool allocate(Sequence& s, int num_tokens) {
@@ -285,6 +311,20 @@ int kvm_num_cached_tokens(void* m, int64_t seq_id) {
   auto* mgr = static_cast<Manager*>(m);
   auto it = mgr->seqs.find(seq_id);
   return it == mgr->seqs.end() ? 0 : it->second.num_cached_tokens;
+}
+
+// Longest cached prefix for a prospective prompt (no side effects).
+int kvm_peek(void* m, const int64_t* prompt, int n) {
+  return static_cast<Manager*>(m)->peek_prefix(prompt, n);
+}
+
+// Observability: out[0..3] = lookups, hits, hit_blocks, evictions.
+void kvm_stats(void* m, int64_t* out) {
+  auto* mgr = static_cast<Manager*>(m);
+  out[0] = mgr->radix_lookups;
+  out[1] = mgr->radix_hits;
+  out[2] = mgr->radix_hit_blocks;
+  out[3] = mgr->radix_evictions;
 }
 
 // Release the sequence's blocks (promoting full blocks into the radix

@@ -9,16 +9,16 @@ cd /root/repo
 files=$(ls tests/test_*.py)
 n=$(echo "$files" | wc -l)
 per=$(( (n + 3) / 4 ))
-rm -f /tmp/shard_*   # stale shards from an interrupted run
-echo "$files" | split -l $per - /tmp/shard_
+d=$(mktemp -d)                 # private shard dir (never glob shared /tmp)
+trap 'rm -rf "$d"' EXIT
+echo "$files" | split -l $per - "$d/shard_"
 rc_all=0
-for s in /tmp/shard_*; do
+for s in "$d"/shard_*; do
   echo "=== shard $s: $(tr '\n' ' ' < $s)"
   timeout 2400 python -m pytest $(cat $s) -q 2>&1 | tail -3
   rc=${PIPESTATUS[0]}   # pytest's status, not tail's
   echo "shard rc=$rc"
   [ $rc -ne 0 ] && rc_all=$rc
 done
-rm -f /tmp/shard_*
 echo "ALL SHARDS rc=$rc_all"
 exit $rc_all

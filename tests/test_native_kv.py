@@ -77,6 +77,11 @@ def test_native_matches_python_on_random_workload():
                 py.free(s1)
                 cc.free(s2)
             assert py.num_free() == cc.num_free(), (trial, step)
+            if step % 25 == 0:     # peek + counters agree along the way
+                probe = [random.randrange(5)
+                         for _ in range(random.randrange(3, 14))]
+                assert py.peek_prefix(probe) == cc.peek_prefix(probe)
+                assert py.cache_stats() == cc.cache_stats(), (trial, step)
         for sid in list(live):
             s1, s2 = live.pop(sid)
             py.free(s1)
@@ -95,6 +100,28 @@ def test_native_free_never_promotes_unwritten_final_token_block():
     kv.free(s)
     probe = SequenceState(1, list(range(8)) + [99])
     assert kv.match_prefix(probe) == 4  # only the fully-written block
+
+
+def test_native_peek_and_stats():
+    """peek_prefix returns the match length WITHOUT acquiring refs (a
+    subsequent real match still works, num_free is untouched), and
+    kvm_stats mirrors the Python counters."""
+    kv = native.NativeKVManager(8, 4)
+    s = SequenceState(0, list(range(9)))
+    kv.match_prefix(s)
+    kv.allocate(s, 9)
+    kv.free(s)
+    free0 = kv.num_free()
+    assert kv.peek_prefix(list(range(8)) + [99]) == 8
+    assert kv.peek_prefix(list(range(8))) == 4   # whole-prompt cap
+    assert kv.peek_prefix([77, 78, 79, 80]) == 0
+    assert kv.num_free() == free0                # no side effects
+    st = kv.cache_stats()
+    assert st["radix_lookups"] == 1 and st["radix_hits"] == 0
+    probe = SequenceState(1, list(range(8)) + [99])
+    assert kv.match_prefix(probe) == 8           # peek didn't pin/corrupt
+    st = kv.cache_stats()
+    assert st["radix_hits"] == 1 and st["radix_hit_blocks"] == 2
 
 
 def test_native_failed_allocate_preserves_radix_cache():

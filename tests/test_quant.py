@@ -513,6 +513,25 @@ def test_w8a8_untied_lm_head_stays_weight_only():
     assert "act_q" in qp["layers"]["self_attn"]["q_proj"]
 
 
+def test_w8a8_nested_lm_head_decoder_stays_weight_only():
+    """The classic DecoderModel nests its vocab projection as
+    lm_head/decoder (models/encoder.py lm_head_init); under act_bits=8
+    that inner linear must also keep weight-only dequant (ADVICE r3)."""
+    cfg = vt.EncoderConfig(hidden_size=64, num_attention_heads=4,
+                           num_key_value_heads=2, num_hidden_layers=2,
+                           vocab_size=128, max_position_embeddings=64,
+                           intermediate_size=256, hidden_dropout_prob=0.0)
+    model = vt.DecoderModel(cfg, pos_embedding_type="rope",
+                            attention_type="gqa")
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    qp = vt.quantize_params(params, act_bits=8)
+    head = qp["lm_head"]["decoder"]
+    assert "kernel_q" in head                # still weight-quantized
+    assert "act_q" not in head               # but not W8A8
+    # ordinary linears still get the W8A8 marker:
+    assert "act_q" in qp["layers"]["attention"]["query"]
+
+
 def test_w8a8_model_tracks_fp_and_decode_exact():
     """W8A8 apply stays close to fp logits, and cached greedy decode is
     token-exact vs uncached (per-token dynamic scales are batch- and

@@ -134,7 +134,7 @@ def quantize_params(params, *, embed: bool = True,
     assert not (act_bits == 8 and bits == 4), \
         "W8A8 needs unpacked int8 kernels (bits=8) for the int8 MXU path"
 
-    def walk(node, name=""):
+    def walk(node, name="", parent=""):
         if not isinstance(node, dict):
             return node
         if "w_in" in node and "w_out" in node:      # MoE expert bank
@@ -144,13 +144,18 @@ def quantize_params(params, *, embed: bool = True,
             # the logits head keeps weight-only dequant under W8A8 (the
             # docstring's accuracy guarantee) — the tied head gets this via
             # the embedding path; the UNTIED "lm_head" must opt out here.
-            ab = 0 if name == "lm_head" else act_bits
+            # Both untied layouts exist: a flat {"lm_head": {"kernel"}}
+            # (models/qwen.py) and the nested {"lm_head": {"decoder":
+            # {"kernel"}}} of models/encoder.py's lm_head_init.
+            head = name == "lm_head" or \
+                (parent == "lm_head" and name == "decoder")
+            ab = 0 if head else act_bits
             return _quantize_linear(node, bits=bits, group_size=group_size,
                                     act_bits=ab)
         if embed and "weight" in node and node["weight"].ndim in (2, 3) \
                 and "bias" not in node and name in _EMBED_NAMES:
             return _quantize_embedding(node)
-        return {k: walk(v, k) for k, v in node.items()}
+        return {k: walk(v, k, name) for k, v in node.items()}
 
     return walk(params)
 

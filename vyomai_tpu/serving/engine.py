@@ -110,7 +110,9 @@ class ContinuousBatchEngine:
                  ngram_speculation: bool = False, medusa_params=None,
                  fsms=None,
                  loras=None, return_logprobs: bool = False,
-                 position_offset: int = 0, radix_cache: bool = True):
+                 position_offset: int = 0, radix_cache: bool = True,
+                 max_prefill_per_tick: Optional[int] = None,
+                 cache_aware_admission: bool = False):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -240,6 +242,19 @@ class ContinuousBatchEngine:
         self.decode_horizon = max(1, decode_horizon)
         # admissions prefilled per device call (padded, recompile-free)
         self.prefill_group = max(1, prefill_group)
+        # prefill GROUP CALLS per scheduler tick while decodes are live
+        # (None = drain all before decoding, the legacy policy; a small cap
+        # bounds running sequences' inter-token latency under an arrival
+        # burst — each tick then does <= cap prefill dispatches before the
+        # decode dispatch). When no sequence is decoding, prefills always
+        # drain freely (nobody is starving).
+        self.max_prefill_per_tick = (None if max_prefill_per_tick is None
+                                     else max(1, max_prefill_per_tick))
+        # prefer waiting requests with the longest cached prefix (radix
+        # peek, no side effects); FIFO tiebreak, with an anti-starvation
+        # cap on how many times one request can be passed over
+        self.cache_aware_admission = bool(cache_aware_admission)
+        self._admission_skip_cap = 8
         # sampling (greedy when do_sample=False — the reference's choice)
         self.do_sample = do_sample
         self.temperature = float(temperature)
@@ -735,6 +750,8 @@ class ContinuousBatchEngine:
         generated token), ``cache_hit_rate`` (prompt tokens served from the
         radix cache), and ``tokens_per_s`` since engine construction."""
         out = dict(self.counters)
+        if hasattr(self.kv, "cache_stats"):
+            out.update(self.kv.cache_stats())   # radix hit/miss/evict
         out["ttft_mean_s"] = (sum(self._ttft) / len(self._ttft)
                               if self._ttft else 0.0)
         out["ttft_max_s"] = max(self._ttft, default=0.0)
@@ -802,9 +819,43 @@ class ContinuousBatchEngine:
             emitted.pop(sid, None)
 
     # -- scheduling -------------------------------------------------------------
+    def _select_admission(self):
+        """Rotate the next admission candidate to the head of ``waiting``.
+        FIFO by default; with ``cache_aware_admission`` the waiting request
+        with the longest cached prefix (radix peek, no side effects) goes
+        first — its prefill is cheaper AND its blocks are shared, so
+        admitting it under a tight pool frees more capacity per admission.
+        FIFO tiebreak; a request passed over ``_admission_skip_cap`` times
+        is admitted next regardless (no starvation)."""
+        if not self.cache_aware_admission or len(self.waiting) <= 1 or \
+                not hasattr(self.kv, "peek_prefix"):
+            return
+        best_i, best_cov = 0, -1
+        for i, s in enumerate(self.waiting):
+            if getattr(s, "admission_skips", 0) >= self._admission_skip_cap:
+                best_i = i
+                break
+            if getattr(s, "no_radix", False):
+                cov = 0
+            else:
+                cov = self.kv.peek_prefix(s.tokens[:s.prefill_len],
+                                          s.cache_salt)
+            if cov > best_cov:
+                best_i, best_cov = i, cov
+        if best_i:
+            for i, s in enumerate(self.waiting):
+                if i != best_i:
+                    s.admission_skips = getattr(s, "admission_skips", 0) + 1
+                if i == best_i:
+                    break
+            chosen = self.waiting[best_i]
+            del self.waiting[best_i]
+            self.waiting.appendleft(chosen)
+
     def _try_admit(self):
         while self.waiting and len(self.active) + len(self.needs_prefill) \
                 < self.max_batch:
+            self._select_admission()
             state = self.waiting[0]
             budget = len(state.tokens) + 1  # room for the first new token
             if self.kv.blocks_needed(budget) > self.max_blocks_per_seq:
@@ -1398,17 +1449,28 @@ class ContinuousBatchEngine:
         del self._families[fam_id]
 
     def step(self):
-        """One scheduler tick: admit -> drain prefills -> decode batch.
+        """One scheduler tick: admit -> prefill -> decode batch.
 
-        Prefills drain fully before decoding so horizon-decode batches run
-        at full occupancy (a decode tick costs the same regardless of how
-        many lanes are live)."""
+        By default prefills drain fully before decoding so horizon-decode
+        batches run at full occupancy (a decode tick costs the same
+        regardless of how many lanes are live). ``max_prefill_per_tick``
+        caps the prefill group calls per tick once sequences are decoding
+        — bounding running sequences' inter-token stall under an arrival
+        burst to ~cap prefill dispatches (the mixed-step role of the
+        reference's ``_prepare_inference_data``, ``simple_vllm.ipynb``
+        nb lines 705-738, done the static-shape way: bounded interleave
+        rather than one ragged fused dispatch)."""
         self._try_admit()
+        groups_done = 0
         while self.needs_prefill:
+            if (self.max_prefill_per_tick is not None and self.active
+                    and groups_done >= self.max_prefill_per_tick):
+                break  # decode now; remaining prefills ride later ticks
             group = []
             while self.needs_prefill and len(group) < self.prefill_group:
                 group.append(self.needs_prefill.popleft())
             self._prefill_group_call(group)
+            groups_done += 1
             self._try_admit()
         if self.draft_model is not None:
             self._spec_decode_batch()

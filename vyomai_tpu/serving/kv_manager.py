@@ -88,6 +88,18 @@ class PagedKVManager:
         # radix blocks with refcount 0 (leaves AND interior nodes) — all are
         # reclaimable, interior ones transitively after their leaves
         self._idle_radix_blocks = 0
+        # observability counters (mirrored in csrc/kv_manager.cc kvm_stats)
+        self.radix_lookups = 0     # match_prefix calls
+        self.radix_hits = 0        # lookups that matched >= 1 block
+        self.radix_hit_blocks = 0  # total blocks served from the cache
+        self.radix_evictions = 0   # blocks reclaimed from the radix tree
+
+    def cache_stats(self) -> dict:
+        """Radix-cache counters for ``engine.metrics()``."""
+        return {"radix_lookups": self.radix_lookups,
+                "radix_hits": self.radix_hits,
+                "radix_hit_blocks": self.radix_hit_blocks,
+                "radix_evictions": self.radix_evictions}
 
     # -- capacity -----------------------------------------------------------
     def num_free(self) -> int:
@@ -100,7 +112,8 @@ class PagedKVManager:
     def match_prefix(self, state: SequenceState) -> int:
         """Attach the longest cached whole-block prefix to ``state``.
         Returns the number of prompt tokens covered."""
-        if getattr(state, "no_radix", False):
+        self.radix_lookups += 1   # no_radix counts as a (missed) lookup,
+        if getattr(state, "no_radix", False):   # matching the native path
             state.num_cached_tokens = 0
             return 0
         node = self.radix_root
@@ -121,7 +134,26 @@ class PagedKVManager:
             self._release(last)
             state.block_table.pop()
         state.num_cached_tokens = len(state.cached_nodes) * self.block_size
+        if state.num_cached_tokens > 0:
+            self.radix_hits += 1
+        self.radix_hit_blocks += len(state.cached_nodes)
         return state.num_cached_tokens
+
+    def peek_prefix(self, tokens: Sequence[int], salt: int = 0) -> int:
+        """Longest cached prefix for a prospective prompt WITHOUT acquiring
+        refs or touching LRU order — the scheduler's cache-aware-admission
+        probe. Same never-cover-the-entire-prompt cap as ``match_prefix``."""
+        node = self.radix_root
+        covered = 0
+        for chunk in _chunks(tokens, self.block_size, salt):
+            child = node.children.get(chunk)
+            if child is None:
+                break
+            node = child
+            covered += self.block_size
+        if covered >= len(tokens):
+            covered -= self.block_size
+        return covered
 
     def _acquire(self, node: RadixNode):
         if node.refcount == 0:
@@ -150,6 +182,7 @@ class PagedKVManager:
                         and not p.children:
                     self.evictable[p.block] = p
             self._idle_radix_blocks -= 1
+            self.radix_evictions += 1
             return block
         return None
 

@@ -68,6 +68,11 @@ def _load():
     lib.kvm_num_cached_tokens.restype = ctypes.c_int
     lib.kvm_num_cached_tokens.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.kvm_free.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int]
+    lib.kvm_peek.restype = ctypes.c_int
+    lib.kvm_peek.argtypes = [ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+    lib.kvm_stats.argtypes = [ctypes.c_void_p,
+                              ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return lib
 
@@ -125,6 +130,21 @@ class NativeKVManager:
         state.num_cached_tokens = covered
         self._sync_table(state)
         return covered
+
+    def peek_prefix(self, tokens, salt: int = 0) -> int:
+        """Longest cached prefix for a prospective prompt (no side
+        effects) — the scheduler's cache-aware-admission probe."""
+        arr = np.asarray(tokens, dtype=np.int64) + salt
+        return self._lib.kvm_peek(
+            self._h, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(arr))
+
+    def cache_stats(self) -> dict:
+        buf = (ctypes.c_int64 * 4)()
+        self._lib.kvm_stats(self._h, buf)
+        return {"radix_lookups": int(buf[0]), "radix_hits": int(buf[1]),
+                "radix_hit_blocks": int(buf[2]),
+                "radix_evictions": int(buf[3])}
 
     def allocate(self, state: SequenceState, num_tokens: int) -> bool:
         if state.seq_id not in self._registered:
