@@ -49,10 +49,11 @@ BATCH, SEQ = 4, 2048
 STEPS = 10
 
 
-def _build(optimizer: str = "adamw"):
+def _build(optimizer: str = "adamw", remat="full"):
     set_sdpa_impl("flash")
     model = vt.DecoderModel(CFG, pos_embedding_type="rope",
-                            attention_type="gqa", remat=True)
+                            attention_type="gqa",
+                            remat=True if remat == "full" else remat)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
 
     def loss_fn(p, batch, rng):
@@ -73,8 +74,9 @@ def _build(optimizer: str = "adamw"):
     return step, state, n_params
 
 
-def bench_mfu_wide(batch: int = BATCH, optimizer: str = "adamw") -> dict:
-    step, state, n_params = _build(optimizer)
+def bench_mfu_wide(batch: int = BATCH, optimizer: str = "adamw",
+                   remat: str = "full") -> dict:
+    step, state, n_params = _build(optimizer, remat)
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, SEQ), 0,
                              CFG.vocab_size, dtype=jnp.int32)
     data = {"ids": ids, "mask": jnp.ones_like(ids)}
@@ -93,7 +95,7 @@ def bench_mfu_wide(batch: int = BATCH, optimizer: str = "adamw") -> dict:
     set_sdpa_impl("auto")
     return {"tokens_per_sec": round(tok_s, 1), "mfu": round(mfu, 4),
             "n_params": n_params, "batch": batch, "seq": SEQ,
-            "optimizer": optimizer,
+            "optimizer": optimizer, "remat": remat,
             "layers": CFG.num_hidden_layers, "hidden": CFG.hidden_size}
 
 
@@ -105,6 +107,11 @@ if __name__ == "__main__":
                     help="adamw | adamw8bit (int8 moments cut the Adam "
                          "step's HBM traffic 4x and free ~6 GB at this "
                          "size) | muon")
+    ap.add_argument("--remat", default="full", choices=["full", "dots"],
+                    help="full = recompute every layer matmul in backward "
+                         "(75%% delivered-MFU ceiling); dots = save matmul "
+                         "outputs, recompute elementwise only")
     args = ap.parse_args()
-    r = bench_mfu_wide(batch=args.batch, optimizer=args.optimizer)
+    r = bench_mfu_wide(batch=args.batch, optimizer=args.optimizer,
+                       remat=args.remat)
     print(json.dumps({"metric": "train_mfu_wide", **r}))

@@ -1,0 +1,176 @@
+"""Serving latency under an OPEN-LOOP arrival process (VERDICT r3 #2).
+
+Closed-batch benches (prefix_cache_bench, serving_features_bench) can hide
+the drain-all-prefills scheduling cliff entirely: with continuous arrivals
+the legacy policy lets running sequences stall unboundedly while a burst of
+prompts prefills. This bench drives the engine with Poisson arrivals at
+2-3 load points and reports, per policy (drain-all vs
+``max_prefill_per_tick=1``):
+
+- TTFT p50 / p99 (submit -> first generated token, wall clock),
+- TPOT  (per-sequence mean inter-token time),
+- STALL p99 (per-sequence MAX gap between consecutive token emissions —
+  the starvation metric the cap exists to bound),
+- throughput (generated tokens / wall second),
+
+Token emission timestamps are taken from ``len(state.tokens)`` growth
+after each ``engine.step()`` — horizon decode emits in bursts, so the
+stall metric is the max burst-to-burst gap. The scheduling comparison is
+apples-to-apples: same arrival seed, same prompts, token-exact outputs
+(asserted by tests/test_scheduling.py).
+
+Run on the chip: python benchmarks/serving_latency_bench.py
+  [--rate 8 16] [--requests 64] [--new-tokens 64] [--cap 1]
+
+Matches the mixed prefill+decode step role of the reference
+(`/root/reference/Examples/simple_vllm.ipynb` ``_prepare_inference_data``,
+nb lines 705-738) measured the way a serving system is actually judged.
+"""
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import vyomai_tpu as vt
+from vyomai_tpu.serving import ContinuousBatchEngine
+
+# ~200M-param target: big enough that prefill cost is real, small enough
+# that engine warm-up compiles in minutes not tens of minutes.
+CFG = vt.QwenConfig(vocab_size=32768, hidden_size=1024,
+                    intermediate_size=4096, num_hidden_layers=12,
+                    num_attention_heads=16, num_key_value_heads=8,
+                    head_dim=64, max_position_embeddings=2048,
+                    eos_token_id=2, tie_word_embeddings=True)
+
+
+def _build_engine(cap, new_tokens):
+    model = vt.ModelForCausalLM(CFG)
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    return ContinuousBatchEngine(
+        model, params, num_blocks=2048, block_size=16, max_batch=32,
+        max_blocks_per_seq=64, max_new_tokens=new_tokens,
+        dtype=jnp.bfloat16, prefill_buckets=(128, 256, 512),
+        decode_horizon=8, prefill_group=4,
+        max_prefill_per_tick=cap)
+
+
+def _prompts(n, rng):
+    # mixed lengths 64..448: long prefills are what cause decode stalls
+    return [list(rng.integers(10, CFG.vocab_size - 10,
+                              size=int(rng.integers(64, 448))))
+            for _ in range(n)]
+
+
+def run_load(eng, prompts, arrivals, new_tokens):
+    """Open-loop: requests become visible at their arrival time regardless
+    of engine progress. Returns per-request emission timelines."""
+    t0 = time.perf_counter()
+    submit_t, first_t, emit_times, done = {}, {}, {}, set()
+    pending = list(zip(arrivals, prompts))
+    pending.sort(key=lambda p: p[0])
+    n_emitted = {}
+    while len(done) < len(prompts):
+        now = time.perf_counter() - t0
+        while pending and pending[0][0] <= now:
+            _, pr = pending.pop(0)
+            sid = eng.submit(pr, ignore_eos=True)
+            submit_t[sid] = time.perf_counter() - t0
+            emit_times[sid] = []
+            n_emitted[sid] = 0
+        if not (eng.waiting or eng.active or eng.needs_prefill):
+            if pending:   # idle until the next arrival
+                time.sleep(max(0.0, pending[0][0] - now))
+                continue
+            break
+        eng.step()
+        now = time.perf_counter() - t0
+        for sid, s in list(eng.active.items()) + list(eng.finished.items()):
+            if sid not in submit_t:
+                continue
+            new = len(s.tokens) - s.prompt_len
+            if new > n_emitted[sid]:
+                if n_emitted[sid] == 0:
+                    first_t[sid] = now
+                emit_times[sid].append((now, new))
+                n_emitted[sid] = new
+        for sid in list(eng.finished):
+            if sid in submit_t:
+                done.add(sid)
+    wall = time.perf_counter() - t0
+    return submit_t, first_t, emit_times, wall
+
+
+def summarize(submit_t, first_t, emit_times, wall, new_tokens):
+    ttft = np.array([first_t[s] - submit_t[s] for s in first_t])
+    tpot, stall = [], []
+    for sid, ev in emit_times.items():
+        if len(ev) < 2:
+            continue
+        times = [t for t, _ in ev]
+        toks = [n for _, n in ev]
+        tpot.append((times[-1] - times[0]) / max(1, toks[-1] - toks[0]))
+        stall.append(max(b - a for a, b in zip(times, times[1:])))
+    total_tokens = sum(n for _, n in
+                       (ev[-1] for ev in emit_times.values() if ev))
+    pct = lambda a, p: float(np.percentile(np.array(a), p)) if len(a) else 0.0
+    return {
+        "ttft_p50_s": round(pct(ttft, 50), 4),
+        "ttft_p99_s": round(pct(ttft, 99), 4),
+        "tpot_mean_ms": round(1e3 * float(np.mean(tpot)) if tpot else 0.0, 2),
+        "stall_p50_ms": round(1e3 * pct(stall, 50), 1),
+        "stall_p99_ms": round(1e3 * pct(stall, 99), 1),
+        "tokens_per_s": round(total_tokens / wall, 1),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rate", type=float, nargs="+", default=[4.0, 12.0],
+                    help="Poisson arrival rates (req/s)")
+    ap.add_argument("--requests", type=int, default=64)
+    ap.add_argument("--new-tokens", type=int, default=64)
+    ap.add_argument("--cap", type=int, default=1,
+                    help="max_prefill_per_tick for the capped policy")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    prompts = _prompts(args.requests, rng)
+    records = []
+    for cap in (None, args.cap):
+        eng = _build_engine(cap, args.new_tokens)
+        # warm EVERY prefill bucket + the decode program so no compile
+        # lands inside the measured window
+        for ln in (100, 250, 448):
+            eng.submit(prompts[0][:ln] if len(prompts[0]) >= ln
+                       else list(range(10, 10 + ln)),
+                       max_new_tokens=8, ignore_eos=True)
+        eng.run()
+        for rate in args.rate:
+            arr_rng = np.random.default_rng(7)   # same arrivals per policy
+            arrivals = np.cumsum(arr_rng.exponential(1.0 / rate,
+                                                     size=args.requests))
+            out = run_load(eng, prompts, arrivals, args.new_tokens)
+            rec = {"metric": "serving_latency",
+                   "policy": ("drain_all" if cap is None
+                              else f"cap{args.cap}"),
+                   "rate_req_s": rate,
+                   **summarize(*out, args.new_tokens)}
+            print(json.dumps(rec), flush=True)
+            records.append(rec)
+    return records
+
+
+if __name__ == "__main__":
+    main()

@@ -259,12 +259,39 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
         def one_pass(label):
             for p in prompts:
                 eng.submit(list(p))
+            c0 = dict(eng.counters)
             t0 = time.perf_counter()
-            out = eng.run()
+            ticks = []
+            while eng.waiting or eng.active or eng.needs_prefill:
+                t1 = time.perf_counter()
+                eng.step()
+                ticks.append(time.perf_counter() - t1)
+            out = {sid: s.tokens[s.prompt_len:]
+                   for sid, s in eng.finished.items()}
+            eng.finished.clear()
             dt = time.perf_counter() - t0
             n = sum(len(v) for v in out.values())
             print(f"[phase] {tag}-{label} done: {n} tokens in {dt:.1f}s",
                   flush=True)
+            if label == "timed":
+                # per-tick attribution: where does the wall time go?
+                c1 = eng.counters
+                dticks = c1["decode_ticks"] - c0.get("decode_ticks", 0)
+                sticks = c1["spec_ticks"] - c0.get("spec_ticks", 0)
+                pcalls = c1["prefill_calls"] - c0.get("prefill_calls", 0)
+                ticks_sorted = sorted(ticks)
+                print(json.dumps({
+                    "metric": "spec_tick_profile", "mode": tag,
+                    "n_ticks": len(ticks),
+                    "tick_mean_ms": round(1e3 * sum(ticks) / len(ticks), 1),
+                    "tick_p50_ms": round(
+                        1e3 * ticks_sorted[len(ticks) // 2], 1),
+                    "tick_max_ms": round(1e3 * ticks_sorted[-1], 1),
+                    "decode_ticks": dticks, "spec_ticks": sticks,
+                    "prefill_calls": pcalls,
+                    "tokens": n, "wall_s": round(dt, 2),
+                    "tok_per_tick": round(n / max(1, len(ticks)), 1),
+                }), flush=True)
             return n / dt, out
 
         one_pass("warm")

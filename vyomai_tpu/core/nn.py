@@ -120,12 +120,23 @@ def linear(p, x):
     return y
 
 
-def embedding(p, ids):
+def embedding(p, ids, pad_idx: Optional[int] = None):
+    """Row lookup. ``pad_idx`` replicates torch
+    ``nn.Embedding(padding_idx=...)`` TRAINING semantics (reference
+    ``models/encoder.py:104``, ``models/decoder.py:292``,
+    ``custom_transformer.py:394``): the pad row's gradient is structurally
+    zero. Implemented on the lookup side — contributions from positions
+    where ``ids == pad_idx`` are detached — so no per-step scatter over the
+    whole table is needed (forward values are unchanged)."""
     if "weight_q" in p:  # int8 rows: gather then exact per-row dequant
         rows = jnp.take(p["weight_q"], ids, axis=0).astype(jnp.float32)
         rows = rows * jnp.take(p["scale"], ids, axis=0)[..., None]
         return rows.astype(p["out_dtype"].dtype)
-    return jnp.take(p["weight"], ids, axis=0)
+    rows = jnp.take(p["weight"], ids, axis=0)
+    if pad_idx is not None:
+        rows = jnp.where((ids == pad_idx)[..., None],
+                         jax.lax.stop_gradient(rows), rows)
+    return rows
 
 
 def embedding_dtype(p):
@@ -145,10 +156,34 @@ def tied_lm_head(embed_p, hidden):
     return hidden @ embed_p["weight"].T.astype(hidden.dtype)
 
 
+def remat_wrap(body, remat):
+    """Wrap a scan body per the remat setting.
+
+    - ``False``/``None``: no rematerialization.
+    - ``True`` / ``"full"``: ``jax.checkpoint`` — O(1)-in-depth activation
+      memory, but the backward RE-RUNS every layer matmul (+fwd FLOPs on
+      top of the 3x train step = a hard 75% delivered-MFU ceiling; measured
+      in benchmarks/mfu_profile.py).
+    - ``"dots"``: ``checkpoint_policies.dots_with_no_batch_dims_saveable``
+      — projection/FFN outputs are SAVED (no matmul recompute), only
+      cheap elementwise/norm work and the batched attention einsums
+      rematerialize. Costs ~per-layer matmul-output activations of HBM;
+      the right default whenever they fit.
+    """
+    if not remat:
+        return body
+    if remat == "dots":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(body)
+
+
 def layer_norm(p, x, eps: float = 1e-5):
     # Reduce in fp32 for bf16 inputs, cast back — matches torch numerics.
+    # fp64 inputs keep fp64 (x64 parity runs must not floor at fp32 noise).
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    x32 = x.astype(jnp.promote_types(dtype, jnp.float32))
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
@@ -159,10 +194,11 @@ def rms_norm(p, x, eps: float = 1e-6, *, plus_one: bool = False):
     """RMSNorm. ``plus_one=True`` selects Gemma's ``x * (1 + w)`` form
     (reference ``paligemma.ipynb`` GemmaRMSNorm)."""
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    acc = jnp.promote_types(dtype, jnp.float32)
+    x32 = x.astype(acc)
     var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
     y = x32 * jax.lax.rsqrt(var + eps)
-    w = p["weight"].astype(jnp.float32)
+    w = p["weight"].astype(acc)
     if plus_one:
         y = y * (1.0 + w)
     else:
@@ -170,8 +206,58 @@ def rms_norm(p, x, eps: float = 1e-6, *, plus_one: bool = False):
     return y.astype(dtype)
 
 
+_GELU_C1, _GELU_C3, _GELU_C5 = 1.12814338, 0.10408119, -0.00178648
+
+
+def _gelu_fast_fwd_math(x):
+    xf = x.astype(jnp.float32)
+    u = xf * (2 ** -0.5)
+    u2 = u * u
+    t = jnp.tanh(u * (_GELU_C1 + u2 * (_GELU_C3 + _GELU_C5 * u2)))
+    return (0.5 * xf * (1.0 + t)).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _gelu_bf16_fast(x):
+    return _gelu_fast_fwd_math(x)
+
+
+def _gelu_fast_fwd(x):
+    # residual = the bf16 INPUT only (the erf path's memory footprint);
+    # letting autodiff trace the fp32 intermediates instead saved fp32
+    # activations per FFN and OOM'd bench.py's naive comparator
+    return _gelu_fast_fwd_math(x), (x,)
+
+
+def _gelu_fast_bwd(res, g):
+    (x,) = res
+    xf = x.astype(jnp.float32)
+    u = xf * (2 ** -0.5)
+    u2 = u * u
+    t = jnp.tanh(u * (_GELU_C1 + u2 * (_GELU_C3 + _GELU_C5 * u2)))
+    dP = _GELU_C1 + u2 * (3 * _GELU_C3 + 5 * _GELU_C5 * u2)
+    dy = 0.5 * (1.0 + t) + 0.5 * xf * (1.0 - t * t) * dP * (2 ** -0.5)
+    return ((g.astype(jnp.float32) * dy).astype(x.dtype),)
+
+
+_gelu_bf16_fast.defvjp(_gelu_fast_fwd, _gelu_fast_bwd)
+
+
 def gelu(x):
-    """Exact (erf) GELU — matches ``torch.nn.GELU()`` default."""
+    """Exact (erf) GELU — matches ``torch.nn.GELU()`` default.
+
+    bf16 fast path: erf evaluated via a fitted odd tanh-polynomial
+    (``erf(u) ~ tanh(u(c1 + u^2(c3 + c5 u^2)))``, max |gelu error|
+    5.4e-5 — ~70x below bf16's ulp at 1.0, so outputs differ from the
+    true-erf form by at most 1 bf16 ulp). Why: XLA:TPU's erf expansion
+    does not fuse into matmul epilogues (measured +760 us/layer on a
+    ViT-base FFN, 47% over the pure matmul — benchmarks/vit_profile.py
+    r4) while tanh is VPU-hardware-fast and fuses to ~zero cost. The
+    custom VJP keeps only the bf16 input as residual (the erf path's
+    memory footprint). fp32/fp64 inputs keep the true erf (all parity
+    tests run there)."""
+    if x.dtype == jnp.bfloat16:
+        return _gelu_bf16_fast(x)
     return jax.nn.gelu(x, approximate=False)
 
 

@@ -19,6 +19,7 @@ dispatches to the Pallas flash-attention kernel on TPU when shapes allow and
 falls back to a pure-XLA einsum path otherwise.
 """
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -27,7 +28,8 @@ import jax.numpy as jnp
 from ..core import nn as cnn
 from .positional import apply_rotary_pos_emb
 
-# Global switch for the fused attention backend ("xla" | "flash").
+# Global switch for the fused attention backend
+# ("auto" | "xla" | "flash" | "short").
 _SDPA_IMPL = "auto"
 
 from ..core.masks import NEG_INF as NEG_INF_F  # canonical sentinel
@@ -35,7 +37,7 @@ from ..core.masks import NEG_INF as NEG_INF_F  # canonical sentinel
 
 def set_sdpa_impl(impl: str) -> None:
     global _SDPA_IMPL
-    assert impl in ("auto", "xla", "flash")
+    assert impl in ("auto", "xla", "flash", "short")
     _SDPA_IMPL = impl
 
 
@@ -54,6 +56,15 @@ def _flash_shapes_ok(q, k, mask) -> bool:
     try:
         from ..ops import flash_attention as fa
         return fa.supported_shapes(q, k, mask)
+    except Exception:
+        return False
+
+
+def _short_shapes_ok(q, k, mask, causal, window, segments) -> bool:
+    try:
+        from ..ops import short_attention as sa
+        return sa.supported(q, k, mask, causal=causal, window=window,
+                            segments=segments)
     except Exception:
         return False
 
@@ -106,6 +117,17 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None,
             args += (mask,)
         return jax.lax.platform_dependent(*args, tpu=flash_path,
                                           default=xla_path)
+    if impl == "auto" and _short_shapes_ok(q, k, mask, causal, window,
+                                           segments):
+        # ViT-class short bidirectional shapes: VMEM-resident full-softmax
+        # kernel (scores never touch HBM) — see ops/short_attention.py
+        from ..ops import short_attention as sa
+        return jax.lax.platform_dependent(
+            q, k, v, tpu=sa.short_attention,
+            default=lambda qq, kk, vv: _sdpa_xla(qq, kk, vv))
+    if impl == "short":
+        from ..ops import short_attention as sa
+        return sa.short_attention(q, k, v)
     if impl == "flash":
         from ..ops import flash_attention as fa
         return fa.flash_attention_bias(q, k, v, mask, causal=causal,
@@ -117,8 +139,11 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None,
 def _sdpa_xla(q, k, v, mask=None, *, causal: bool = False, window=None,
               segments=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
+    # fp32 accumulation for <=fp32 inputs; fp64 inputs KEEP fp64 scores so
+    # x64 parity runs (test_grad_parity) aren't floored at fp32 noise
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=acc) * scale
     if mask is not None:
         scores = scores + mask.astype(scores.dtype)
     if segments is not None:
@@ -244,9 +269,38 @@ def project_qkv(p, hidden, config, kind: str):
 # Encoder / vision self-attention (bidirectional)
 # ---------------------------------------------------------------------------
 
+def _packed_vision_ctx(qkv, nh):
+    """XLA fallback for the packed short-attention path: unpack to
+    [B, H, L, D], einsum attention, merge back to [B, L, H*D]."""
+    b, l, w = qkv.shape
+    hd = w // (3 * nh)
+    x5 = qkv.reshape(b, l, 3, nh, hd).transpose(0, 2, 3, 1, 4)
+    out = _sdpa_xla(x5[:, 0], x5[:, 1], x5[:, 2])
+    return _merge_heads(out)
+
+
 def encoder_attention_apply(p, hidden, attention_mask, config, *,
                             kind: str = "mha", freqs=None,
                             deterministic=True, rng=None):
+    if kind == "vision" and attention_mask is None and freqs is None \
+            and _SDPA_IMPL in ("auto", "short"):
+        # ViT-class fast path: the fused qkv projection output feeds the
+        # packed short-attention kernel DIRECTLY (heads as lane ranges) —
+        # no [B,H,L,D] transposes materialize in HBM on either side
+        # (ops/short_attention.py; benchmarks/vit_profile.py for why)
+        from ..ops import short_attention as sa
+        nh = config.num_attention_heads
+        qkv = cnn.linear(p["qkv"], hidden)
+        if sa.supported_packed(qkv, nh):
+            if _SDPA_IMPL == "short":   # forced (incl. interpret tests)
+                ctx = sa.short_attention_qkv(qkv, nh)
+            else:
+                ctx = jax.lax.platform_dependent(
+                    qkv,
+                    tpu=functools.partial(sa.short_attention_qkv, nh=nh),
+                    default=functools.partial(_packed_vision_ctx, nh=nh))
+            return self_output_apply(p["out"], ctx, hidden, config,
+                                     deterministic=deterministic, rng=rng)
     q, k, v = project_qkv(p, hidden, config, kind)
     if freqs is not None:
         q, k = apply_rotary_pos_emb(q, k, freqs)

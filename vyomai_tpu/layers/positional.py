@@ -35,12 +35,20 @@ def absolute_init(key, config, dtype=jnp.float32):
         std=config.initializer_range, dtype=dtype)
 
 
-def absolute_slice(p, start_pos, length: int):
+def absolute_slice(p, start_pos, length: int, pad_idx=None):
     """Positions [start_pos, start_pos + length) -> [1, length, D].
 
     ``start_pos`` may be traced; static output shape (TPU-friendly gather).
-    """
-    out = jnp.take(p["weight"], start_pos + jnp.arange(length), axis=0)
+    ``pad_idx`` replicates the reference's ``nn.Embedding(padding_idx=
+    pad_token_id)`` on the POSITION table (``positional_embeddings.py:37``):
+    position row ``pad_idx`` never receives gradient (a reference training
+    quirk — position ``pad_token_id`` is a real position, but its embedding
+    row stays frozen; preserved for gradient parity)."""
+    positions = start_pos + jnp.arange(length)
+    out = jnp.take(p["weight"], positions, axis=0)
+    if pad_idx is not None:
+        out = jnp.where((positions == pad_idx)[:, None],
+                        jax.lax.stop_gradient(out), out)
     return out[None, :, :]
 
 

@@ -90,15 +90,20 @@ class DecoderModel(StructuralIdentity):
         position tables / RoPE freqs are gathered per row instead of
         sliced at ``start_pos``."""
         seqlen = input_ids.shape[1]
-        hidden = cnn.embedding(params["word_embeddings"], input_ids)
+        pad = getattr(self.config, "pad_token_id", None)
+        hidden = cnn.embedding(params["word_embeddings"], input_ids,
+                               pad_idx=pad)
         freqs = None
         if self.pos_embedding_type == "absolute":
             if positions is not None:
                 tab = jnp.take(params["position_embeddings"]["weight"],
                                positions, axis=0)           # [B, L, D]
+                if pad is not None:   # padding_idx on the position table
+                    tab = jnp.where((positions == pad)[..., None],
+                                    jax.lax.stop_gradient(tab), tab)
             else:
                 tab = pos.absolute_slice(params["position_embeddings"],
-                                         start_pos, seqlen)
+                                         start_pos, seqlen, pad_idx=pad)
             hidden = hidden + tab.astype(hidden.dtype)
         elif self.pos_embedding_type == "sinusoidal":
             if positions is not None:
@@ -154,8 +159,7 @@ class DecoderModel(StructuralIdentity):
                 out = ffn_mod.ffn_apply(lp["ffn"], out, h, cfg,
                                         deterministic=deterministic, rng=f_rng)
                 return out, None
-            if self.remat:
-                body = jax.checkpoint(body)
+            body = cnn.remat_wrap(body, self.remat)
             hidden, _ = jax.lax.scan(body, hidden, (params["layers"], layer_rngs))
             return hidden, None
 

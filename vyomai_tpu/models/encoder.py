@@ -51,9 +51,11 @@ class EncoderModel(StructuralIdentity):
         self.config = config
         self.pos_embedding_type = pos_embedding_type
         self.kind = "gqa" if attention_type == "gqa" else "mha"
-        # rematerialize each layer in the backward pass (activation memory
-        # ~O(1) in depth, the jax.checkpoint analogue of the reference's
-        # recompute-in-backward fused kernels)
+        # rematerialize layers in the backward pass (the jax.checkpoint
+        # analogue of the reference's recompute-in-backward fused kernels).
+        # True/"full" = everything recomputed (O(1)-in-depth memory);
+        # "dots" = matmul outputs saved, elementwise recomputed — see
+        # core.nn.remat_wrap for the MFU/memory trade.
         self.remat = remat
         # Constant tables (not params): fold into the jitted graph.
         if pos_embedding_type == "rope":
@@ -81,11 +83,14 @@ class EncoderModel(StructuralIdentity):
     def embed(self, params, input_ids):
         """Token + positional embedding; returns (hidden, freqs)."""
         seqlen = input_ids.shape[1]
-        hidden = cnn.embedding(params["word_embeddings"], input_ids)
+        pad = getattr(self.config, "pad_token_id", None)
+        hidden = cnn.embedding(params["word_embeddings"], input_ids,
+                               pad_idx=pad)
         freqs = None
         if self.pos_embedding_type == "absolute":
             hidden = hidden + pos.absolute_slice(
-                params["position_embeddings"], 0, seqlen).astype(hidden.dtype)
+                params["position_embeddings"], 0, seqlen,
+                pad_idx=pad).astype(hidden.dtype)
         elif self.pos_embedding_type == "sinusoidal":
             hidden = hidden + self.sin_table[:, :seqlen].astype(hidden.dtype)
         elif self.pos_embedding_type == "rope":
@@ -116,8 +121,7 @@ class EncoderModel(StructuralIdentity):
                                     deterministic=deterministic, rng=ffn_rng)
             return out, None
 
-        if self.remat:
-            body = jax.checkpoint(body)
+        body = cnn.remat_wrap(body, self.remat)
         hidden, _ = jax.lax.scan(body, hidden, (params["layers"], layer_rngs))
         return hidden
 

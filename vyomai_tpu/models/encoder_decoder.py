@@ -99,12 +99,14 @@ class Seq2SeqDecoderModel(StructuralIdentity):
 
     def _embed(self, params, input_ids, start_pos):
         seqlen = input_ids.shape[1]
-        hidden = cnn.embedding(params["word_embeddings"], input_ids)
+        pad = getattr(self.config, "pad_token_id", None)
+        hidden = cnn.embedding(params["word_embeddings"], input_ids,
+                               pad_idx=pad)
         freqs = None
         if self.pos_embedding_type == "absolute":
             hidden = hidden + pos.absolute_slice(
-                params["position_embeddings"], start_pos,
-                seqlen).astype(hidden.dtype)
+                params["position_embeddings"], start_pos, seqlen,
+                pad_idx=pad).astype(hidden.dtype)
         elif self.pos_embedding_type == "sinusoidal":
             tab = jax.lax.dynamic_slice_in_dim(self.sin_table, start_pos,
                                                seqlen, axis=1)

@@ -75,7 +75,9 @@ class VisionLanguageDecoderModel(StructuralIdentity):
         reference's ``if start_pos == 0`` branch)."""
         cfg, kind = self.config, self.kind
         bsz = input_ids.shape[0]
-        hidden = cnn.embedding(params["word_embeddings"], input_ids)
+        pad = getattr(cfg, "pad_token_id", None)
+        hidden = cnn.embedding(params["word_embeddings"], input_ids,
+                               pad_idx=pad)
         if fuse_image:
             hidden = jnp.concatenate(
                 [encoder_hidden_state[:, None, :].astype(hidden.dtype), hidden],
@@ -89,8 +91,8 @@ class VisionLanguageDecoderModel(StructuralIdentity):
         freqs = None
         if self.pos_embedding_type == "absolute":
             hidden = hidden + pos.absolute_slice(
-                params["position_embeddings"], start_pos,
-                seqlen).astype(hidden.dtype)
+                params["position_embeddings"], start_pos, seqlen,
+                pad_idx=pad).astype(hidden.dtype)
         elif self.pos_embedding_type == "sinusoidal":
             tab = jax.lax.dynamic_slice_in_dim(self.sin_table, start_pos,
                                                seqlen, axis=1)

@@ -81,7 +81,8 @@ class ModelForCausalLM(StructuralIdentity):
         segments = (None if segment_ids is None
                     else (segment_ids, segment_ids))
         moe = cfg.num_experts > 0
-        hidden = cnn.embedding(params["embed_tokens"], input_ids)
+        hidden = cnn.embedding(params["embed_tokens"], input_ids,
+                               pad_idx=getattr(cfg, "pad_token_id", None))
         bsz, seqlen = input_ids.shape
         if positions is not None:
             freqs = jnp.take(self.emb_freq[0], positions, axis=0)

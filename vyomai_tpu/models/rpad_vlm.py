@@ -64,7 +64,9 @@ class RPADVisionLanguageModel(StructuralIdentity):
         return feats
 
     def embed_fused(self, params, input_ids, pixel_values):
-        text = cnn.embedding(params["decoder"]["word_embeddings"], input_ids)
+        text = cnn.embedding(params["decoder"]["word_embeddings"], input_ids,
+                             pad_idx=getattr(self.config, "pad_token_id",
+                                             None))
         img = self.encode_image(params, pixel_values).astype(text.dtype)
         is_img = input_ids == self.image_token_id
         idx = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0, img.shape[1] - 1)
@@ -82,7 +84,9 @@ class RPADVisionLanguageModel(StructuralIdentity):
             hidden = self.embed_fused(params, input_ids, pixel_values)
         else:
             hidden = cnn.embedding(params["decoder"]["word_embeddings"],
-                                   input_ids)
+                                   input_ids,
+                                   pad_idx=getattr(self.config,
+                                                   "pad_token_id", None))
         seqlen = hidden.shape[1]
         bsz = hidden.shape[0]
         # positional
@@ -90,8 +94,9 @@ class RPADVisionLanguageModel(StructuralIdentity):
         if dec.pos_embedding_type == "absolute":
             from ..layers import positional as pos
             hidden = hidden + pos.absolute_slice(
-                params["decoder"]["position_embeddings"], start_pos,
-                seqlen).astype(hidden.dtype)
+                params["decoder"]["position_embeddings"], start_pos, seqlen,
+                pad_idx=getattr(self.config, "pad_token_id",
+                                None)).astype(hidden.dtype)
         elif dec.pos_embedding_type == "rope":
             freqs = jax.lax.dynamic_slice_in_dim(dec.emb_freq, start_pos,
                                                  seqlen, axis=1)

@@ -68,21 +68,23 @@ def lm_head_ce_loss(hidden, kernel, bias, targets, *,
         ls, cnt = chunk_loss(args)
         return (s + ls, c + cnt), None
 
-    (total, count), _ = jax.lax.scan(body, (jnp.float32(0), jnp.float32(0)),
-                                     (x, t))
+    acc = jnp.promote_types(hidden.dtype, jnp.float32)
+    (total, count), _ = jax.lax.scan(body, (jnp.zeros((), acc),
+                                            jnp.zeros((), acc)), (x, t))
     return total / jnp.maximum(count, 1.0)
 
 
 def _masked_ce_sum(logits, targets, ignore_index: int):
     """Shared masked-CE core: fp32 logsumexp CE summed over positions where
     ``targets != ignore_index``. Returns ``(loss_sum, valid_count)``."""
-    logits = logits.astype(jnp.float32)
+    acc = jnp.promote_types(logits.dtype, jnp.float32)
+    logits = logits.astype(acc)
     lse = jax.nn.logsumexp(logits, axis=-1)
     t_safe = jnp.clip(targets, 0, logits.shape[-1] - 1)
     tgt = jnp.take_along_axis(logits, t_safe[..., None], axis=-1)[..., 0]
     valid = (targets != ignore_index)
     losses = jnp.where(valid, lse - tgt, 0.0)
-    return jnp.sum(losses), jnp.sum(valid.astype(jnp.float32))
+    return jnp.sum(losses), jnp.sum(valid.astype(acc))
 
 
 def cross_entropy(logits, targets, *, ignore_index: int = -100):
