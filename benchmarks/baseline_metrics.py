@@ -110,10 +110,15 @@ def bench_caption_serving(requests: int = 8, new_tokens: int = 64):
 def bench_vit(batch: int = 128, repeats: int = 10):
     """ViT-base images/sec (224x224/16 -> 197 tokens), bf16 forward.
 
-    Perf story (r3 measurements, VERDICT r2 #9): the XLA attention path
-    wins at L=197 at every batch (padded flash measured 1.5k img/s vs XLA
-    2.2-2.3k — the kernel pays pad-to-256 plus launch overhead the XLA
-    fusion doesn't), and batch 128 is the throughput point (2314 img/s vs
+    Perf story (r4, benchmarks/vit_profile.py + docs/kernels.md): the
+    packed short-attention kernel (ops/short_attention.py, scores stay in
+    VMEM, head-paired MXU packing, no qkv transposes) plus the bf16
+    tanh-polynomial GELU took this from 2,321 to ~3,960 img/s = 70.6% MFU
+    at 2-FLOPs/MAC accounting (35.1 GF/image) — within ~8% of the chip's
+    own pure-matmul ceiling at these shapes (ffn chains 76.7%). r3
+    history: the XLA attention path beat padded FLASH at L=197 (1.5k vs
+    2.2-2.3k — pad-to-256 + per-(b,h) grid overhead), and batch 128 is
+    the throughput knee (2314 img/s vs
     2200 at 32, 2167 at 256). 2314 img/s = ~81 TFLOP/s = 41% of nominal
     peak; r2's "20% of roofline" divided MACs by the FLOP peak. The
     practical bound for this model on this chip is ~60%: pure bf16

@@ -100,7 +100,10 @@ def profile(batch=BATCH, remat="full"):
 
     opt = make_optimizer(1e-4, kind="adamw")
     step = make_train_step(loss_fn, opt)
-    state = create_train_state(params, opt)
+    # the step donates its state (params included) — give it a COPY so
+    # the fwd/fwd_bwd measurements' params survive the donation
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, params), opt)
 
     # flash fwd+bwd at the model's exact shapes
     hd = CFG.hidden_size // CFG.num_attention_heads
@@ -138,9 +141,21 @@ def profile(batch=BATCH, remat="full"):
 
     matmul_fb = jax.jit(jax.grad(mm_loss))
 
+    # the FULL step (params + grads + fp32 Adam moments ~12 GB) goes
+    # FIRST with the state THREADED through (make_train_step donates
+    # argnums 0 — reusing the same input state reads donated buffers and
+    # the fetch dies with INVALID_ARGUMENT), then dropped (holding it
+    # alongside the other measurement buffers OOMs the 16 GB chip)
+    state, m = step(state, data, rng)
+    _sync(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step(state, data, rng)
+    _sync(m["loss"])
+    t_step = (time.perf_counter() - t0) / STEPS
+    del state, m
     t_fwd = _time(fwd, params)
     t_fb = _time(fwd_bwd, params)
-    t_step = _time(lambda s: step(s, data, rng)[0], state)
     t_flash = _time(lambda: flash_fb(q, kv, kv))
     t_mm = _time(lambda: matmul_fb(Ws))
 

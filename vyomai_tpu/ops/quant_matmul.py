@@ -58,6 +58,16 @@ def set_impl(impl: str):
 
 
 _IMPL4 = "pallas"  # int4 default: XLA materializes the nibble unpack
+# int4 kernel body: "fold" (scales folded into the unpacked weight, one
+# full-depth dot per nibble half — fastest at decode M, see
+# _kernel_int4_fold) or "split" (per-group exact-scale dots)
+_INT4_KERNEL = "fold"
+
+
+def set_int4_kernel(kind: str):
+    global _INT4_KERNEL
+    assert kind in ("fold", "split"), kind
+    _INT4_KERNEL = kind
 
 
 def set_impl4(impl: str):
@@ -263,6 +273,42 @@ def _kernel_int4(xe_ref, xo_ref, wp_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _kernel_int4_fold(xe_ref, xo_ref, wp_ref, s_ref, o_ref, acc_ref):
+    """Scale-FOLDED int4 block: unpack nibbles, multiply the per-group
+    scales into the unpacked weight IN VMEM (rows repeat their group's
+    scale row), then run ONE full-depth dot per nibble half.
+
+    vs ``_kernel_int4`` (per-group split dots): at decode M=8 the split
+    form issues ``2 * groups`` tiny K=(gs/2) dots per block whose MXU
+    latency dominates (measured r4: the 2048<->8192 ffn pair ran int4
+    SLOWER than bf16); two [M, R] x [R, bn] dots amortize that latency
+    over the whole block. Precision: the scaled weight rounds to the
+    ACTIVATION dtype — the same rounding the XLA fallback applies, and
+    int4 is documented lossy (per-group scales bound the error)."""
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _zero():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi = _unpack_int4(wp_ref[:])          # [R, bn] packed-row halves
+    groups = s_ref.shape[1]
+    per = lo.shape[0] // groups               # packed rows per group
+    dt = xe_ref.dtype
+    s = s_ref[0]                              # [gpb, bn] f32
+    s_rows = jnp.broadcast_to(s[:, None, :], (groups, per, s.shape[-1])
+                              ).reshape(lo.shape)          # [R, bn]
+    acc = jnp.dot(xe_ref[:], (lo * s_rows).astype(dt),
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(xo_ref[:], (hi * s_rows).astype(dt),
+                   preferred_element_type=jnp.float32)
+    acc_ref[:] += acc
+
+    @pl.when(g == pl.num_programs(1) - 1)
+    def _out():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _int4_block_rows(group_size: int, k_half: int) -> int:
     """Packed K rows per kernel block: a multiple of both the per-group
     packed-row count and Mosaic's 128-row minor-dim rule that divides the
@@ -295,14 +341,18 @@ def supported_int4(k_dim: int, n_dim: int, group_size: int) -> bool:
             _pick_block(n_dim, (512, 256, 128)) > 0)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _int4_matmul_2d(x, w_p, scale, interpret: bool):
+@partial(jax.jit, static_argnames=("interpret", "kernel"))
+def _int4_matmul_2d(x, w_p, scale, interpret: bool, kernel: str = "fold"):
     m, k_dim = x.shape
     n_dim = w_p.shape[1]
     g_dim = scale.shape[0]
     gs = k_dim // g_dim
-    bn = _pick_block(n_dim, (512, 256, 128))
     m_pad = max(8, -(-m // 8) * 8)
+    # DECODE (small M) takes 1024-wide N blocks — fewer programs amortize
+    # the per-block unpack; prefill M would blow scoped VMEM there (the
+    # fp32 accumulator is [m_pad, bn])
+    cands = (1024, 512, 256, 128) if m_pad <= 64 else (512, 256, 128)
+    bn = _pick_block(n_dim, cands)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     xe = x[:, 0::2]                                           # [M, K/2]
@@ -315,7 +365,7 @@ def _int4_matmul_2d(x, w_p, scale, interpret: bool):
     # with gpb=2 cannot (second-minor must be 8-divisible or full)
     s3 = scale.reshape(kb, gpb, n_dim)
     out = pl.pallas_call(
-        _kernel_int4,
+        _kernel_int4_fold if kernel == "fold" else _kernel_int4,
         grid=(n_dim // bn, kb),
         in_specs=[
             pl.BlockSpec((m_pad, rows), lambda n, g: (0, g)),
@@ -348,7 +398,7 @@ def int4_matmul(x, w_p, scale):
     gs = k_dim // g_dim
     x2 = x.reshape(-1, k_dim)
     if _IMPL4 == "pallas" and supported_int4(k_dim, n_dim, gs):
-        out = _int4_matmul_2d(x2, w_p, scale, _INTERPRET)
+        out = _int4_matmul_2d(x2, w_p, scale, _INTERPRET, _INT4_KERNEL)
     else:
         lo, hi = _unpack_int4(w_p)
         w = jnp.stack([lo, hi], axis=1).reshape(k_dim, n_dim)
