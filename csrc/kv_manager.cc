@@ -168,8 +168,8 @@ struct Manager {
       node = it->second.get();
       covered += block_size;
     }
-    if (covered >= n) covered -= block_size;
-    return covered;
+    if (covered >= n && n > 0) covered -= block_size;
+    return covered < 0 ? 0 : covered;
   }
 
   bool allocate(Sequence& s, int num_tokens) {

@@ -74,6 +74,9 @@ def test_supported_gate(qkv):
     assert not sa.supported(q, k, None, causal=True)
     assert not sa.supported(q, k, None, window=64)
     assert not sa.supported(q, k, None, segments=(1, 2))
+    # key-padding additive bias IS supported (r5); full [B,1,L,L] is not
+    assert sa.supported(q, k, jnp.zeros((B, 1, 1, L)))
+    assert sa.supported(q, k, jnp.zeros((1, 1, 1, L)))
     assert not sa.supported(q, k, jnp.zeros((B, 1, L, L)))
     # GQA (h != h_kv) stays on flash/XLA
     assert not sa.supported(q, k[:, :2], None)
@@ -84,6 +87,82 @@ def test_supported_gate(qkv):
     # VMEM budget: very wide head count at max length is rejected
     huge = jnp.zeros((1, 64, 512, 128), jnp.float32)
     assert not sa.supported(huge, huge, None)
+
+
+def _keypad_mask(n_pad):
+    """Additive [B,1,1,L] mask: last ``n_pad`` keys padded out — the
+    encoder model's (1-m)*finfo.min recipe."""
+    valid = (jnp.arange(L) < L - n_pad).astype(jnp.float32)
+    return ((1.0 - valid) * float(jnp.finfo(jnp.float32).min)
+            ).reshape(1, 1, 1, L).repeat(B, axis=0)
+
+
+def test_fwd_bias_matches_xla(qkv):
+    q, k, v = qkv
+    mask = _keypad_mask(31)
+    with jax.default_matmul_precision("highest"):
+        ref = _sdpa_xla(q, k, v, mask)
+        out = sa.short_attention_bias(q, k, v, mask)
+    # compare only non-padded query rows; fully-valid queries attend the
+    # masked keys with weight 0 in both paths
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_fwd_bias_odd_heads(qkv):
+    """Odd head count takes the unpaired kernel's bias path."""
+    q, k, v = (x[:, :3] for x in qkv)
+    mask = _keypad_mask(17)
+    with jax.default_matmul_precision("highest"):
+        ref = _sdpa_xla(q, k, v, mask)
+        out = sa.short_attention_bias(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_grads_match_xla_bias(qkv):
+    q, k, v = qkv
+    mask = _keypad_mask(31)
+
+    def loss_short(q, k, v):
+        return jnp.sum(sa.short_attention_bias(q, k, v, mask) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_sdpa_xla(q, k, v, mask) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_short, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5 * scale)
+
+
+def test_masked_encoder_auto_dispatch(qkv):
+    """sdpa('auto') with a key-pad mask at short L routes to the kernel on
+    TPU and stays numerically equal to the XLA path."""
+    q, k, v = qkv
+    mask = _keypad_mask(31)
+    set_sdpa_impl("auto")
+    with jax.default_matmul_precision("highest"):
+        out = sdpa(q, k, v, mask)
+        ref = _sdpa_xla(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_forced_short_rejects_unsupported(qkv):
+    q, k, v = qkv
+    set_sdpa_impl("short")
+    try:
+        with pytest.raises(ValueError):
+            sdpa(q, k, v, causal=True)
+        # supported masked call goes through
+        mask = _keypad_mask(8)
+        with jax.default_matmul_precision("highest"):
+            out = sdpa(q, k, v, mask)
+            ref = _sdpa_xla(q, k, v, mask)
+    finally:
+        set_sdpa_impl("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 def test_packed_qkv_matches_unpacked(qkv):

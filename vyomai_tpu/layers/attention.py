@@ -120,13 +120,26 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None,
     if impl == "auto" and _short_shapes_ok(q, k, mask, causal, window,
                                            segments):
         # ViT-class short bidirectional shapes: VMEM-resident full-softmax
-        # kernel (scores never touch HBM) — see ops/short_attention.py
+        # kernel (scores never touch HBM) — see ops/short_attention.py.
+        # A key-padding mask (additive [B,1,1,L]) rides the kernel too.
         from ..ops import short_attention as sa
+        if mask is not None:
+            return jax.lax.platform_dependent(
+                q, k, v, mask, tpu=sa.short_attention_bias,
+                default=lambda qq, kk, vv, mm: _sdpa_xla(qq, kk, vv, mm))
         return jax.lax.platform_dependent(
             q, k, v, tpu=sa.short_attention,
             default=lambda qq, kk, vv: _sdpa_xla(qq, kk, vv))
     if impl == "short":
         from ..ops import short_attention as sa
+        if not sa.supported(q, k, mask, causal=causal, window=window,
+                            segments=segments):
+            raise ValueError(
+                "set_sdpa_impl('short'): unsupported call (mask/causal/"
+                "window/segments/GQA or out-of-range shape) — the short "
+                "kernel would silently drop them; use 'auto' or 'flash'")
+        if mask is not None:
+            return sa.short_attention_bias(q, k, v, mask)
         return sa.short_attention(q, k, v)
     if impl == "flash":
         from ..ops import flash_attention as fa

@@ -36,16 +36,29 @@ from jax.experimental.pallas import tpu as pltpu
 from . import flash_attention as _fa
 
 SHORT_MAX_L = 512
-# per-program VMEM budget for q/k/v/o blocks (bytes, bf16, double-buffered
-# by pallas): keep comfortably under the ~16 MB VMEM
-_VMEM_BLOCK_BUDGET = 4 * 1024 * 1024
+# per-TENSOR VMEM budget (bytes). The kernel's resident set is ~8 blocks
+# (q/k/v/o double-buffered by pallas) PLUS fp32 temporaries (head casts,
+# [2L,2D] block-diagonal concats, [L,2L] scores) — so 1 MB/tensor keeps the
+# worst case ~10 MB, under the ~16 MB VMEM; the old 4 MB gate admitted
+# shapes (e.g. H=32,L=512,D=64) whose true footprint Mosaic can't compile
+_VMEM_BLOCK_BUDGET = 1 * 1024 * 1024
+
+
+def _is_keypad_bias(mask, b, lk) -> bool:
+    """Additive key-padding bias [B|1, 1, 1, Lk] — the encoder model's
+    ``(1-m)*finfo.min`` mask recipe (reference ``models/encoder.py:161-164``,
+    the single most-used masked path: right-padded MLM/classification
+    batches)."""
+    return (mask is not None and mask.ndim == 4 and mask.shape[1] == 1
+            and mask.shape[2] == 1 and mask.shape[3] == lk
+            and mask.shape[0] in (1, b))
 
 
 def supported(q, k, mask, *, causal=False, window=None, segments=None
               ) -> bool:
     if causal or window is not None or segments is not None:
         return False
-    if mask is not None:
+    if mask is not None and not _is_keypad_bias(mask, q.shape[0], k.shape[2]):
         return False
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
@@ -80,12 +93,16 @@ def supported_packed(qkv, nh: int) -> bool:
     return True
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, nh, scale):
+def _kernel(q_ref, k_ref, v_ref, *rest, nh, scale):
+    b_ref = rest[0] if len(rest) == 2 else None   # optional [1, L] bias
+    o_ref = rest[-1]
     for h in range(nh):                       # unrolled head loop
         qh, kh, vh = q_ref[0, h], k_ref[0, h], v_ref[0, h]   # [L, D]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale       # [L, L]
+        if b_ref is not None:
+            s = s + b_ref[0][None, :].astype(jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -94,7 +111,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, nh, scale):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _kernel_paired(q_ref, k_ref, v_ref, o_ref, *, nh, scale):
+def _kernel_paired(q_ref, k_ref, v_ref, *rest, nh, scale):
     """Two heads per MXU pass via block-diagonal packing.
 
     Per-head dots at ViT shapes ([197,64]x[64,197]) run the MXU at ~8% —
@@ -112,10 +129,15 @@ def _kernel_paired(q_ref, k_ref, v_ref, o_ref, *, nh, scale):
 
         ob = p @ [[v0, 0], [0, v1]]  [L, 2D],  ob[:, :D] /= sum0, ...
     """
+    b_ref = rest[0] if len(rest) == 2 else None   # optional [1, L] bias
+    o_ref = rest[-1]
     l = q_ref.shape[2]
     d = q_ref.shape[3]
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (l, 2 * l), 1)
     lanesd = jax.lax.broadcasted_iota(jnp.int32, (l, 2 * d), 1)
+    if b_ref is not None:
+        bias1 = b_ref[0].astype(jnp.float32)                 # [L]
+        bias2 = jnp.concatenate([bias1, bias1])[None, :]     # [1, 2L]
     for hp in range(nh // 2):
         h0, h1 = 2 * hp, 2 * hp + 1
         # fp32 operands measured FASTER here than bf16 (721 vs 857 us/layer
@@ -138,9 +160,15 @@ def _kernel_paired(q_ref, k_ref, v_ref, o_ref, *, nh, scale):
         s = jax.lax.dot_general(
             qp, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # [L, 2L]
-        m = jnp.max(s, axis=-1, keepdims=True)               # shared max
-        p = jnp.exp(s - m)
+        if b_ref is not None:
+            s = s + bias2
         head0 = lanes2 < l
+        # PER-HEAD row maxima (a shared max underflows the weaker head's
+        # probability sum to 0 when the heads' row maxima differ by ~88+,
+        # making the post-PV division NaN/Inf — advisor r4)
+        m0 = jnp.max(jnp.where(head0, s, -jnp.inf), axis=-1, keepdims=True)
+        m1 = jnp.max(jnp.where(head0, -jnp.inf, s), axis=-1, keepdims=True)
+        p = jnp.exp(s - jnp.where(head0, m0, m1))
         sum0 = jnp.sum(jnp.where(head0, p, 0.0), axis=-1, keepdims=True)
         sum1 = jnp.sum(jnp.where(head0, 0.0, p), axis=-1, keepdims=True)
         ob = jax.lax.dot_general(
@@ -151,19 +179,27 @@ def _kernel_paired(q_ref, k_ref, v_ref, o_ref, *, nh, scale):
         o_ref[0, h1] = ob[:, d:].astype(o_ref.dtype)
 
 
-def _fwd(q, k, v):
+def _fwd(q, k, v, bias=None):
     b, h, l, d = q.shape
     spec = pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     kern = _kernel_paired if h % 2 == 0 else _kernel
+    in_specs = [spec, spec, spec]
+    args = (q, k, v)
+    if bias is not None:
+        # [B|1,1,1,L] additive key-pad bias -> [B, L] (tiny VMEM block)
+        b2 = jnp.broadcast_to(bias.reshape(bias.shape[0], l), (b, l))
+        in_specs.append(pl.BlockSpec((1, l), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args += (b2,)
     return pl.pallas_call(
         functools.partial(kern, nh=h, scale=1.0 / (d ** 0.5)),
         grid=(b,),
-        in_specs=[spec, spec, spec],
+        in_specs=in_specs,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=_fa._INTERPRET,
-    )(q, k, v)
+    )(*args)
 
 
 def _kernel_qkv(x_ref, o_ref, *, nh, hd, scale):
@@ -197,9 +233,11 @@ def _kernel_qkv(x_ref, o_ref, *, nh, hd, scale):
         s = jax.lax.dot_general(
             qp, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # [L, 2L]
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
         head0 = lanes2 < l
+        # per-head row maxima — see _kernel_paired
+        m0 = jnp.max(jnp.where(head0, s, -jnp.inf), axis=-1, keepdims=True)
+        m1 = jnp.max(jnp.where(head0, -jnp.inf, s), axis=-1, keepdims=True)
+        p = jnp.exp(s - jnp.where(head0, m0, m1))
         sum0 = jnp.sum(jnp.where(head0, p, 0.0), axis=-1, keepdims=True)
         sum1 = jnp.sum(jnp.where(head0, 0.0, p), axis=-1, keepdims=True)
         ob = jax.lax.dot_general(
@@ -266,19 +304,50 @@ def _fwd_rule(q, k, v):
     return _fwd(q, k, v), (q, k, v)
 
 
-def _bwd_rule(res, do):
-    q, k, v = res
+def _bwd_math(q, k, v, do, bias=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
     s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
                    preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
     dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
     dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), ds)
+
+
+def _bwd_rule(res, do):
+    q, k, v = res
+    return _bwd_math(q, k, v, do)[:3]
 
 
 short_attention.defvjp(_fwd_rule, _bwd_rule)
+
+
+@jax.custom_vjp
+def short_attention_bias(q, k, v, bias):
+    """``softmax(q k^T/sqrt(d) + bias) v`` with an additive KEY-PADDING
+    bias [B|1, 1, 1, L] — the reference encoder's ``(1-m)*finfo.min`` mask
+    (``models/encoder.py:161-164``). The [L, 2L] scores already live in
+    VMEM; the bias add is one broadcast VPU op per head pair."""
+    return _fwd(q, k, v, bias)
+
+
+def _fwd_rule_bias(q, k, v, bias):
+    return _fwd(q, k, v, bias), (q, k, v, bias)
+
+
+def _bwd_rule_bias(res, do):
+    q, k, v, bias = res
+    dq, dk, dv, ds = _bwd_math(q, k, v, do, bias)
+    dbias = jnp.sum(ds, axis=(1, 2), keepdims=True)        # [B,1,1,L]
+    if bias.shape[0] == 1:
+        dbias = jnp.sum(dbias, axis=0, keepdims=True)
+    return dq, dk, dv, dbias.astype(bias.dtype)
+
+
+short_attention_bias.defvjp(_fwd_rule_bias, _bwd_rule_bias)

@@ -843,11 +843,6 @@ class ContinuousBatchEngine:
             if cov > best_cov:
                 best_i, best_cov = i, cov
         if best_i:
-            for i, s in enumerate(self.waiting):
-                if i != best_i:
-                    s.admission_skips = getattr(s, "admission_skips", 0) + 1
-                if i == best_i:
-                    break
             chosen = self.waiting[best_i]
             del self.waiting[best_i]
             self.waiting.appendleft(chosen)
@@ -876,6 +871,12 @@ class ContinuousBatchEngine:
                 break
             self.counters["cached_prompt_tokens"] += state.num_cached_tokens
             self.waiting.popleft()
+            if self.cache_aware_admission:
+                # a skip = a competing request actually got admitted ahead
+                # of you (NOT a failed-allocation pass — counting those
+                # degraded admission to FIFO within a few congested ticks)
+                for s in self.waiting:
+                    s.admission_skips = getattr(s, "admission_skips", 0) + 1
             self.needs_prefill.append(state)
 
     def _preempt_youngest(self):

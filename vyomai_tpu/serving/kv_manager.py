@@ -151,9 +151,9 @@ class PagedKVManager:
                 break
             node = child
             covered += self.block_size
-        if covered >= len(tokens):
+        if covered >= len(tokens) and len(tokens) > 0:
             covered -= self.block_size
-        return covered
+        return max(covered, 0)
 
     def _acquire(self, node: RadixNode):
         if node.refcount == 0:
