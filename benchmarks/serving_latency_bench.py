@@ -54,14 +54,21 @@ CFG = vt.QwenConfig(vocab_size=32768, hidden_size=1024,
                     eos_token_id=2, tie_word_embeddings=True)
 
 
-def _build_engine(cap, new_tokens):
-    model = vt.ModelForCausalLM(CFG)
-    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+_MODEL_CACHE = {}
+
+
+def _build_engine(cap, new_tokens, horizon=8):
+    if "m" not in _MODEL_CACHE:     # one init for the whole sweep
+        model = vt.ModelForCausalLM(CFG)
+        _MODEL_CACHE["m"] = (model,
+                             model.init(jax.random.PRNGKey(0),
+                                        dtype=jnp.bfloat16))
+    model, params = _MODEL_CACHE["m"]
     return ContinuousBatchEngine(
         model, params, num_blocks=2048, block_size=16, max_batch=32,
         max_blocks_per_seq=64, max_new_tokens=new_tokens,
         dtype=jnp.bfloat16, prefill_buckets=(128, 256, 512),
-        decode_horizon=8, prefill_group=4,
+        decode_horizon=horizon, prefill_group=4,
         max_prefill_per_tick=cap)
 
 
@@ -135,7 +142,7 @@ def summarize(submit_t, first_t, emit_times, wall, new_tokens):
     }
 
 
-def main():
+def main(sweep: bool = False):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=float, nargs="+", default=[4.0, 12.0],
                     help="Poisson arrival rates (req/s)")
@@ -143,32 +150,43 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--cap", type=int, default=1,
                     help="max_prefill_per_tick for the capped policy")
+    ap.add_argument("--horizon", type=int, nargs="+", default=[8],
+                    help="decode_horizon values to sweep")
+    ap.add_argument("--sweep", action="store_true",
+                    help="full frontier: cap x horizon grid (VERDICT r4 #6)")
     args = ap.parse_args()
+    sweep = sweep or args.sweep
+    caps = (None, 1, 2, 4) if sweep else (None, args.cap)
+    horizons = (8, 16, 32) if sweep else tuple(args.horizon)
 
     rng = np.random.default_rng(0)
     prompts = _prompts(args.requests, rng)
     records = []
-    for cap in (None, args.cap):
-        eng = _build_engine(cap, args.new_tokens)
-        # warm EVERY prefill bucket + the decode program so no compile
-        # lands inside the measured window
-        for ln in (100, 250, 448):
-            eng.submit(prompts[0][:ln] if len(prompts[0]) >= ln
-                       else list(range(10, 10 + ln)),
-                       max_new_tokens=8, ignore_eos=True)
-        eng.run()
-        for rate in args.rate:
-            arr_rng = np.random.default_rng(7)   # same arrivals per policy
-            arrivals = np.cumsum(arr_rng.exponential(1.0 / rate,
-                                                     size=args.requests))
-            out = run_load(eng, prompts, arrivals, args.new_tokens)
-            rec = {"metric": "serving_latency",
-                   "policy": ("drain_all" if cap is None
-                              else f"cap{args.cap}"),
-                   "rate_req_s": rate,
-                   **summarize(*out, args.new_tokens)}
-            print(json.dumps(rec), flush=True)
-            records.append(rec)
+    for horizon in horizons:
+        for cap in caps:
+            eng = _build_engine(cap, args.new_tokens, horizon)
+            # warm EVERY prefill bucket + the decode program so no compile
+            # lands inside the measured window (programs are shared across
+            # caps — only horizon changes the decode while_loop)
+            for ln in (100, 250, 448):
+                eng.submit(prompts[0][:ln] if len(prompts[0]) >= ln
+                           else list(range(10, 10 + ln)),
+                           max_new_tokens=8, ignore_eos=True)
+            eng.run()
+            for rate in args.rate:
+                arr_rng = np.random.default_rng(7)  # same arrivals/policy
+                arrivals = np.cumsum(arr_rng.exponential(
+                    1.0 / rate, size=args.requests))
+                out = run_load(eng, prompts, arrivals, args.new_tokens)
+                rec = {"metric": "serving_latency",
+                       "policy": ("drain_all" if cap is None
+                                  else f"cap{cap}"),
+                       "horizon": horizon,
+                       "rate_req_s": rate,
+                       **summarize(*out, args.new_tokens)}
+                print(json.dumps(rec), flush=True)
+                records.append(rec)
+            del eng
     return records
 
 

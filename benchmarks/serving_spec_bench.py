@@ -73,9 +73,39 @@ def synthetic_batch(rng: np.random.Generator, batch: int, seq: int,
     return x
 
 
+_CORPUS = None
+
+
+def corpus_tokens() -> np.ndarray:
+    """Natural-text token stream: the repo's own README + docs/*.md as
+    BYTES, shifted to ids [2, 258) (0/1 reserved, eos=VOCAB-1 untouched).
+    This is the VERDICT-r4 honest second workload for ngram speculation —
+    real English statistics instead of a short-cycle task built to flatter
+    prompt-lookup."""
+    global _CORPUS
+    if _CORPUS is None:
+        import glob as _glob
+        root = _os.path.join(_os.path.dirname(__file__), "..")
+        text = b""
+        for p in [_os.path.join(root, "README.md")] + sorted(
+                _glob.glob(_os.path.join(root, "docs", "*.md"))):
+            with open(p, "rb") as f:
+                text += f.read() + b"\n\n"
+        _CORPUS = np.frombuffer(text, dtype=np.uint8).astype(np.int32) + 2
+    return _CORPUS
+
+
+def natural_batch(rng: np.random.Generator, batch: int, seq: int,
+                  active: int = None):
+    """Random corpus windows (byte-level natural text)."""
+    c = corpus_tokens()
+    starts = rng.integers(0, len(c) - seq, size=batch)
+    return np.stack([c[s:s + seq] for s in starts])
+
+
 def train(model, steps: int, batch: int = 8, seq: int = 64,
           lr: float = 1e-3, warmup: int = 50, seed: int = 0,
-          active: int = ACTIVE):
+          active: int = ACTIVE, sampler=synthetic_batch):
     params = model.init(jax.random.PRNGKey(seed), dtype=jnp.bfloat16)
 
     def loss_fn(p, b, rng):
@@ -89,7 +119,7 @@ def train(model, steps: int, batch: int = 8, seq: int = 64,
     key = jax.random.PRNGKey(seed)
     loss = None
     for _ in range(steps):
-        ids = jnp.asarray(synthetic_batch(rng, batch, seq, active))
+        ids = jnp.asarray(sampler(rng, batch, seq, active))
         state, m = step(state, {"ids": ids}, key)
         loss = m["loss"]
     return jax.device_get(state.params), float(loss)  # fetch = true sync
@@ -97,7 +127,8 @@ def train(model, steps: int, batch: int = 8, seq: int = 64,
 
 def train_medusa_heads(model, params, steps: int, *, k_heads: int = 4,
                        batch: int = 8, seq: int = 64, lr: float = 1e-3,
-                       seed: int = 2, active: int = ACTIVE):
+                       seed: int = 2, active: int = ACTIVE,
+                       sampler=synthetic_batch):
     """Medusa-1 head training over the FROZEN trained target: grad flows
     only into the K head blocks (``training.losses.medusa_loss`` stops it
     at the hidden states and the reused lm_head). On the deterministic
@@ -130,7 +161,7 @@ def train_medusa_heads(model, params, steps: int, *, k_heads: int = 4,
     rng = np.random.default_rng(seed)
     loss = None
     for _ in range(steps):
-        ids = jnp.asarray(synthetic_batch(rng, batch, seq, active))
+        ids = jnp.asarray(sampler(rng, batch, seq, active))
         heads, st, loss = step(params, heads, st, ids)
     return jax.device_get(heads), float(loss)
 
@@ -149,11 +180,13 @@ def _fingerprint(cfg, **hp) -> str:
         json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:8]
 
 
-def _cached_train(model, cache_key: str, **kw):
+def _cached_train(model, cache_key: str, sampler=synthetic_batch, **kw):
     """Train once per (model config, workload) and pickle the host params
     to /tmp — the 0.9B train costs ~6 min on-chip, and bench iterations
     (debugging a phase, re-recording a metric) shouldn't repay it.
-    Returns ``(params, loss)``; loss is None when served from cache."""
+    Returns ``(params, loss)``; loss is None when served from cache.
+    ``sampler`` is keyed by ``cache_key``, not fingerprinted (function
+    reprs embed addresses and would bust the cache every process)."""
     import pickle
     tag = _fingerprint(getattr(model, "config", None), **kw)
     path = f"/tmp/spec_bench_{cache_key}_{tag}.pkl"
@@ -161,7 +194,7 @@ def _cached_train(model, cache_key: str, **kw):
         print(f"[train] cached params: {path}", flush=True)
         with open(path, "rb") as f:
             return pickle.load(f), None
-    params, loss = train(model, **kw)
+    params, loss = train(model, sampler=sampler, **kw)
     with open(path, "wb") as f:
         pickle.dump(params, f)
     return params, loss
@@ -170,26 +203,38 @@ def _cached_train(model, cache_key: str, **kw):
 def run_spec_bench(speculator: str = "draft", steps: int = 400,
                    gamma: int = 4, rounds: int = 8, requests: int = 16,
                    prompt: int = 32, new: int = 128, batch: int = 8,
-                   active: int = None) -> dict:
+                   active: int = None, workload: str = "cycle") -> dict:
     """Train target (+ draft), then measure speculative vs plain serving.
     The exactness assertion is SOUND here because the trained model's
     argmax gaps are decisive (unlike random-init logits, whose top-2 gaps
     sit below TPU matmul rounding and flip across differently-fused
-    programs)."""
+    programs).
+
+    ``workload="cycle"`` is the deterministic short-cycle task (prompt-
+    lookup's best case by construction); ``workload="natural"`` trains and
+    prompts on the repo's own docs as a byte stream — English statistics,
+    the honest second number VERDICT r4 asked for."""
     active = active or (41 if speculator == "ngram" else 499)
+    natural = workload == "natural"
+    sampler = natural_batch if natural else synthetic_batch
+    train_seq = 128 if natural else 64
 
     target = vt.ModelForCausalLM(TARGET_CFG)
     t0 = time.perf_counter()
-    t_params, t_loss = _cached_train(target, f"target_{active}_{steps}",
+    ckey = (f"target_nat{len(corpus_tokens())}_{steps}" if natural
+            else f"target_{active}_{steps}")
+    t_params, t_loss = _cached_train(target, ckey, sampler=sampler,
                                      steps=steps, lr=3e-4, warmup=100,
-                                     seed=0, active=active)
+                                     seed=0, active=active, seq=train_seq)
     fmt = lambda l: "cached" if l is None else f"{l:.3f}"  # noqa: E731
+    wtag = f"nat{len(corpus_tokens())}" if natural else str(active)
     d_params = draft = m_heads = None
     if speculator == "draft":
         draft = vt.ModelForCausalLM(DRAFT_CFG)
-        d_params, d_loss = _cached_train(draft, f"draft_{active}_{steps}",
+        d_params, d_loss = _cached_train(draft, f"draft_{wtag}_{steps}",
+                                         sampler=sampler,
                                          steps=steps, lr=1e-3, seed=1,
-                                         active=active)
+                                         active=active, seq=train_seq)
         print(f"[train] {steps} steps each: target loss {fmt(t_loss)}, "
               f"draft loss {fmt(d_loss)} ({time.perf_counter() - t0:.0f}s)")
     elif speculator == "medusa":
@@ -197,7 +242,7 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
         m_steps = max(1, steps // 2)  # heads are 17M params on a solved task
         tag = _fingerprint(TARGET_CFG, medusa=True, steps=m_steps,
                            k_heads=max(4, gamma), active=active,
-                           target_steps=steps)
+                           target_steps=steps, workload=workload)
         path = f"/tmp/spec_bench_medusa_{tag}.pkl"
         if _os.path.exists(path):
             print(f"[train] cached medusa heads: {path}", flush=True)
@@ -207,7 +252,7 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
         else:
             m_heads, m_loss = train_medusa_heads(
                 target, t_params, m_steps, k_heads=max(4, gamma),
-                active=active)
+                active=active, sampler=sampler)
             with open(path, "wb") as f:
                 pickle.dump(m_heads, f)
         print(f"[train] target loss {fmt(t_loss)}, medusa head loss "
@@ -221,8 +266,7 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
     gc.collect()
 
     rng = np.random.default_rng(7)
-    prompts = [list(row) for row in
-               synthetic_batch(rng, requests, prompt, active)]
+    prompts = [list(row) for row in sampler(rng, requests, prompt, active)]
     maxb = -(-(prompt + new + 1) // 64) + 1
     kw = dict(num_blocks=max(256, batch * maxb * 2), block_size=64,
               max_batch=batch, max_blocks_per_seq=maxb, max_new_tokens=new,
@@ -313,6 +357,7 @@ def run_spec_bench(speculator: str = "draft", steps: int = 400,
     rec = {
         "metric": "serving_speculative",
         "speculator": speculator,
+        "workload": workload,
         "spec_tokens_per_sec": round(spec_tps, 1),
         "plain_tokens_per_sec": round(plain_tps, 1),
         "speedup": round(spec_tps / plain_tps, 3),
@@ -338,10 +383,14 @@ def main():
     ap.add_argument("--active", type=int, default=None,
                     help="synthetic vocab modulus (cycle length); default "
                          "41 for ngram, 499 otherwise")
+    ap.add_argument("--workload", choices=("cycle", "natural"),
+                    default="cycle",
+                    help="'natural' trains/prompts on the repo docs as a "
+                         "byte stream (honest ngram number)")
     args = ap.parse_args()
     run_spec_bench(args.speculator, args.steps, args.gamma, args.rounds,
                    args.requests, args.prompt, args.new, args.batch,
-                   args.active)
+                   args.active, args.workload)
 
 
 if __name__ == "__main__":

@@ -102,7 +102,7 @@ def _kernel(q_ref, k_ref, v_ref, *rest, nh, scale):
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale       # [L, L]
         if b_ref is not None:
-            s = s + b_ref[0][None, :].astype(jnp.float32)
+            s = s + b_ref[0].astype(jnp.float32)      # [1, L] broadcast
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -136,8 +136,8 @@ def _kernel_paired(q_ref, k_ref, v_ref, *rest, nh, scale):
     lanes2 = jax.lax.broadcasted_iota(jnp.int32, (l, 2 * l), 1)
     lanesd = jax.lax.broadcasted_iota(jnp.int32, (l, 2 * d), 1)
     if b_ref is not None:
-        bias1 = b_ref[0].astype(jnp.float32)                 # [L]
-        bias2 = jnp.concatenate([bias1, bias1])[None, :]     # [1, 2L]
+        bias1 = b_ref[0].astype(jnp.float32)                 # [1, L]
+        bias2 = jnp.concatenate([bias1, bias1], axis=1)      # [1, 2L]
     for hp in range(nh // 2):
         h0, h1 = 2 * hp, 2 * hp + 1
         # fp32 operands measured FASTER here than bf16 (721 vs 857 us/layer
@@ -187,9 +187,11 @@ def _fwd(q, k, v, bias=None):
     in_specs = [spec, spec, spec]
     args = (q, k, v)
     if bias is not None:
-        # [B|1,1,1,L] additive key-pad bias -> [B, L] (tiny VMEM block)
-        b2 = jnp.broadcast_to(bias.reshape(bias.shape[0], l), (b, l))
-        in_specs.append(pl.BlockSpec((1, l), lambda i: (i, 0),
+        # [B|1,1,1,L] additive key-pad bias -> [B, 1, L]: the per-program
+        # block must slice only LEADING dims (Mosaic wants the last two
+        # block dims equal to the array dims or 8/128-aligned)
+        b2 = jnp.broadcast_to(bias.reshape(bias.shape[0], 1, l), (b, 1, l))
+        in_specs.append(pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args += (b2,)
     return pl.pallas_call(
