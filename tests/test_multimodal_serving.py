@@ -73,6 +73,33 @@ def test_engine_caption_matches_generate(pg):
         assert out[sid] == ref_gen, (out[sid], ref_gen)
 
 
+def test_device_resident_prefix_embeds_match_host(pg):
+    """submit(prefix_embeds=<jax.Array>) (tower output kept on device, no
+    host round-trip — r5 caption-serving path) produces the exact tokens
+    of the host-fp32 path."""
+    model, params = pg
+    rng = np.random.RandomState(1)
+    pixels = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 32, 32))
+    texts = [list(rng.randint(3, 400, size=5)),
+             list(rng.randint(3, 400, size=9))]
+    embs = model.serving_prefix_embeds(params, pixels)      # [2, N, D]
+
+    eng_d = _engine(model, params)
+    sids_d = [eng_d.submit(_prompt(tx), prefix_embeds=embs[i],
+                           prefix_lm=True, media_key=f"i{i}")
+              for i, tx in enumerate(texts)]
+    out_d = eng_d.run()
+
+    eng_h = _engine(model, params)
+    sids_h = [eng_h.submit(_prompt(tx),
+                           prefix_embeds=np.asarray(embs[i], np.float32),
+                           prefix_lm=True, media_key=f"i{i}")
+              for i, tx in enumerate(texts)]
+    out_h = eng_h.run()
+    for sd, sh in zip(sids_d, sids_h):
+        assert out_d[sd] == out_h[sh], (out_d[sd], out_h[sh])
+
+
 def test_prefix_cache_shares_identical_image_prompt(pg):
     model, params = pg
     px = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 32, 32))

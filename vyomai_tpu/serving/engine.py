@@ -266,6 +266,7 @@ class ContinuousBatchEngine:
         if self.repetition_penalty <= 0:
             raise ValueError("repetition_penalty must be > 0 (1.0 = off)")
         self._rng = jax.random.PRNGKey(seed)
+        self.dtype = dtype
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
         self.draft_model = draft_model
@@ -548,7 +549,12 @@ class ContinuousBatchEngine:
         n_embed = 0
         if prefix_embeds is not None:
             import numpy as _np
-            prefix_embeds = _np.asarray(prefix_embeds, _np.float32)
+            if not isinstance(prefix_embeds, jax.Array):
+                # host arrays normalize to fp32; DEVICE arrays stay on
+                # device — the tower output feeds prefill with no
+                # host round-trip (2 x ~16 MB/tick over the tunnel was a
+                # measured caption-serving cost, VERDICT r4 #3)
+                prefix_embeds = _np.asarray(prefix_embeds, _np.float32)
             if prefix_embeds.ndim != 2 or \
                     prefix_embeds.shape[1] != self.cfg.hidden_size:
                 raise ValueError(
@@ -943,10 +949,10 @@ class ContinuousBatchEngine:
         mm_kw = {}
         if any(getattr(st, "embed_len", 0) or getattr(st, "bidir_len", 0)
                for st in states):
-            embeds = np.zeros((n_pad, t_pad, self.cfg.hidden_size),
-                              dtype=np.float32)
             embed_len = np.zeros(n_pad, dtype=np.int32)
             bidir_len = np.zeros(n_pad, dtype=np.int32)
+            row_list = [None] * n_pad
+            any_dev = False
             for i, state in enumerate(states):
                 ne = getattr(state, "embed_len", 0)
                 cached = state.num_cached_tokens
@@ -954,10 +960,37 @@ class ContinuousBatchEngine:
                     rows = state.prefix_embeds[cached:min(ne, cached
                                                           + len(suffixes[i]))]
                     if len(rows):
-                        embeds[i, :len(rows)] = rows
+                        row_list[i] = rows
+                        any_dev |= isinstance(rows, jax.Array)
                     embed_len[i] = ne
                 bidir_len[i] = getattr(state, "bidir_len", 0)
-            mm_kw = dict(embeds=self._put(embeds),
+            if any_dev:
+                # device-resident embeds (tower output): assemble the
+                # padded [n_pad, t_pad, H] buffer ON DEVICE — no host
+                # round-trip for the image features. Cast to the model's
+                # HIDDEN dtype (self.dtype may be an int8/int4 pool dtype)
+                from ..core import nn as _cnn
+                hdt = _cnn.embedding_dtype(self.params["embed_tokens"])
+                lanes = []
+                for rows in row_list:
+                    if rows is None:
+                        lanes.append(jnp.zeros(
+                            (t_pad, self.cfg.hidden_size), hdt))
+                    else:
+                        r = jnp.asarray(rows, hdt)
+                        lanes.append(jnp.pad(
+                            r, ((0, t_pad - r.shape[0]), (0, 0))))
+                embeds_op = jnp.stack(lanes)
+                if self.mesh is not None:
+                    embeds_op = jax.device_put(embeds_op, self._replicated)
+            else:
+                embeds = np.zeros((n_pad, t_pad, self.cfg.hidden_size),
+                                  dtype=np.float32)
+                for i, rows in enumerate(row_list):
+                    if rows is not None:
+                        embeds[i, :len(rows)] = rows
+                embeds_op = self._put(embeds)
+            mm_kw = dict(embeds=embeds_op,
                          embed_len=self._put(embed_len),
                          bidir_len=self._put(bidir_len))
         if self.position_offset:
