@@ -78,8 +78,12 @@ def _time(fn, *args, repeats=REPEATS):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--part", default="all",
+                    help="comma list of tick,floor,attn,write,norms,engine")
     args = ap.parse_args()
     horizon = args.horizon
+    parts = (("tick", "floor", "attn", "write", "norms", "engine")
+             if args.part == "all" else tuple(args.part.split(",")))
 
     model = vt.ModelForCausalLM(CFG)
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -98,28 +102,42 @@ def main():
     positions = jnp.full((M,), CTX, jnp.int32)
     live = jnp.ones((M,), bool)
 
-    # --- full device tick -------------------------------------------------
-    def tick(pl):
-        out, _, pl = paged_model.decode_horizon(
-            model, False, params, pl, tokens, positions, tables, live,
-            horizon)
-        return out, pl
+    # --- full device tick (decode_horizon is ALREADY jitted with pool
+    # donation — wrapping it in another jit builds a second huge program
+    # and r5's first attempt crashed the remote compile helper doing so)
+    device_step_ms = float("nan")
+    if "tick" in parts:
+        pool2 = pool
+        # mirror the ENGINE's decode_horizon call signature exactly so this
+        # shares the engine part's compiled program (two distinct
+        # multi-minute compiles otherwise)
+        temps = jnp.full((M,), 1.0, jnp.float32)
+        tps_v = jnp.full((M,), 1.0, jnp.float32)
+        mps_v = jnp.full((M,), 0.0, jnp.float32)
+        budget = jnp.full((M,), horizon, jnp.int32)
+        key = jax.random.PRNGKey(0)
 
-    tick_j = jax.jit(tick, donate_argnums=(0,))
-    out, pool2 = tick_j(pool)
-    _sync(out)
+        def run_tick():
+            nonlocal pool2
+            o = None
+            for _ in range(4):          # pipeline 4 ticks, fetch once
+                o, _, pool2 = paged_model.decode_horizon(
+                    model, False, params, pool2, tokens, positions, tables,
+                    live, horizon, False, eos=-1, rng=key,
+                    temperature=temps, top_p=tps_v, min_p=mps_v,
+                    budget=budget, allow_pallas=True, mesh=None,
+                    rope_offset=0, with_logprobs=False)
+            return o
 
-    def run_tick():
-        nonlocal pool2
-        o = None
-        for _ in range(4):          # pipeline 4 ticks, fetch once
-            o, pool2 = tick_j(pool2)
-        return o
-
-    dev_tick_s = _time(run_tick) / 4
-    device_step_ms = 1e3 * dev_tick_s / horizon
+        dev_tick_s = _time(run_tick) / 4
+        device_step_ms = 1e3 * dev_tick_s / horizon
+        print(json.dumps({"part": "tick",
+                          "device_step_ms": round(device_step_ms, 3)}),
+              flush=True)
 
     # --- matmul floor (real params, same shapes; no attention/norm) -------
+    floor_ms = attn_ms = write_ms = norms_ms = float("nan")
+
     def floor_fn(h0):
         def step(_, h):
             def body(h, lp):
@@ -140,31 +158,38 @@ def main():
 
     h0 = jax.random.normal(jax.random.PRNGKey(1), (M, CFG.hidden_size),
                            jnp.bfloat16)
-    floor_j = jax.jit(floor_fn)
-    floor_ms = 1e3 * _time(floor_j, h0) / horizon
+    if "floor" in parts:
+        floor_ms = 1e3 * _time(jax.jit(floor_fn), h0) / horizon
+        print(json.dumps({"part": "floor",
+                          "matmul_floor_ms": round(floor_ms, 3)}),
+              flush=True)
 
     # --- attention kernel chain ------------------------------------------
     q0 = jax.random.normal(jax.random.PRNGKey(2),
                            (M, CFG.num_attention_heads, CFG.head_dim),
                            jnp.float32)
     seq_lens = jnp.full((M,), CTX, jnp.int32)
+    if "attn" in parts:
+        akv = jnp.zeros((nl, NB, 2, BS, width), jnp.bfloat16)
 
-    def attn_fn(q):
-        def step(_, q):
-            def body(q, pkv):
-                a = paged_decode_pallas.paged_attention_decode_pallas(
-                    q.astype(jnp.float32), pkv, tables, seq_lens,
-                    CFG.num_key_value_heads, None)
-                return q + 1e-30 * a, None
-            q, _ = jax.lax.scan(body, q, pool["kv"])
-            return q
-        return jax.lax.fori_loop(0, horizon, step, q)
+        def attn_fn(q):
+            def step(_, q):
+                def body(q, pkv):
+                    a = paged_decode_pallas.paged_attention_decode_pallas(
+                        q.astype(jnp.float32), pkv, tables, seq_lens,
+                        CFG.num_key_value_heads, None)
+                    return q + 1e-30 * a, None
+                q, _ = jax.lax.scan(body, q, akv)
+                return q
+            return jax.lax.fori_loop(0, horizon, step, q)
 
-    attn_supported = paged_decode_pallas.supported(
-        jnp.zeros((M, CFG.num_attention_heads, CFG.head_dim)),
-        pool["kv"][0], CFG.num_key_value_heads)
-    attn_ms = (1e3 * _time(jax.jit(attn_fn), q0) / horizon
-               if attn_supported else float("nan"))
+        attn_supported = paged_decode_pallas.supported(
+            jnp.zeros((M, CFG.num_attention_heads, CFG.head_dim)),
+            akv[0], CFG.num_key_value_heads)
+        attn_ms = (1e3 * _time(jax.jit(attn_fn), q0) / horizon
+                   if attn_supported else float("nan"))
+        print(json.dumps({"part": "attn",
+                          "attn_kernel_ms": round(attn_ms, 3)}), flush=True)
 
     # --- kv write chain ---------------------------------------------------
     k_new = jax.random.normal(jax.random.PRNGKey(3),
@@ -183,15 +208,17 @@ def main():
             return pl
         return jax.lax.fori_loop(0, horizon, step, pl)
 
-    write_j = jax.jit(write_fn, donate_argnums=(0,))
-    wpool = jnp.zeros_like(pool["kv"])
-    wout = write_j(wpool)
-    _sync(wout)
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        wout = write_j(wout)
-    _sync(wout)
-    write_ms = 1e3 * (time.perf_counter() - t0) / REPEATS / horizon
+    if "write" in parts:
+        write_j = jax.jit(write_fn, donate_argnums=(0,))
+        wout = write_j(jnp.zeros((nl, NB, 2, BS, width), jnp.bfloat16))
+        _sync(wout)
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            wout = write_j(wout)
+        _sync(wout)
+        write_ms = 1e3 * (time.perf_counter() - t0) / REPEATS / horizon
+        print(json.dumps({"part": "write",
+                          "kv_write_ms": round(write_ms, 3)}), flush=True)
 
     # --- norms + rope chain ----------------------------------------------
     lp0 = jax.tree_util.tree_map(lambda x: x[0], params["layers"])
@@ -214,27 +241,32 @@ def main():
             return h
         return jax.lax.fori_loop(0, horizon, step, h)
 
-    norms_ms = 1e3 * _time(jax.jit(norm_fn), h0) / horizon
+    if "norms" in parts:
+        norms_ms = 1e3 * _time(jax.jit(norm_fn), h0) / horizon
+        print(json.dumps({"part": "norms",
+                          "norms_rope_ms": round(norms_ms, 3)}), flush=True)
 
     # --- engine tick (host + RTT included) --------------------------------
-    from vyomai_tpu.serving import ContinuousBatchEngine
-    eng = ContinuousBatchEngine(
-        model, params, num_blocks=256, block_size=BS, max_batch=M,
-        max_blocks_per_seq=MAXB, max_new_tokens=256,
-        prefill_buckets=(CTX,), decode_horizon=horizon)
-    rng = np.random.default_rng(0)
-    for _ in range(M):
-        eng.submit(list(rng.integers(10, 1000, size=CTX - 1)),
-                   ignore_eos=True)
-    while eng.needs_prefill or eng.waiting:
-        eng.step()
-    eng.step()  # warm decode program
-    t0 = time.perf_counter()
-    n = 6
-    for _ in range(n):
-        eng.step()
-    engine_tick_ms = 1e3 * (time.perf_counter() - t0) / n
-    engine_step_ms = engine_tick_ms / horizon
+    engine_tick_ms = engine_step_ms = float("nan")
+    if "engine" in parts:
+        from vyomai_tpu.serving import ContinuousBatchEngine
+        eng = ContinuousBatchEngine(
+            model, params, num_blocks=256, block_size=BS, max_batch=M,
+            max_blocks_per_seq=MAXB, max_new_tokens=256,
+            prefill_buckets=(CTX,), decode_horizon=horizon)
+        rng = np.random.default_rng(0)
+        for _ in range(M):
+            eng.submit(list(rng.integers(10, 1000, size=CTX - 1)),
+                       ignore_eos=True)
+        while eng.needs_prefill or eng.waiting:
+            eng.step()
+        eng.step()  # warm decode program
+        t0 = time.perf_counter()
+        n = 6
+        for _ in range(n):
+            eng.step()
+        engine_tick_ms = 1e3 * (time.perf_counter() - t0) / n
+        engine_step_ms = engine_tick_ms / horizon
 
     rows = {
         "device_step_ms": round(device_step_ms, 3),

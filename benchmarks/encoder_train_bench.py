@@ -1,0 +1,204 @@
+"""Masked-encoder + ViT TRAINING measurements (VERDICT r4 #5 and #7).
+
+Two open measurement debts from round 4:
+
+1. The short-attention kernel now accepts additive key-pad masks (r5), so
+   right-padded MLM/classification batches at L <= 512 — the reference's
+   actual encoder training regime (`/root/reference/VyomAI/models/
+   encoder.py:161-164`, right-padded RoBERTa fixtures) — can ride it.
+   The kernel docstring CLAIMED training at these lengths is
+   projection-dominated; this bench measures the claim: full train step
+   (fwd+bwd+adamw) tokens/s with the kernel vs forced-XLA attention.
+
+2. ViT TRAINING (N13): the r4 forward win (3.9k img/s) left the backward
+   on XLA einsums (the kernel's VJP recomputes probabilities). Measures
+   fwd-only and fwd+bwd img/s under both impls, and the attention
+   fwd+bwd share of the step — the decision input for an in-kernel
+   backward (threshold: >10% of step time).
+
+Run on chip: python benchmarks/encoder_train_bench.py [--part mlm|vit|all]
+"""
+
+import argparse
+import json
+import os as _os
+import sys as _sys
+import time
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import vyomai_tpu as vt
+from vyomai_tpu.layers.attention import set_sdpa_impl
+from vyomai_tpu.ops.fused import cross_entropy
+from vyomai_tpu.training import (create_train_state, make_optimizer,
+                                 make_train_step)
+
+V5E_PEAK_BF16 = 197e12
+
+
+def _sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jnp.ravel(leaf)[0])
+
+
+def _time(fn, *args, repeats=8):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / repeats
+
+
+def bench_mlm(seq: int, batch: int):
+    """Right-padded masked-LM train step, short kernel vs forced XLA."""
+    cfg = vt.EncoderConfig(hidden_size=768, num_attention_heads=12,
+                           num_key_value_heads=12, num_hidden_layers=12,
+                           vocab_size=32768, max_position_embeddings=512,
+                           intermediate_size=3072, hidden_dropout_prob=0.0)
+    model = vt.EncoderForMaskedLM(cfg, pos_embedding_type="absolute")
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(10, cfg.vocab_size - 10,
+                                   size=(batch, seq)), jnp.int32)
+    # right-padding: lengths uniform in [seq//2, seq] (the reference's
+    # fixture shape); ~75% occupancy
+    lens = rng.integers(seq // 2, seq + 1, size=batch)
+    mask = jnp.asarray(np.arange(seq)[None, :] < lens[:, None], jnp.int32)
+    real_tokens = int(lens.sum())
+
+    def loss_fn(p, b, _rng):
+        out = model.apply(p, b["ids"], attention_mask=b["mask"])
+        # CE over valid positions only (labels = inputs; speed bench)
+        labels = jnp.where(b["mask"] > 0, b["ids"], -100)
+        return cross_entropy(out.logits, labels), {}
+
+    opt = make_optimizer(1e-4, warmup_steps=10)
+    step = make_train_step(loss_fn, opt)
+    key = jax.random.PRNGKey(0)
+    batch_d = {"ids": ids, "mask": mask}
+    results = {}
+    for impl in ("short", "xla"):
+        set_sdpa_impl(impl)
+        try:
+            params = model.init(jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+            state = create_train_state(params, opt)
+
+            def run(state):
+                for _ in range(4):
+                    state, m = step(state, batch_d, key)
+                return state, m
+
+            (state, m) = run(state)      # compile
+            _sync(m["loss"])
+            t0 = time.perf_counter()
+            reps = 4
+            for _ in range(reps):
+                state, m = run(state)
+            _sync(m["loss"])
+            dt = (time.perf_counter() - t0) / (4 * reps)
+            results[impl] = real_tokens / dt
+        finally:
+            set_sdpa_impl("auto")
+    rec = {"metric": "masked_encoder_train", "seq": seq, "batch": batch,
+           "short_tokens_per_sec": round(results["short"], 1),
+           "xla_tokens_per_sec": round(results["xla"], 1),
+           "speedup": round(results["short"] / results["xla"], 3)}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def bench_vit(batch: int = 128):
+    """ViT-base classification fwd-only and fwd+bwd img/s, short vs XLA."""
+    cfg = vt.VisionConfig(num_hidden_layers=12, hidden_dropout_prob=0.0)
+    model = vt.Vit(cfg)
+    n_cls = 1000
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(
+        (batch, 3, 224, 224), np.float32), jnp.bfloat16)
+    labels = jnp.asarray(rng.integers(0, n_cls, size=batch), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+    for impl in ("short", "xla"):
+        set_sdpa_impl(impl)
+        try:
+            params = model.init(jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+            head = {"w": jnp.zeros((cfg.hidden_size, n_cls), jnp.bfloat16),
+                    "b": jnp.zeros((n_cls,), jnp.bfloat16)}
+
+            def loss_fn(p, b, _rng):
+                hid = model.apply(p["vit"], b["images"]).logits  # [B, L, D]
+                logits = hid[:, 0] @ p["head"]["w"] + p["head"]["b"]
+                return cross_entropy(logits, b["labels"]), {}
+
+            opt = make_optimizer(1e-4, warmup_steps=10)
+            step = make_train_step(loss_fn, opt)
+            state = create_train_state({"vit": params, "head": head}, opt)
+            bd = {"images": images, "labels": labels}
+
+            fwd = jax.jit(lambda p, x: jnp.sum(model.apply(p, x).logits))
+            t_fwd = _time(fwd, params, images)
+
+            def run(state):
+                for _ in range(4):
+                    state, m = step(state, bd, key)
+                return state, m
+
+            state, m = run(state)
+            _sync(m["loss"])
+            t0 = time.perf_counter()
+            reps = 4
+            for _ in range(reps):
+                state, m = run(state)
+            _sync(m["loss"])
+            t_step = (time.perf_counter() - t0) / (4 * reps)
+            results[impl] = {"fwd_img_s": batch / t_fwd,
+                             "train_img_s": batch / t_step,
+                             "step_ms": 1e3 * t_step}
+        finally:
+            set_sdpa_impl("auto")
+
+    # attention fwd+bwd share: chained sdpa grad at the ViT shape
+    from vyomai_tpu.ops import short_attention as sa
+    q = jax.random.normal(jax.random.PRNGKey(2), (batch, 12, 197, 64),
+                          jnp.bfloat16)
+
+    def attn_fb(q):
+        def step(_, q):
+            g = jax.grad(lambda qq: jnp.sum(
+                sa.short_attention(qq, qq, qq).astype(jnp.float32) ** 2))(q)
+            return (q + 1e-30 * g).astype(q.dtype)
+        return jax.lax.fori_loop(0, 12, step, q)
+
+    t_attn_fb = _time(jax.jit(attn_fb), q) / 12  # per layer
+    attn_fb_step_ms = 1e3 * t_attn_fb * 12
+    share = attn_fb_step_ms / results["short"]["step_ms"]
+    rec = {"metric": "vit_train",
+           "batch": batch,
+           "short": {k: round(v, 1) for k, v in results["short"].items()},
+           "xla": {k: round(v, 1) for k, v in results["xla"].items()},
+           "train_speedup": round(results["short"]["train_img_s"]
+                                  / results["xla"]["train_img_s"], 3),
+           "attn_fwd_bwd_ms_per_step": round(attn_fb_step_ms, 2),
+           "attn_share_of_step": round(share, 3)}
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", choices=("mlm", "vit", "all"), default="all")
+    args = ap.parse_args()
+    if args.part in ("mlm", "all"):
+        bench_mlm(seq=128, batch=64)
+        bench_mlm(seq=512, batch=16)
+    if args.part in ("vit", "all"):
+        bench_vit()
