@@ -121,7 +121,7 @@ def main():
             nonlocal pool2
             o = None
             for _ in range(4):          # pipeline 4 ticks, fetch once
-                o, _, pool2 = paged_model.decode_horizon(
+                o, _, _, pool2 = paged_model.decode_horizon(
                     model, False, params, pool2, tokens, positions, tables,
                     live, horizon, False, eos=-1, rng=key,
                     temperature=temps, top_p=tps_v, min_p=mps_v,
@@ -138,7 +138,10 @@ def main():
     # --- matmul floor (real params, same shapes; no attention/norm) -------
     floor_ms = attn_ms = write_ms = norms_ms = float("nan")
 
-    def floor_fn(h0):
+    # params is an explicit jit ARGUMENT everywhere below: closing over the
+    # ~1.8 GB tree serializes it into the compile payload and crashes the
+    # remote compile helper (broken pipe — serving_spec_bench hit the same)
+    def floor_fn(p, h0):
         def step(_, h):
             def body(h, lp):
                 q = cnn.linear(lp["self_attn"]["q_proj"], h)
@@ -151,15 +154,15 @@ def main():
                                    jax.nn.silu(g) * u)
                 # keep k/v alive without extra HBM traffic
                 return h + 1e-30 * (k[:, :1] + v[:, :1]), None
-            h, _ = jax.lax.scan(body, h, params["layers"])
-            logits = paged_model._head(params, h)
+            h, _ = jax.lax.scan(body, h, p["layers"])
+            logits = paged_model._head(p, h)
             return h + 1e-30 * logits[:, :1]
         return jax.lax.fori_loop(0, horizon, step, h0)
 
     h0 = jax.random.normal(jax.random.PRNGKey(1), (M, CFG.hidden_size),
                            jnp.bfloat16)
     if "floor" in parts:
-        floor_ms = 1e3 * _time(jax.jit(floor_fn), h0) / horizon
+        floor_ms = 1e3 * _time(jax.jit(floor_fn), params, h0) / horizon
         print(json.dumps({"part": "floor",
                           "matmul_floor_ms": round(floor_ms, 3)}),
               flush=True)
@@ -172,21 +175,21 @@ def main():
     if "attn" in parts:
         akv = jnp.zeros((nl, NB, 2, BS, width), jnp.bfloat16)
 
-        def attn_fn(q):
+        def attn_fn(akv_in, q):
             def step(_, q):
                 def body(q, pkv):
                     a = paged_decode_pallas.paged_attention_decode_pallas(
                         q.astype(jnp.float32), pkv, tables, seq_lens,
                         CFG.num_key_value_heads, None)
                     return q + 1e-30 * a, None
-                q, _ = jax.lax.scan(body, q, akv)
+                q, _ = jax.lax.scan(body, q, akv_in)
                 return q
             return jax.lax.fori_loop(0, horizon, step, q)
 
         attn_supported = paged_decode_pallas.supported(
             jnp.zeros((M, CFG.num_attention_heads, CFG.head_dim)),
             akv[0], CFG.num_key_value_heads)
-        attn_ms = (1e3 * _time(jax.jit(attn_fn), q0) / horizon
+        attn_ms = (1e3 * _time(jax.jit(attn_fn), akv, q0) / horizon
                    if attn_supported else float("nan"))
         print(json.dumps({"part": "attn",
                           "attn_kernel_ms": round(attn_ms, 3)}), flush=True)
@@ -201,10 +204,9 @@ def main():
         def step(i, pl):
             off = jnp.full((M,), jnp.mod(i, BS), jnp.int32)
 
-            def body(pkv, _):
-                w = write_kv(pkv, k_new, k_new, sb, off)
-                return w, None
-            pl, _ = jax.lax.scan(body, pl, jnp.arange(nl))
+            def body(_, pkv):            # scan over the LAYER dim of pl
+                return None, write_kv(pkv, k_new, k_new, sb, off)
+            _, pl = jax.lax.scan(body, None, pl)
             return pl
         return jax.lax.fori_loop(0, horizon, step, pl)
 
@@ -222,15 +224,16 @@ def main():
 
     # --- norms + rope chain ----------------------------------------------
     lp0 = jax.tree_util.tree_map(lambda x: x[0], params["layers"])
+    emb_freq = jnp.asarray(model.emb_freq)
 
-    def norm_fn(h):
+    def norm_fn(lp0, ef, h):
         def step(_, h):
             def body(h, __):
                 n1 = cnn.rms_norm(lp0["input_layernorm"], h,
                                   eps=CFG.rms_norm_eps)
                 q = n1.reshape(M, CFG.hidden_size // CFG.head_dim,
                                CFG.head_dim)
-                fr = jnp.take(model.emb_freq[0], positions, axis=0)
+                fr = jnp.take(ef[0], positions, axis=0)
                 emb = jnp.concatenate([fr, fr], axis=-1)[:, None, :]
                 q = (q * jnp.cos(emb).astype(q.dtype)
                      + rotate_half(q) * jnp.sin(emb).astype(q.dtype))
@@ -242,7 +245,7 @@ def main():
         return jax.lax.fori_loop(0, horizon, step, h)
 
     if "norms" in parts:
-        norms_ms = 1e3 * _time(jax.jit(norm_fn), h0) / horizon
+        norms_ms = 1e3 * _time(jax.jit(norm_fn), lp0, emb_freq, h0) / horizon
         print(json.dumps({"part": "norms",
                           "norms_rope_ms": round(norms_ms, 3)}), flush=True)
 

@@ -112,7 +112,8 @@ class ContinuousBatchEngine:
                  loras=None, return_logprobs: bool = False,
                  position_offset: int = 0, radix_cache: bool = True,
                  max_prefill_per_tick: Optional[int] = None,
-                 cache_aware_admission: bool = False):
+                 cache_aware_admission: bool = False,
+                 pipeline_decode: bool = True):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
         tensor-parallel serving — weights sharded by the Megatron
         column/row rules, the paged pool split on its kv-head width, decode
@@ -266,6 +267,10 @@ class ContinuousBatchEngine:
         if self.repetition_penalty <= 0:
             raise ValueError("repetition_penalty must be > 0 (1.0 = off)")
         self._rng = jax.random.PRNGKey(seed)
+        # pipelined plain-decode: one tick kept in flight, next tick
+        # dispatched from its device carry before its results are fetched
+        self.pipeline_decode = bool(pipeline_decode)
+        self._inflight = None
         self.dtype = dtype
         self.pool = paged_model.init_pool(self.cfg, num_blocks, block_size,
                                           dtype=dtype)
@@ -1173,9 +1178,33 @@ class ContinuousBatchEngine:
         return self._put(temps), self._put(tps), self._put(mps)
 
     def _decode_batch(self):
+        """Plain decode tick, PIPELINED when safe: the previous tick's
+        device-side carry (final tokens + eos-death flags) feeds the next
+        tick's dispatch BEFORE the previous results are fetched, so the
+        host bookkeeping + tunnel round-trip of a tick overlaps the next
+        tick's device execution. Measured r5 (decode_step_profile, 0.9B
+        M=8 horizon=32): an engine step cost 5.99 ms of which only 2.84 ms
+        was device time — the rest was the blocking fetch + per-tick host
+        work this overlap hides."""
+        prev, self._inflight = self._inflight, None
+        if prev is not None:
+            nxt = self._try_chain(prev)   # dispatch while prev in flight
+            self._harvest_decode(prev)
+            if nxt is not None:
+                self._inflight = nxt
+                return
+        rec = self._dispatch_decode()
+        if rec is None:
+            return
+        if rec["chainable"]:
+            self._inflight = rec          # harvested next step, overlapped
+        else:
+            self._harvest_decode(rec)
+
+    def _dispatch_decode(self):
         states = [s for s in self.active.values() if not s.finished]
         if not states:
-            return
+            return None
         b = self.max_batch
         horizon = self.decode_horizon
         tokens = np.zeros(b, dtype=np.int32)
@@ -1217,7 +1246,7 @@ class ContinuousBatchEngine:
             # youngest sequence so the survivors (or it, re-admitted once
             # blocks free up) can make progress — no busy-spin
             self._preempt_youngest()
-            return
+            return None
         self._rng, sub = jax.random.split(self._rng)
         temps, tps, mps = self._lane_sampling(states, b)
         fsm_kw = {}
@@ -1297,7 +1326,7 @@ class ContinuousBatchEngine:
                 fsm_kw.update(lane_seeds=self._put(seeds),
                               gen_base=self._put(genb))
         self.counters["decode_ticks"] += 1
-        gen, lps, self.pool = paged_model.decode_horizon(
+        gen, lps, carry, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             self._put(tokens), self._put(positions), self._put(tables),
             self._put(live_mask), horizon, self.do_sample,
@@ -1307,6 +1336,126 @@ class ContinuousBatchEngine:
             allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
             rope_offset=self.position_offset,
             with_logprobs=self.return_logprobs, **fsm_kw)
+        # Chain safety: every finish condition the DEVICE cannot see
+        # (multi-eos, stop strings, FSM accept, penalties' host-rebuilt
+        # state, window reclaim, best_of families) breaks the guarantee
+        # that an in-flight chained tick never writes KV into blocks the
+        # host is about to free — those fall back to synchronous ticks.
+        chainable = (
+            self.pipeline_decode
+            # speculative engines fall back to plain ticks under pool
+            # pressure; their NEXT tick reads host token state, so a
+            # stashed in-flight tick would desync it
+            and self.draft_model is None and not self.ngram_speculation
+            and self.medusa_params is None
+            and "fsm_ids" not in fsm_kw
+            and "token_counts" not in fsm_kw
+            and "rep_penalty" not in fsm_kw
+            and "min_steps" not in fsm_kw
+            and "bias_idx" not in fsm_kw
+            and self._window_free is None
+            and len(self.eos_ids) <= 1
+            and all(not getattr(s, "stop_seqs", ())
+                    and getattr(s, "family", None) is None
+                    for _, s, _ in live))
+        return {"gen": gen, "lps": lps, "carry": carry, "live": live,
+                "chainable": chainable}
+
+    def _try_chain(self, prev):
+        """Dispatch the next decode tick from the in-flight tick's DEVICE
+        carry (no host round-trip): valid only when the batch composition
+        is unchanged and every lane can take at least one more step.
+        Returns the new in-flight record, or None (caller falls back to a
+        synchronous tick after harvesting)."""
+        if not prev["chainable"]:
+            return None
+        states = [s for s in self.active.values() if not s.finished]
+        prev_states = [s for _, s, _ in prev["live"]]
+        if len(states) != len(prev_states) or \
+                any(a is not b for a, b in zip(states, prev_states)):
+            return None             # admission/finish changed composition
+        b = self.max_batch
+        horizon = self.decode_horizon
+        bs = self.block_size
+        positions = np.zeros(b, dtype=np.int32)
+        live_mask = np.zeros(b, dtype=bool)
+        budget = np.zeros(b, dtype=np.int32)
+        tables = np.full((b, self.max_blocks_per_seq), -1, dtype=np.int32)
+        live = []
+        for i, state, h_prev in prev["live"]:
+            # the in-flight tick's tokens are not harvested yet: assume
+            # alive lanes emitted their full grant (exact for alive lanes;
+            # eos-dead lanes are masked out via the device carry below)
+            assumed_len = len(state.tokens) + h_prev
+            pos1 = assumed_len - 1
+            if assumed_len >= self.max_blocks_per_seq * bs:
+                # lane finishes out_of_blocks at the coming harvest (frees
+                # its blocks while this chained tick would still write its
+                # carry token's KV): drain + sync tick
+                return None
+            remaining = getattr(state, "max_new", self.max_new_tokens) \
+                - (assumed_len - state.prompt_len)
+            cap1 = self.max_blocks_per_seq * bs - pos1
+            h1 = min(horizon, remaining, cap1)
+            if h1 < 1:
+                return None         # someone at a cap: drain + sync tick
+            if not self.kv.allocate(state, pos1 + h1):
+                return None         # pool pressure: sync path handles it
+            positions[i] = pos1
+            live_mask[i] = True
+            budget[i] = h1
+            tables[i, :len(state.block_table)] = state.block_table
+            live.append((i, state, h1))
+        toks_dev, eosd_dev = prev["carry"]
+        live_arg = jnp.logical_and(self._put(live_mask),
+                                   jnp.logical_not(eosd_dev))
+        self._rng, sub = jax.random.split(self._rng)
+        temps, tps, mps = self._lane_sampling(states, b)
+        fsm_kw = {}
+        if self.num_loras:
+            lanes = np.full(b, -1, dtype=np.int32)
+            for i, state, _ in live:
+                lanes[i] = getattr(state, "lora_id", -1)
+            fsm_kw["lora_lanes"] = self._put(lanes)
+        ignore = np.zeros(b, bool)
+        for i, state, _ in live:
+            ignore[i] = getattr(state, "ignore_eos", False)
+        eos_arg = -1 if self.eos_token_id is None else self.eos_token_id
+        if ignore.any():
+            ev = np.full(b, eos_arg, np.int32)
+            ev[ignore] = -1
+            eos_arg = self._put(ev)
+        if self.do_sample:
+            prev_h = {i: hp for i, _, hp in prev["live"]}
+            seeds = np.full(b, -1, np.int32)
+            genb = np.zeros(b, np.int32)
+            for i, state, _ in live:
+                if getattr(state, "seed", None) is not None:
+                    seeds[i] = state.seed
+                    # alive lanes emitted exactly their previous grant
+                    genb[i] = (len(state.tokens) - state.prompt_len
+                               + prev_h[i])
+            if (seeds >= 0).any():
+                fsm_kw.update(lane_seeds=self._put(seeds),
+                              gen_base=self._put(genb))
+        self.counters["decode_ticks"] += 1
+        self.counters["chained_ticks"] = \
+            self.counters.get("chained_ticks", 0) + 1
+        gen, lps, carry, self.pool = paged_model.decode_horizon(
+            self.model, self.plus_one, self.params, self.pool,
+            toks_dev, self._put(positions), self._put(tables),
+            live_arg, horizon, self.do_sample,
+            eos=eos_arg,
+            rng=self._put(sub), temperature=temps,
+            top_p=tps, min_p=mps, budget=self._put(budget),
+            allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
+            rope_offset=self.position_offset,
+            with_logprobs=self.return_logprobs, **fsm_kw)
+        return {"gen": gen, "lps": lps, "carry": carry, "live": live,
+                "chainable": True}
+
+    def _harvest_decode(self, rec):
+        gen, lps = rec["gen"], rec["lps"]
         if self.return_logprobs:
             packed = np.asarray(_pack_i32_f32(gen, lps))
             h_w = packed.shape[1] // 2
@@ -1315,7 +1464,11 @@ class ContinuousBatchEngine:
         else:
             gen = np.asarray(gen)
             lps = None
-        for i, state, h in live:
+        for i, state, h in rec["live"]:
+            if state.finished:
+                # finished at a previous harvest while this (stale) tick
+                # was in flight; the device carry kept the lane dead
+                continue
             # only the granted steps are backed by allocated blocks
             for j in range(h):
                 self._append_token(state, int(gen[i, j]),

@@ -623,7 +623,14 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     ``compute_transition_scores(normalize_logits=True)`` on unprocessed
     scores). Dead-lane entries are 0.
 
-    Returns (generated [B, horizon], logprobs [B, horizon] fp32, pool)."""
+    Returns ``(generated [B, horizon], logprobs [B, horizon] fp32,
+    (final_tokens [B] int32, eos_dead [B] bool), pool)`` — the final-carry
+    pair lets the engine dispatch the NEXT tick from device-side state
+    before fetching this one (pipelined decode: the host+tunnel tax of a
+    tick overlaps the next tick's device execution). ``final_tokens`` is
+    each lane's last emitted token (the next tick's input); ``eos_dead``
+    marks lanes killed by eos (NOT by the budget freeze, which is
+    revivable)."""
     b = tokens.shape[0]
     bs = pool["kv"].shape[3]
     out_buf = jnp.zeros((b, horizon), dtype=jnp.int32)
@@ -665,11 +672,11 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
             gen_base = jnp.zeros((b,), jnp.int32)
 
     def cond(carry):
-        i, _, _, alive, _, _, _, _, _, _, _ = carry
+        i, _, _, alive, _, _, _, _, _, _, _, _ = carry
         return (i < horizon) & jnp.any(alive)
 
     def body(carry):
-        i, toks, pos, alive, key, fst, pl_, out, lps, cnt, seen = carry
+        i, toks, pos, alive, key, fst, pl_, out, lps, cnt, seen, eosd = carry
         blk_idx = pos // bs
         slot_blocks = jnp.where(
             alive, jnp.take_along_axis(block_tables, blk_idx[:, None],
@@ -731,16 +738,23 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         if repetition:
             seen = seen.at[rows_b, nxt].max(alive)
         out = out.at[:, i].set(jnp.where(alive, nxt, 0))
+        # eos-death is tracked SEPARATELY from the budget freeze so the
+        # engine can chain ticks device-side (pipelined decode): a
+        # budget-frozen lane is revivable next tick, an eos'd one is not
+        eosd = eosd | (alive & (nxt == eos))
         alive = alive & (nxt != eos) & (i + 1 < budget)
         pos = jnp.where(alive, pos + 1, pos)
-        return i + 1, nxt, pos, alive, key, fst, pl_, out, lps, cnt, seen
+        return (i + 1, nxt, pos, alive, key, fst, pl_, out, lps, cnt, seen,
+                eosd)
 
+    eosd0 = jnp.zeros((b,), bool)
     with cnn.lora_lanes(lora_lanes):
-        _, _, _, _, _, _, pool, out_buf, lp_buf, _, _ = jax.lax.while_loop(
+        (_, toks_f, _, _, _, _, pool, out_buf, lp_buf, _, _,
+         eosd_f) = jax.lax.while_loop(
             cond, body, (jnp.int32(0), tokens.astype(jnp.int32), positions,
                          live, rng, fsm_states, pool, out_buf, lp_buf,
-                         token_counts, seen_mask))
-    return out_buf, lp_buf, pool
+                         token_counts, seen_mask, eosd0))
+    return out_buf, lp_buf, (toks_f, eosd_f), pool
 
 
 def _slot_of(block_tables, bs, p, alive):
