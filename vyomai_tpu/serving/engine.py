@@ -1247,7 +1247,11 @@ class ContinuousBatchEngine:
             # blocks free up) can make progress — no busy-spin
             self._preempt_youngest()
             return None
-        self._rng, sub = jax.random.split(self._rng)
+        # greedy never reads the key in-graph: skip the per-tick eager
+        # split (~10 ms of tunnel dispatches on the remote rig)
+        sub = self._rng
+        if self.do_sample:
+            self._rng, sub = jax.random.split(self._rng)
         temps, tps, mps = self._lane_sampling(states, b)
         fsm_kw = {}
         if self.fsms:
@@ -1331,11 +1335,12 @@ class ContinuousBatchEngine:
             self._put(tokens), self._put(positions), self._put(tables),
             self._put(live_mask), horizon, self.do_sample,
             eos=eos_arg,
-            rng=self._put(sub), temperature=temps,
+            rng=sub, temperature=temps,
             top_p=tps, min_p=mps, budget=self._put(budget),
             allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
             rope_offset=self.position_offset,
-            with_logprobs=self.return_logprobs, **fsm_kw)
+            with_logprobs=self.return_logprobs,
+            dead_mask=self._put(np.zeros(b, bool)), **fsm_kw)
         # Chain safety: every finish condition the DEVICE cannot see
         # (multi-eos, stop strings, FSM accept, penalties' host-rebuilt
         # state, window reclaim, best_of families) breaks the guarantee
@@ -1407,9 +1412,11 @@ class ContinuousBatchEngine:
             tables[i, :len(state.block_table)] = state.block_table
             live.append((i, state, h1))
         toks_dev, eosd_dev = prev["carry"]
-        live_arg = jnp.logical_and(self._put(live_mask),
-                                   jnp.logical_not(eosd_dev))
-        self._rng, sub = jax.random.split(self._rng)
+        # eos-dead lanes are masked INSIDE the jitted program (dead_mask):
+        # eager mask ops here cost ~10 ms/dispatch through the tunnel
+        sub = self._rng
+        if self.do_sample:
+            self._rng, sub = jax.random.split(self._rng)
         temps, tps, mps = self._lane_sampling(states, b)
         fsm_kw = {}
         if self.num_loras:
@@ -1444,13 +1451,14 @@ class ContinuousBatchEngine:
         gen, lps, carry, self.pool = paged_model.decode_horizon(
             self.model, self.plus_one, self.params, self.pool,
             toks_dev, self._put(positions), self._put(tables),
-            live_arg, horizon, self.do_sample,
+            self._put(live_mask), horizon, self.do_sample,
             eos=eos_arg,
-            rng=self._put(sub), temperature=temps,
+            rng=sub, temperature=temps,
             top_p=tps, min_p=mps, budget=self._put(budget),
             allow_pallas=self._allow_pallas, mesh=self._kernel_mesh,
             rope_offset=self.position_offset,
-            with_logprobs=self.return_logprobs, **fsm_kw)
+            with_logprobs=self.return_logprobs,
+            dead_mask=eosd_dev, **fsm_kw)
         return {"gen": gen, "lps": lps, "carry": carry, "live": live,
                 "chainable": True}
 

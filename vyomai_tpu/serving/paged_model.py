@@ -569,7 +569,7 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
                    frequency_penalty=0.0, rep_penalty=None, seen_mask=None,
                    min_steps=None, bias_idx=None, bias_val=None,
                    lane_seeds=None, gen_base=None, mesh=None,
-                   rope_offset: int = 0):
+                   rope_offset: int = 0, dead_mask=None):
     """Run up to ``horizon`` decode steps fully on device — ONE host
     round-trip per ``horizon`` tokens instead of per token. The engine
     pre-allocates blocks to cover ``positions + horizon`` so in-graph slot
@@ -633,6 +633,11 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
     revivable)."""
     b = tokens.shape[0]
     bs = pool["kv"].shape[3]
+    if dead_mask is not None:
+        # lanes killed by a previous chained tick's eos (engine pipelining)
+        # — folded in-graph so the host never runs eager mask ops (each
+        # eager dispatch costs ~10 ms through the remote tunnel)
+        live = live & jnp.logical_not(dead_mask)
     out_buf = jnp.zeros((b, horizon), dtype=jnp.int32)
     lp_buf = jnp.zeros((b, horizon), dtype=jnp.float32)
     eos = jnp.asarray(eos, dtype=jnp.int32)
@@ -747,7 +752,11 @@ def decode_horizon(model, plus_one: bool, params, pool, tokens, positions,
         return (i + 1, nxt, pos, alive, key, fst, pl_, out, lps, cnt, seen,
                 eosd)
 
-    eosd0 = jnp.zeros((b,), bool)
+    # the eos-death carry ACCUMULATES across chained ticks: a lane killed
+    # two ticks ago is in dead_mask but can't re-enter this tick's body,
+    # so seeding eosd from it keeps the flag visible to the NEXT chain
+    eosd0 = (jnp.zeros((b,), bool) if dead_mask is None
+             else jnp.asarray(dead_mask, bool))
     with cnn.lora_lanes(lora_lanes):
         (_, toks_f, _, _, _, _, pool, out_buf, lp_buf, _, _,
          eosd_f) = jax.lax.while_loop(
