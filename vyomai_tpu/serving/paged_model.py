@@ -258,11 +258,21 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
 
     quant = pool["kv"].dtype == jnp.int8
 
-    def body(h, xs):
-        if quant:
-            lp, pkv, psc = xs
-        else:
-            (lp, pkv), psc = xs, None
+    # pool as a flattened-layer loop CARRY (see _decode_core): scanning it
+    # as xs/ys rewrote the whole pool once per prefill call
+    nl = cfg.num_hidden_layers
+    nb_pool = pool["kv"].shape[1]
+    kv_shape = pool["kv"].shape
+    kvf0 = pool["kv"].reshape((nl * nb_pool,) + kv_shape[2:])
+    scf0 = None
+    if quant:
+        sc_shape = pool["scale"].shape
+        scf0 = pool["scale"].reshape((nl * nb_pool,) + sc_shape[2:])
+
+    def body(carry, xs):
+        h, kvf, psc = carry
+        lp, layer = xs
+        off = layer * nb_pool
         normed = cnn.rms_norm(lp["input_layernorm"], h, eps=cfg.rms_norm_eps,
                               plus_one=plus_one)
         q = cnn.linear(lp["self_attn"]["q_proj"], normed).reshape(
@@ -280,11 +290,13 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
         si = sin.astype(q.dtype)
         q = q * c + rotate_half(q) * si                      # [N, Tp, H, D]
         k = k * c + rotate_half(k) * si
-        written = write_kv(pkv, k.reshape(n * t_pad, nkv_h, hd),
+        fbl = jnp.where(flat_blocks >= 0, flat_blocks + off, -1)
+        written = write_kv(kvf, k.reshape(n * t_pad, nkv_h, hd),
                            v.reshape(n * t_pad, nkv_h, hd),
-                           flat_blocks, flat_offsets, scales=psc)
-        pkv, psc = written if quant else (written, None)
-        kk, vv = jax.vmap(lambda t: gather_kv(pkv, t, nkv_h, psc))(tables)
+                           fbl, flat_offsets, scales=psc)
+        kvf, psc = written if quant else (written, None)
+        kk, vv = jax.vmap(lambda t: gather_kv(kvf, t, nkv_h, psc))(
+            tables + off)
         qh = q.transpose(0, 2, 1, 3)                         # [N, H, Tp, D]
         bias = attn_mask[:, None]                            # [N,1,Tp,Tctx]
 
@@ -330,16 +342,13 @@ def _multi_core(model, plus_one: bool, params, pool, ids, positions,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
         h = h + _mlp(lp["mlp"], normed, cfg,
                      act="gelu_pytorch_tanh" if plus_one else "silu")
-        return h, ((pkv, psc) if quant else pkv)
+        return (h, kvf, psc), None
 
+    (hidden, kvf, scf), _ = jax.lax.scan(
+        body, (hidden, kvf0, scf0), (params["layers"], jnp.arange(nl)))
+    pool = {"kv": kvf.reshape(kv_shape)}
     if quant:
-        hidden, (nkv, nsc) = jax.lax.scan(
-            body, hidden, (params["layers"], pool["kv"], pool["scale"]))
-        pool = {"kv": nkv, "scale": nsc}
-    else:
-        hidden, nkv = jax.lax.scan(
-            body, hidden, (params["layers"], pool["kv"]))
-        pool = {"kv": nkv}
+        pool["scale"] = scf.reshape(sc_shape)
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
     return hidden, pool
@@ -419,11 +428,27 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
             pool["kv"][0], cfg.num_key_value_heads)
     quant = pool["kv"].dtype == jnp.int8
 
-    def body(h, xs):
-        if quant:
-            lp, pkv, psc = xs
-        else:
-            (lp, pkv), psc = xs, None
+    # The pool is a LOOP CARRY with layers flattened into the block dim
+    # ([L*NB, 2, BS, W]; the reshape is a free leading-dim bitcast), NOT a
+    # scan xs/ys pair: stacking per-layer outputs rewrites the ENTIRE pool
+    # every step, so decode cost grew with pool SIZE (measured r5: 95 ->
+    # 160 ms/tick going from a 100 MB to a 400 MB pool, identical work).
+    # In-carry scatters touch only the B written rows; the kernels address
+    # blocks through the (layer-offset) tables, so they never slice the
+    # pool either.
+    nl = cfg.num_hidden_layers
+    nb = pool["kv"].shape[1]
+    kv_shape = pool["kv"].shape
+    kvf = pool["kv"].reshape((nl * nb,) + kv_shape[2:])
+    scf = None
+    if quant:
+        sc_shape = pool["scale"].shape
+        scf = pool["scale"].reshape((nl * nb,) + sc_shape[2:])
+
+    def body(carry, xs):
+        h, kvf, psc = carry
+        lp, layer = xs
+        off = layer * nb
         normed = cnn.rms_norm(lp["input_layernorm"], h, eps=cfg.rms_norm_eps,
                               plus_one=plus_one)
         nh, nkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -444,22 +469,25 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
         sin = (jnp.sin(emb) * rs).astype(q.dtype)
         q = q * cos + rotate_half(q) * sin
         k = k * cos + rotate_half(k) * sin
-        written = write_kv(pkv, k, v, slot_blocks, slot_offsets, scales=psc)
-        pkv, psc = written if quant else (written, None)
+        sbl = jnp.where(slot_blocks >= 0, slot_blocks + off, -1)
+        written = write_kv(kvf, k, v, sbl, slot_offsets, scales=psc)
+        kvf, psc = written if quant else (written, None)
+        btl = jnp.where(block_tables >= 0, block_tables + off,
+                        block_tables)
         sinks = getattr(cfg, "attention_sinks", 0)
 
         def _pl_attn():
             return paged_decode_pallas.paged_attention_decode_pallas(
-                q, pkv, block_tables, seq_lens, nkv, psc, window=window,
+                q, kvf, btl, seq_lens, nkv, psc, window=window,
                 sinks=sinks)                                     # [B, H, D]
 
         def _xla_attn():
             return paged_attention_decode(
-                q, pkv, block_tables, seq_lens, nkv, psc, window=window,
+                q, kvf, btl, seq_lens, nkv, psc, window=window,
                 sinks=sinks)
 
         if use_pallas and tp > 1:
-            attn = _tp_paged_attn(mesh, q, pkv, block_tables, seq_lens,
+            attn = _tp_paged_attn(mesh, q, kvf, btl, seq_lens,
                                   nkv, psc, window, sinks)       # [B, H, D]
         elif use_pallas:
             # dispatch on the LOWERING platform, not the process default
@@ -479,16 +507,14 @@ def _decode_core(model, plus_one, params, pool, tokens, positions,
                               eps=cfg.rms_norm_eps, plus_one=plus_one)
         h = h + _mlp(lp["mlp"], normed, cfg,
                      act="gelu_pytorch_tanh" if plus_one else "silu")
-        return h, ((pkv, psc) if quant else pkv)
+        return (h, kvf, psc), None
 
+    (hidden, kvf, scf), _ = jax.lax.scan(
+        body, (hidden, kvf, scf),
+        (params["layers"], jnp.arange(nl)))
+    pool = {"kv": kvf.reshape(kv_shape)}
     if quant:
-        hidden, (nkv_pool, nsc_pool) = jax.lax.scan(
-            body, hidden, (params["layers"], pool["kv"], pool["scale"]))
-        pool = {"kv": nkv_pool, "scale": nsc_pool}
-    else:
-        hidden, nkv_pool = jax.lax.scan(
-            body, hidden, (params["layers"], pool["kv"]))
-        pool = {"kv": nkv_pool}
+        pool["scale"] = scf.reshape(sc_shape)
     hidden = cnn.rms_norm(params["norm"], hidden, eps=cfg.rms_norm_eps,
                           plus_one=plus_one)
     return _head(params, hidden), pool
