@@ -1183,9 +1183,11 @@ class ContinuousBatchEngine:
         tick's dispatch BEFORE the previous results are fetched, so the
         host bookkeeping + tunnel round-trip of a tick overlaps the next
         tick's device execution. Measured r5 (decode_step_profile, 0.9B
-        M=8 horizon=32): an engine step cost 5.99 ms of which only 2.84 ms
-        was device time — the rest was the blocking fetch + per-tick host
-        work this overlap hides."""
+        M=8 horizon=32): an engine step cost 5.99 ms of which only
+        ~2.5 ms was device time — the blocking fetch + host work this
+        overlap hides. With the flattened-pool carry (paged_model) the
+        engine step landed at 2.48 ms vs the 1.95 ms weight-stream
+        floor."""
         prev, self._inflight = self._inflight, None
         if prev is not None:
             nxt = self._try_chain(prev)   # dispatch while prev in flight
