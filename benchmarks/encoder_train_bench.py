@@ -84,12 +84,19 @@ def bench_mlm(seq: int, batch: int):
     step = make_train_step(loss_fn, opt)
     key = jax.random.PRNGKey(0)
     batch_d = {"ids": ids, "mask": mask}
-    results = {}
+    results, fwd_results = {}, {}
     for impl in ("short", "xla"):
         set_sdpa_impl(impl)
         try:
             params = model.init(jax.random.PRNGKey(1), dtype=jnp.bfloat16)
             state = create_train_state(params, opt)
+
+            # masked FORWARD only (the inference/scoring path)
+            fwd = jax.jit(lambda p, i, m: jnp.sum(
+                model.apply(p, i, attention_mask=m).logits[..., :8]
+                .astype(jnp.float32)))
+            t_fwd = _time(fwd, params, ids, mask)
+            fwd_results[impl] = real_tokens / t_fwd
 
             def run(state):
                 for _ in range(4):
@@ -110,20 +117,27 @@ def bench_mlm(seq: int, batch: int):
     rec = {"metric": "masked_encoder_train", "seq": seq, "batch": batch,
            "short_tokens_per_sec": round(results["short"], 1),
            "xla_tokens_per_sec": round(results["xla"], 1),
-           "speedup": round(results["short"] / results["xla"], 3)}
+           "speedup": round(results["short"] / results["xla"], 3),
+           "fwd_short_tokens_per_sec": round(fwd_results["short"], 1),
+           "fwd_xla_tokens_per_sec": round(fwd_results["xla"], 1),
+           "fwd_speedup": round(fwd_results["short"]
+                                / fwd_results["xla"], 3)}
     print(json.dumps(rec), flush=True)
     return rec
 
 
-def bench_vit(batch: int = 128):
-    """ViT-base classification fwd-only and fwd+bwd img/s, short vs XLA."""
+def bench_vit(batch: int = 128, train_batch: int = 32):
+    """ViT-base classification fwd-only and fwd+bwd img/s, short vs XLA.
+    Training uses a smaller batch: un-remat'd fwd+bwd saves every
+    [B,H,L,L] probability tensor (~21 GB at B=128 — OOM on one chip)."""
     cfg = vt.VisionConfig(num_hidden_layers=12, hidden_dropout_prob=0.0)
     model = vt.Vit(cfg)
     n_cls = 1000
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal(
         (batch, 3, 224, 224), np.float32), jnp.bfloat16)
-    labels = jnp.asarray(rng.integers(0, n_cls, size=batch), jnp.int32)
+    t_images = images[:train_batch]
+    labels = jnp.asarray(rng.integers(0, n_cls, size=train_batch), jnp.int32)
     key = jax.random.PRNGKey(0)
 
     results = {}
@@ -142,7 +156,7 @@ def bench_vit(batch: int = 128):
             opt = make_optimizer(1e-4, warmup_steps=10)
             step = make_train_step(loss_fn, opt)
             state = create_train_state({"vit": params, "head": head}, opt)
-            bd = {"images": images, "labels": labels}
+            bd = {"images": t_images, "labels": labels}
 
             fwd = jax.jit(lambda p, x: jnp.sum(model.apply(p, x).logits))
             t_fwd = _time(fwd, params, images)
@@ -161,14 +175,14 @@ def bench_vit(batch: int = 128):
             _sync(m["loss"])
             t_step = (time.perf_counter() - t0) / (4 * reps)
             results[impl] = {"fwd_img_s": batch / t_fwd,
-                             "train_img_s": batch / t_step,
+                             "train_img_s": train_batch / t_step,
                              "step_ms": 1e3 * t_step}
         finally:
             set_sdpa_impl("auto")
 
     # attention fwd+bwd share: chained sdpa grad at the ViT shape
     from vyomai_tpu.ops import short_attention as sa
-    q = jax.random.normal(jax.random.PRNGKey(2), (batch, 12, 197, 64),
+    q = jax.random.normal(jax.random.PRNGKey(2), (train_batch, 12, 197, 64),
                           jnp.bfloat16)
 
     def attn_fb(q):

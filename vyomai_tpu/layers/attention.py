@@ -121,9 +121,16 @@ def sdpa(q, k, v, mask=None, *, causal: bool = False, window=None,
                                            segments):
         # ViT-class short bidirectional shapes: VMEM-resident full-softmax
         # kernel (scores never touch HBM) — see ops/short_attention.py.
-        # A key-padding mask (additive [B,1,1,L]) rides the kernel too.
+        # A key-padding mask (additive [B,1,1,L]) rides the kernel too,
+        # but AUTO routes masked shapes only at L >= 384: measured r5
+        # (benchmarks/encoder_train_bench.py) the masked kernel forward is
+        # +17% at L=512 and -13% at L=128 vs XLA, with training a wash —
+        # force impl="short" to override.
         from ..ops import short_attention as sa
         if mask is not None:
+            if q.shape[2] < 384:
+                return _sdpa_xla(q, k, v, mask, causal=causal,
+                                 window=window, segments=segments)
             return jax.lax.platform_dependent(
                 q, k, v, mask, tpu=sa.short_attention_bias,
                 default=lambda qq, kk, vv, mm: _sdpa_xla(qq, kk, vv, mm))
