@@ -306,6 +306,59 @@ def _fwd_rule(q, k, v):
     return _fwd(q, k, v), (q, k, v)
 
 
+def _kernel_bwd(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                nh, scale):
+    """In-kernel backward (r5): recomputes the per-head [L, L]
+    probabilities in VMEM and runs the five backward contractions on the
+    MXU — the XLA-recompute VJP materialized s/p/dp/ds in HBM and was 30%
+    of a ViT-base training step (benchmarks/encoder_train_bench.py).
+    Unpaired heads: the backward's five distinct contractions don't share
+    the forward's block-diagonal packing cleanly; the MXU win here is
+    keeping the [L, L] intermediates out of HBM."""
+    for h in range(nh):
+        qh = q_ref[0, h].astype(jnp.float32)      # [L, D]
+        kh = k_ref[0, h].astype(jnp.float32)
+        vh = v_ref[0, h].astype(jnp.float32)
+        doh = do_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # [L, L]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(                             # p^T do
+            p, doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [L, D]
+        dp = jax.lax.dot_general(                             # do v^T
+            doh, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [L, L]
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # [L, D]
+        dk = jax.lax.dot_general(                             # ds^T q
+            ds, qh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # [L, D]
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_pallas(q, k, v, do):
+    b, h, l, d = q.shape
+    spec = pl.BlockSpec((1, h, l, d), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    sd = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        functools.partial(_kernel_bwd, nh=h, scale=1.0 / (d ** 0.5)),
+        grid=(b,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(sd, sd, sd),
+        interpret=_fa._INTERPRET,
+    )(q, k, v, do)
+
+
 def _bwd_math(q, k, v, do, bias=None):
     scale = 1.0 / (q.shape[-1] ** 0.5)
     qf, kf, vf, dof = (x.astype(jnp.float32) for x in (q, k, v, do))
@@ -324,7 +377,22 @@ def _bwd_math(q, k, v, do, bias=None):
 
 def _bwd_rule(res, do):
     q, k, v = res
-    return _bwd_math(q, k, v, do)[:3]
+    # the backward holds 7 q-shaped arrays double-buffered (vs the
+    # forward's 4) plus [L,L] fp32 temporaries: gate tighter than the
+    # forward or Mosaic OOMs near the forward's VMEM cap
+    _, h, l, d = q.shape
+    blk = h * l * d * q.dtype.itemsize
+    fits = blk <= 640 * 1024 and 14 * blk + 6 * l * l * 4 <= 12 * 2**20
+    if _fa._INTERPRET:
+        return _bwd_pallas(q, k, v, do)
+
+    def _xla(qq, kk, vv, dd):
+        return _bwd_math(qq, kk, vv, dd)[:3]
+
+    if not fits:
+        return _bwd_math(q, k, v, do)[:3]
+    return jax.lax.platform_dependent(q, k, v, do, tpu=_bwd_pallas,
+                                      default=_xla)
 
 
 short_attention.defvjp(_fwd_rule, _bwd_rule)
