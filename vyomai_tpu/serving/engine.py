@@ -111,7 +111,7 @@ class ContinuousBatchEngine:
                  fsms=None,
                  loras=None, return_logprobs: bool = False,
                  position_offset: int = 0, radix_cache: bool = True,
-                 max_prefill_per_tick: Optional[int] = None,
+                 max_prefill_per_tick: Optional[int] = 4,
                  cache_aware_admission: bool = False,
                  pipeline_decode: bool = True):
         """``mesh``: a ``jax.sharding.Mesh`` with a ``model`` axis enables
@@ -248,7 +248,12 @@ class ContinuousBatchEngine:
         # bounds running sequences' inter-token latency under an arrival
         # burst — each tick then does <= cap prefill dispatches before the
         # decode dispatch). When no sequence is decoding, prefills always
-        # drain freely (nobody is starving).
+        # drain freely (nobody is starving). DEFAULT 4 from the r5
+        # cap x horizon x rate frontier (METRICS_r05 serving_stall_p99_ms
+        # points): drain-all blows up in at least one regime (2.7 s p99
+        # stall at horizon 8 / 4 req/s), cap=1 starves admissions at long
+        # horizons (355 ms at horizon 32 / 12 req/s), cap=4 never exceeded
+        # 214 ms anywhere on the grid — all at throughput parity (±2%).
         self.max_prefill_per_tick = (None if max_prefill_per_tick is None
                                      else max(1, max_prefill_per_tick))
         # prefer waiting requests with the longest cached prefix (radix
