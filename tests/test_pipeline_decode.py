@@ -134,6 +134,44 @@ def test_pipeline_falls_back_on_stop_sequences(qwen):
     assert counters[1] == 0, "chained despite host-side stop sequences"
 
 
+def test_pipeline_under_pool_pressure_preemption(qwen):
+    """A pool too small for all lanes forces allocation failures and
+    preemption: the chain path must refuse to dispatch (falling back to
+    the sync path, which preempts) and stay token-exact."""
+    rng = np.random.default_rng(7)
+    prompts = _prompts(4, rng, lo=8, hi=16)
+    outs = []
+    for pipeline in (False, True):
+        # 24 blocks x 8 = 192 token slots for 4 lanes x (16+24+1) tokens:
+        # tight enough to force grant-shrinking and preemption
+        eng = _engine(qwen, pipeline, num_blocks=24)
+        sids = [eng.submit(list(p), ignore_eos=True) for p in prompts]
+        out = eng.run()
+        outs.append({i: out[s] for i, s in enumerate(sids)})
+    assert outs[0] == outs[1]
+
+
+def test_pipeline_radix_promotion_after_finish(qwen):
+    """Finished lanes promote their blocks into the radix cache while a
+    chained (all-dead) tick may still be in flight; a second wave sharing
+    the same prompt prefix must reuse the cache and match the sync
+    engine."""
+    rng = np.random.default_rng(8)
+    shared = list(rng.integers(10, 500, size=12))
+    outs, hits = [], []
+    for pipeline in (False, True):
+        eng = _engine(qwen, pipeline)
+        a = [eng.submit(shared + list(rng.integers(10, 500, size=4)))
+             for rng in [np.random.default_rng(9)] for _ in range(2)]
+        eng.run()
+        b = [eng.submit(shared + [7 + i, 11, 13]) for i in range(2)]
+        out = eng.run()
+        outs.append([out[s] for s in b])
+        hits.append(eng.counters.get("cached_prompt_tokens", 0))
+    assert outs[0] == outs[1]
+    assert hits[1] > 0, "radix never hit under pipelining"
+
+
 def test_pipeline_reuse_after_drain(qwen):
     """A leftover in-flight tick (everything finished while it was
     dispatched) must not corrupt a later submission wave."""
